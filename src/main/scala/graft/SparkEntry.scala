@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{CoreQueries, ExtensionQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one named query per implemented SURVEY §2 operator (plus
+  * the training-data extension operators) to a DataFrame program over the
+  * driver's parquet tables; `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver hash-compares against (omitted only for ops with no SQL mirror —
+  * those get rows-only checks and ScalaTest coverage).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (J1+A1+W1 multi-join/rank) on sf0.001; driver
+    * smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreQueries.defs("q03_agg_join_rank")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.defs ++ ExtensionQueries.defs
+
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracle ++ ExtensionQueries.oracle
 }

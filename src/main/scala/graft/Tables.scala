@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-harness table access. The driver provides TPC-H-ish parquet tables
+  * (TESTDATA.md); a production deployment would swap these for real
+  * catalog/source reads (JDBC, lakehouse). Kept as one seam so every query
+  * is scale-agnostic: `dir` is the only thing that changes between
+  * sf0.001 smoke and a 100 TB lake path.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    // Spark 4 refuses natively; read them as long nanos and floor-truncate
+    // to micros — the same truncation DuckDB applies, so oracle comparisons
+    // agree. All other tables read directly.
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Small dimensions that should always be broadcast in joins. */
+  val broadcastDims: Set[String] = Set("region", "nation", "supplier", "part")
+}

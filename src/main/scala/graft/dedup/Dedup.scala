@@ -1,0 +1,152 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus cleaning: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design notes (the whole point of these operators is 100 TB):
+  *  - Exact dedup is a hash-groupBy on a fingerprint — one shuffle of
+  *    (hash, id), never of the document bodies.
+  *  - MinHash/LSH shuffles only (band-key, id) pairs; candidate
+  *    verification joins back to signatures, NOT to raw text. The raw-text
+  *    gram-join (ngramJaccardPairs) is the small-data/oracle path.
+  *  - All hashing is engine-portable (md5 on strings) so the DuckDB oracle
+  *    can replay it bit-for-bit; swap in xxhash64 for production speed —
+  *    the operator shape is identical.
+  */
+object Dedup {
+
+  /** Exact dedup: cluster by normalized-content fingerprint, keep the
+    * smallest id per cluster (deterministic survivor). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+    fp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** MinHash signature component i of a shingle set: the minimum of
+    * md5(i || ':' || shingle) over the set. Min-of-keyed-md5 is a valid
+    * random-permutation proxy and is exactly replayable in SQL. */
+  def minhashComponent(shingleArr: Column, i: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$i:"), s))))
+
+  /** Full signature as `numHashes` string components. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => minhashComponent(shingleArr, i))
+
+  /** docs → (id, shingles, sig_0..sig_{n-1}) */
+  def withSignature(docs: DataFrame, idCol: String, textCol: String,
+                    shingleK: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol), TextOps.shingles(col(textCol), shingleK).as("__sh"))
+    val sigCols = minhashSignature(col("__sh"), numHashes).zipWithIndex
+      .map { case (c, i) => c.as(s"sig_$i") }
+    sh.select((col(idCol) +: col("__sh") +: sigCols).toSeq: _*)
+  }
+
+  /** MinHash + LSH candidate pairs (a<b) with their estimated Jaccard
+    * (= fraction of equal signature components). Banding: `numHashes`
+    * components grouped into bands of `rowsPerBand`; docs sharing ALL
+    * components of any band land in the same bucket → candidate pair.
+    *
+    * Shuffle profile: one shuffle of (band-hash, id) pairs [tiny], a
+    * self-join per bucket [bounded by bucket size — salt/limit buckets at
+    * real scale], one distinct on (a,b). Estimated-Jaccard filter ≥ tau.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 3, numHashes: Int = 12,
+                      rowsPerBand: Int = 3, tau: Double = 0.5): DataFrame = {
+    val signed = withSignature(docs, idCol, textCol, shingleK, numHashes).cache()
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("h"))
+    }
+    val buckets = signed
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.h"))
+    val cands = buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    val sigEq = (0 until numHashes)
+      .map(i => when(col(s"la.sig_$i") === col(s"rb.sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(signed.as("la"), col("id_a") === col(s"la.$idCol"))
+      .join(signed.as("rb"), col("id_b") === col(s"rb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        (sigEq.cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= tau)
+  }
+
+  /** Exact n-gram Jaccard similarity pairs via inverted-index join:
+    * explode distinct shingles, self-join on shingle, count common,
+    * |A∪B| = |A|+|B|-common. Quadratic in bucket size — correct baseline
+    * and oracle-checkable; at 100 TB this runs AFTER LSH pruning (feed it
+    * `minhashLshPairs` candidates), never standalone.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, tau: Double,
+                        blockCols: Seq[String] = Nil): DataFrame = {
+    val sh = docs
+      .select((col(idCol) +: blockCols.map(col) :+
+        TextOps.shingles(col(textCol), k).as("sh")): _*)
+      .withColumn("n", size(col("sh")))
+    val inv = sh.select((col(idCol) +: blockCols.map(col) :+ col("n") :+
+      explode(col("sh")).as("g")): _*)
+    val blockEq = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .foldLeft(col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+    inv.as("a").join(inv.as("b"), blockEq)
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash (16-bit, md5-derived) of the token multiset: for each bit
+    * position, sum +1/-1 votes across tokens (weighted by multiplicity),
+    * bit = 1 iff vote > 0. Near-dups differ in few bits (Hamming).
+    * 16 bits keeps the oracle replay cheap; the library scales the same
+    * construction to 64 via `bits`.
+    *
+    * Bit b of token t = bit (b%4) of hex digit b/4 of md5(t): pure string
+    * ops, engine-portable.
+    */
+  def simhash(textCol: Column, bits: Int = 16): Column = {
+    val toks = TextOps.tokens(textCol)
+    // vote_b = sum over tokens of (bit_b(md5(tok)) * 2 - 1)
+    val votes = (0 until bits).map { b =>
+      val digitPos = b / 4 + 1
+      val mask = 1 << (b % 4)
+      aggregate(toks, lit(0),
+        (acc, t) => acc +
+          when(conv(substring(md5(t), digitPos, 1), 16, 10).cast("int")
+            .bitwiseAND(lit(mask)) > 0, 1).otherwise(-1))
+    }
+    votes.zipWithIndex.map { case (v, b) =>
+      when(v > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: docs whose simhash values differ by ≤
+    * `maxHamming` bits. Small-data path = self-join on bit_count of xor;
+    * scale path = LSH over bit-bands of the simhash (join on exact match of
+    * any band), same as minhash banding. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 16, maxHamming: Int = 2): DataFrame = {
+    val h = docs.select(col(idCol), simhash(col(textCol), bits).as("sh"))
+    h.as("a").join(h.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Core relational helpers, each mapping to a row of SURVEY.md §2.
+  *
+  * All helpers are pure LogicalPlan transformations (built-in Catalyst
+  * expressions only) so predicate pushdown / column pruning / AQE keep
+  * working through them — nothing here blocks whole-stage codegen.
+  */
+object Relational {
+
+  /** Schema conformance (SURVEY §2.3 P7; reference
+    * `helpers/transform_helpers.py:5-39` `sync_with_remote`): the target
+    * schema is the authority. Missing columns are added as typed nulls,
+    * present columns are cast to the target type, extra columns are dropped.
+    * Pure projection — stays inside whole-stage codegen, prunes the scan to
+    * exactly the target columns.
+    */
+  def conformTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    val cols = target.fields.map { case StructField(name, dt, _, _) =>
+      if (have(name)) col(name).cast(dt).as(name)
+      else lit(null).cast(dt).as(name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Union-all with schema reconciliation (SURVEY §2.7 O3; reference
+    * loop-`pd.concat` with `reindex(columns)`,
+    * `episode_stats/episode_stats_extract.py:362-369`). Single n-way union,
+    * not a quadratic fold of materialized frames: Spark unions are lazy plan
+    * nodes, so this is O(n) plan construction and one job.
+    */
+  def unionByNameAll(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionByNameAll of empty sequence")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Deterministic id allocation for rows with a null id (SURVEY §2.5 A3;
+    * reference `MAX(id)+1` + `np.arange`,
+    * `contestant/contestant_extract.py:296-317,351-358`).
+    *
+    * The reference allocates in Python arrival order — nondeterministic in a
+    * distributed engine. Here the caller supplies a stable ordering key and
+    * new ids are `max(existing) + row_number() over (order by key)`.
+    *
+    * Scale note: the row_number window over the *null-id subset* is a
+    * single-partition window, which is fine because unmatched rows are a
+    * small remainder by construction (the reference allocates ids for a
+    * handful of new entities per run). Do NOT use this for bulk surrogate
+    * keys — use zipWithIndex-style allocation instead.
+    */
+  def allocateIds(df: DataFrame, idCol: String, orderBy: Seq[Column]): DataFrame = {
+    val matched = df.filter(col(idCol).isNotNull)
+    val unmatched = df.filter(col(idCol).isNull)
+    val maxId = coalesce(max(col(idCol)), lit(0L))
+    val w = Window.orderBy(orderBy: _*)
+    val allocated = unmatched
+      .crossJoin(broadcast(matched.agg(maxId.as("__max_id"))))
+      .withColumn(idCol, col("__max_id") + row_number().over(w))
+      .drop("__max_id")
+    matched.unionByName(allocated.select(df.columns.map(col).toSeq: _*))
+  }
+
+  /** First-non-null with literal default (reference `iterative_replace_null`
+    * `episode_stats/episode_stats_transform.py:32-45`). */
+  def firstNonNull(cols: Seq[Column], default: Column): Column =
+    coalesce((cols :+ default): _*)
+
+  /** Fixed-width array expansion (SURVEY §2.7 O6; reference pads arrays to
+    * k columns, `contestant/contestant_transform.py:22-76,102-135`).
+    * `element_at` past the end yields null = the reference's padding.
+    */
+  def fixedWidth(df: DataFrame, arrCol: String, prefix: String, n: Int): DataFrame = {
+    val expanded = (0 until n).map(i => try_element_at(col(arrCol), lit(i + 1)).as(s"${prefix}_$i"))
+    df.select((df.columns.filterNot(_ == arrCol).map(col) ++ expanded).toSeq: _*)
+  }
+
+  /** Keyed dedup with a deterministic survivor (SURVEY §2.3 P8 + §7.4
+    * order-dependent-dedup risk): instead of `dropDuplicates(keys)` (keeps an
+    * arbitrary row — nondeterministic across runs/partitionings), keep the
+    * first row per key under an explicit tiebreak ordering. One shuffle on
+    * the keys; the window and the downstream grouping share that
+    * partitioning.
+    */
+  def dedupByKeys(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Two-stage fuzzy match (SURVEY §2.4 J7; reference
+    * `match_to_contestant_season` `episodes/episodes_transform.py:218-240`):
+    * exact join on the strong key; rows that miss retry on a weaker key;
+    * results coalesced. Both stages are equi-joins, so each is
+    * broadcast-able when `dim` is small.
+    */
+  def fuzzyTwoStageJoin(
+      probe: DataFrame,
+      dim: DataFrame,
+      strongKey: (Column, Column),
+      weakKey: (Column, Column),
+      pick: Seq[String]): DataFrame = {
+    val dimStrong = broadcast(dim.select((pick.map(col) :+ strongKey._2.as("__k1")): _*))
+    val s1 = probe.join(dimStrong, strongKey._1 === col("__k1"), "left").drop("__k1")
+    val hit = s1.filter(col(pick.head).isNotNull)
+    val miss = s1.filter(col(pick.head).isNull).drop(pick: _*)
+    val dimWeak = broadcast(dim.select((pick.map(col) :+ weakKey._2.as("__k2")): _*))
+    val s2 = miss.join(dimWeak, weakKey._1 === col("__k2"), "left").drop("__k2")
+    hit.unionByName(s2.select(hit.columns.map(col).toSeq: _*))
+  }
+}

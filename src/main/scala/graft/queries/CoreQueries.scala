@@ -1,0 +1,497 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{AsofJoin, Relational, Upsert}
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational query catalog: one named query per SURVEY.md §2 operator
+  * row, each with a DuckDB oracle producing identical columns/values.
+  *
+  * Determinism rules applied throughout (so value-hash comparison against
+  * the oracle is exact):
+  *  - Double SUMs go through DECIMAL (exact, order-independent), then cast
+  *    back to double — a parallel double sum is order-dependent and would
+  *    flake. MIN/MAX/COUNT are order-independent already.
+  *  - Every window/limit has a total tiebreak ordering.
+  *  - row_number()/count() outputs are BIGINT on both engines.
+  *  - Timestamps are emitted as epoch millis (both engines truncate the
+  *    parquet ns values to micros, so epoch_ms agrees).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** exact decimal-backed double sum */
+  private def dsum(c: String, scale: Int = 2) =
+    expr(s"CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ───── A1/A2: hash aggregate with decimal-exact sums (TPC-H Q1 shape)
+    "q01_agg_pricing" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE)")
+            .as("sum_disc_price"),
+          (dsum("l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ───── P1/P3/P5/P6: filter + projection + derived cols; predicates push to scan
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type") === "purchase" && col("value") > 50)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          round(col("value") * 100, 0).cast("long").as("value_cents"))
+    }),
+
+    // ───── J1+A1+W1 flagship: multi-way left join over pre-aggregates + ranking window
+    // (reference pull_agg_contestant_stats, helpers/db_funcs.py:4-45)
+    "q03_agg_join_rank" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val ord = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_spent"))
+      val li = t(s, d, "lineitem")
+        .join(o.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(dsum("l_quantity").as("total_qty"))
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(ord, col("c_custkey") === ord("o_custkey"), "left")
+        .join(li, col("c_custkey") === li("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spent"), lit(-1.0)).as("total_spent"),
+          coalesce(col("total_qty"), lit(-1.0)).as("total_qty"))
+        .withColumn("spend_rank",
+          row_number().over(Window.partitionBy(col("n_name"))
+            .orderBy(col("total_spent").desc, col("c_custkey"))).cast("long"))
+    }),
+
+    // ───── W1/W2: ranking windows with deterministic and tie-tolerant orders
+    "q04_window_rank" -> ((s, d) => {
+      val byBal = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val bySeg = Window.partitionBy(col("c_nationkey")).orderBy(col("c_mktsegment"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .withColumn("rn", row_number().over(byBal).cast("long"))
+        .withColumn("seg_rank", rank().over(bySeg).cast("long"))
+        .withColumn("seg_dense", dense_rank().over(bySeg).cast("long"))
+    }),
+
+    // ───── J2/J5: star join, every dimension broadcast (no shuffled join at any scale)
+    "q05_star_join" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_price"))
+    }),
+
+    // ───── J4: as-of join — purchase events pick up the most recent prior click
+    "q06_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"),
+          unix_millis(col("ts")).as("click_ts_ms"))
+      AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_value", "click_ts_ms"))
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("click_value"), col("click_ts_ms"))
+    }),
+
+    // ───── W4: running fill (last non-null carried forward) + running decimal sum
+    "q07_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("filled",
+          last(when(col("event_type") =!= "error", col("value")), ignoreNulls = true).over(w))
+        .withColumn("run_sum",
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+        .select(col("event_id"), col("user_id"), col("filled"), col("run_sum"))
+    }),
+
+    // ───── P8: keyed dedup with deterministic survivor
+    "q08_dedup_keys" -> ((s, d) => {
+      Relational.dedupByKeys(t(s, d, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_linenumber").asc, col("l_quantity").asc, col("l_extendedprice").asc))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    // ───── J7: two-stage fuzzy match with fallback key
+    "q09_fuzzy_two_stage" -> ((s, d) => {
+      val probe = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val dim = t(s, d, "customer")
+      Relational.fuzzyTwoStageJoin(
+        probe, dim,
+        strongKey = (when(col("o_orderkey") % 5 =!= 0, col("o_custkey")), col("c_custkey")),
+        weakKey = ((col("o_custkey") % 50) + 1, col("c_custkey")),
+        pick = Seq("c_name", "c_nationkey"))
+    }),
+
+    // ───── P7: schema conform — add-missing-as-null / cast / drop-extra
+    "q10_conform_schema" -> ((s, d) => {
+      Relational.conformTo(t(s, d, "orders"), StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", IntegerType),
+        StructField("o_orderdate", DateType),
+        StructField("o_comment", StringType))))
+    }),
+
+    // ───── O3: union-by-name with missing-column reconciliation
+    "q11_union_reconcile" -> ((s, d) => {
+      val c = t(s, d, "customer").select(
+        col("c_custkey").as("entity_id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+      val sup = t(s, d, "supplier").select(
+        col("s_suppkey").as("entity_id"), col("s_name").as("name"),
+        col("s_nationkey").cast("int").as("nationkey"), lit("supplier").as("src"))
+      c.unionByName(sup, allowMissingColumns = true)
+    }),
+
+    // ───── O5: unpivot / melt wide → long
+    "q12_unpivot" -> ((s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")), "attr", "val")
+    }),
+
+    // ───── O4/G3: explode + distinct
+    "q13_explode_distinct" -> ((s, d) => {
+      t(s, d, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .distinct()
+    }),
+
+    // ───── O6: fixed-width array expansion (null-padded)
+    "q14_fixed_width" -> ((s, d) => {
+      val arr = t(s, d, "nation").groupBy(col("n_regionkey"))
+        .agg(sort_array(collect_list(col("n_name"))).as("arr"))
+      Relational.fixedWidth(arr, "arr", "nation", 6)
+    }),
+
+    // ───── A3: deterministic max+row_number id allocation
+    "q15_id_allocation" -> ((s, d) => {
+      val base = t(s, d, "customer").select(
+        when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_custkey"))
+          .cast("long").as("cid"),
+        col("c_custkey").as("natural_key"), col("c_name"))
+      Relational.allocateIds(base, "cid", Seq(col("natural_key")))
+    }),
+
+    // ───── P9 + coalesce-defaults: conditional null-out then default
+    "q16_null_default" -> ((s, d) => {
+      t(s, d, "events").select(col("event_id"),
+        coalesce(
+          when(col("ts") <= lit("2024-03-01 00:00:00").cast("timestamp"), col("value")),
+          lit(-1.0)).as("value_or_default"))
+    }),
+
+    // ───── §2.8 regex bank: extract from semi-structured text
+    "q17_regex_extract" -> ((s, d) => {
+      val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+      t(s, d, "events").select(col("event_id"),
+        when(k === "", lit(null).cast("long")).otherwise(k.cast("long")).as("k"))
+    }),
+
+    // ───── §2.8 string family: lower/lpad/concat_ws/split/replace-chain
+    "q18_string_funcs" -> ((s, d) => {
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("padded"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        element_at(split(col("c_name"), "#"), 1).as("first_token"),
+        regexp_replace(col("c_name"), "Customer", "CUST").as("renamed"))
+    }),
+
+    // ───── §2.8 date/time family
+    "q19_date_funcs" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        unix_millis(date_trunc("MONTH", col("o_orderdate"))).as("month_start_ms"),
+        datediff(col("o_orderdate").cast("date"), lit("1994-01-01").cast("date"))
+          .cast("long").as("days_since"))
+    }),
+
+    // ───── A1 conditional aggregation + min/max
+    "q20_conditional_agg" -> ((s, d) => {
+      t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_totalprice") > 200000, lit(1))).as("n_big"),
+          count(lit(1)).as("n_total"),
+          (count(when(col("o_totalprice") > 200000, lit(1))).cast("double") /
+            count(lit(1))).as("big_frac"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+    }),
+
+    // ───── O1/O2: global top-k with total tiebreak
+    "q21_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ───── K1: upsert merge semantics (updates win; insert-or-update)
+    "q22_upsert" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+      Upsert.merge(base, upd, Seq("o_orderkey"))
+    }),
+
+    // ───── A4/A5: scalar min/max broadcast arithmetic + per-group max
+    "q23_scalar_minmax" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val g = ev.agg(min(col("value")).as("gmin"))
+      ev.crossJoin(broadcast(g))
+        .withColumn("user_max", max(col("value")).over(Window.partitionBy(col("user_id"))))
+        .select(col("event_id"), col("user_id"),
+          (col("user_max") + 1 - col("value")).as("slot"),
+          (col("value") - col("gmin")).as("rel"))
+    }),
+
+    // ───── G1: grouped collection → explode back to rows (map-of-lists shape)
+    "q24_explode_map" -> ((s, d) => {
+      t(s, d, "documents").groupBy(col("source"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+        .select(col("source"), col("pos").cast("long").as("pos"), col("doc_id"))
+    }),
+
+    // ───── G2: struct-returning parser (regex groups → typed struct)
+    "q25_struct_parse" -> ((s, d) => {
+      val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+      t(s, d, "events").select(col("event_id"),
+        struct(
+          substring(col("event_type"), 1, 1).as("type_initial"),
+          when(k === "", lit(null).cast("long")).otherwise(k.cast("long")).as("k"),
+          (col("value") > 100).as("is_big")).as("parsed"))
+        .select(col("event_id"), col("parsed.type_initial").as("type_initial"),
+          col("parsed.k").as("k"), col("parsed.is_big").as("is_big"))
+    }),
+
+    // ───── G4: JSON stringify before a sink
+    "q26_json_stringify" -> ((s, d) => {
+      val k0 = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+      t(s, d, "events")
+        .select(col("event_id"),
+          when(k0 === "", lit(null).cast("long")).otherwise(k0.cast("long")).as("k"))
+        .filter(col("k").isNotNull)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("k"))).as("js"))
+    }),
+
+    // ───── §2.10: tumbling event-time window (same code path batch/stream)
+    "q27_tumbling_window" -> ((s, d) => {
+      Streams.tumblingAgg(t(s, d, "events"), "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value")))
+    }),
+
+    // ───── §2.10: gap sessionization (stateful event-time op, batch path)
+    "q28_sessionize" -> ((s, d) => {
+      Streams.sessionize(t(s, d, "events"), "user_id", "ts", 1800)
+        .select(col("event_id"), col("user_id"), col("session_id").cast("long").as("session_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+        FROM events WHERE value IS NOT NULL AND event_type = 'purchase' AND value > 50""",
+    "q03_agg_join_rank" ->
+      """WITH ord AS (SELECT o_custkey, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+          FROM orders GROUP BY o_custkey),
+        li AS (SELECT o_custkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey)
+        SELECT c_custkey, c_name, n_name,
+          COALESCE(n_orders, 0) AS n_orders,
+          COALESCE(total_spent, -1.0) AS total_spent,
+          COALESCE(total_qty, -1.0) AS total_qty,
+          ROW_NUMBER() OVER (PARTITION BY n_name
+            ORDER BY COALESCE(total_spent, -1.0) DESC, c_custkey) AS spend_rank
+        FROM customer
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN ord ON c_custkey = ord.o_custkey
+        LEFT JOIN li ON c_custkey = li.o_custkey""",
+    "q04_window_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        RANK() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS seg_rank,
+        DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS seg_dense
+        FROM customer""",
+    "q05_star_join" ->
+      """SELECT r_name, p_brand, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, p_brand""",
+    "q06_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+        c.value AS click_value, epoch_ms(c.ts) AS click_ts_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q07_window_running" ->
+      """SELECT event_id, user_id,
+        last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+        FROM events""",
+    "q08_dedup_keys" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+          ORDER BY l_linenumber, l_quantity, l_extendedprice) = 1""",
+    "q09_fuzzy_two_stage" ->
+      """WITH s1 AS (SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+          FROM orders o LEFT JOIN customer c
+          ON (CASE WHEN o.o_orderkey % 5 <> 0 THEN o.o_custkey END) = c.c_custkey)
+        SELECT o_orderkey, o_custkey, c_name, c_nationkey FROM s1 WHERE c_name IS NOT NULL
+        UNION ALL
+        SELECT s1.o_orderkey, s1.o_custkey, c2.c_name, c2.c_nationkey
+        FROM s1 LEFT JOIN customer c2 ON (s1.o_custkey % 50) + 1 = c2.c_custkey
+        WHERE s1.c_name IS NULL""",
+    "q10_conform_schema" ->
+      """SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
+        CAST(o_orderdate AS DATE) AS o_orderdate, CAST(NULL AS VARCHAR) AS o_comment
+        FROM orders""",
+    "q11_union_reconcile" ->
+      """SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS acctbal,
+          'customer' AS src, CAST(NULL AS INTEGER) AS nationkey FROM customer
+        UNION ALL
+        SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), 'supplier',
+          CAST(s_nationkey AS INTEGER) FROM supplier""",
+    "q12_unpivot" ->
+      """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'retail' AS attr, p_retailprice AS val FROM part""",
+    "q13_explode_distinct" ->
+      """SELECT DISTINCT word FROM
+        (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) WHERE word <> ''""",
+    "q14_fixed_width" ->
+      """WITH l AS (SELECT n_regionkey, list(n_name ORDER BY n_name) AS arr
+          FROM nation GROUP BY n_regionkey)
+        SELECT n_regionkey, arr[1] AS nation_0, arr[2] AS nation_1, arr[3] AS nation_2,
+          arr[4] AS nation_3, arr[5] AS nation_4, arr[6] AS nation_5 FROM l""",
+    "q15_id_allocation" ->
+      """WITH base AS (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END AS cid,
+          c_custkey AS natural_key, c_name FROM customer),
+        mx AS (SELECT MAX(cid) AS m FROM base)
+        SELECT cid, natural_key, c_name FROM base WHERE cid IS NOT NULL
+        UNION ALL
+        SELECT m + ROW_NUMBER() OVER (ORDER BY natural_key), natural_key, c_name
+        FROM base, mx WHERE cid IS NULL""",
+    "q16_null_default" ->
+      """SELECT event_id,
+        COALESCE(CASE WHEN ts <= TIMESTAMP '2024-03-01 00:00:00' THEN value END, -1.0)
+          AS value_or_default FROM events""",
+    "q17_regex_extract" ->
+      """SELECT event_id,
+        TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k FROM events""",
+    "q18_string_funcs" ->
+      """SELECT c_custkey, lower(c_name) AS lname,
+        lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded,
+        concat_ws('|', c_mktsegment, c_name) AS joined,
+        string_split(c_name, '#')[1] AS first_token,
+        regexp_replace(c_name, 'Customer', 'CUST', 'g') AS renamed
+        FROM customer""",
+    "q19_date_funcs" ->
+      """SELECT o_orderkey,
+        EXTRACT(YEAR FROM o_orderdate) AS yr,
+        EXTRACT(MONTH FROM o_orderdate) AS mo,
+        epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+        date_diff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        FROM orders""",
+    "q20_conditional_agg" ->
+      """SELECT o_orderpriority,
+        COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+        COUNT(*) AS n_total,
+        CAST(COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS DOUBLE) / COUNT(*) AS big_frac,
+        MAX(o_totalprice) AS max_price,
+        MIN(o_totalprice) AS min_price
+        FROM orders GROUP BY o_orderpriority""",
+    "q21_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q22_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+          WHERE o_orderkey % 2 = 0),
+        upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+          'U' AS o_orderstatus FROM orders WHERE o_orderkey % 3 = 0)
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+        UNION ALL SELECT * FROM upd""",
+    "q23_scalar_minmax" ->
+      """SELECT event_id, user_id,
+        MAX(value) OVER (PARTITION BY user_id) + 1 - value AS slot,
+        value - (SELECT MIN(value) FROM events) AS rel
+        FROM events""",
+    "q24_explode_map" ->
+      """SELECT source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
+        doc_id FROM documents""",
+    "q25_struct_parse" ->
+      """SELECT event_id, substr(event_type, 1, 1) AS type_initial,
+        TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+        value > 100 AS is_big
+        FROM events""",
+    "q26_json_stringify" ->
+      """SELECT event_id, '{"event_id":' || event_id || ',"k":' || k || '}' AS js
+        FROM (SELECT event_id, TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+              FROM events) WHERE k IS NOT NULL""",
+    "q27_tumbling_window" ->
+      """SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start
+        FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "q28_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+          CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        g AS (SELECT *, sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM e)
+        SELECT event_id, user_id,
+          CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM g""")
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.mm.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (lang-id,
+  * quality, tokens, fingerprints), multimodal plumbing.
+  *
+  * Oracle replay notes: all hashing is md5-on-strings so DuckDB can replay
+  * signatures bit-for-bit; all similarity math is double-precision
+  * index-ordered sums (DuckDB list_inner_product on DOUBLE[] matches
+  * Spark's zip_with+aggregate fold bitwise — verified).
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** DuckDB SQL fragment mirroring TextOps.normalize */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB SQL: word-bigram distinct shingle rows mirroring TextOps.shingles(_, 2) */
+  private def shingleSql(extraCols: String = "") =
+    s"""(SELECT doc_id$extraCols, unnest(list_distinct(list_transform(
+       range(1, greatest(len(string_split($normSql, ' ')) - 1, 1) + 1),
+       i -> CASE WHEN i + 1 <= len(string_split($normSql, ' '))
+            THEN string_split($normSql, ' ')[i] || '_' || string_split($normSql, ' ')[i+1]
+            ELSE string_split($normSql, ' ')[i] END))) AS g FROM documents)"""
+
+  /** DuckDB SQL: double-precision cosine between two DOUBLE[] expressions */
+  private def cosSql(a: String, b: String) =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ───── exact dedup: normalized-content hash clustering
+    "x01_dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+    }),
+
+    // ───── n-gram Jaccard near-dup pairs, blocked by source (bounded self-join)
+    "x02_dedup_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 2, tau = 0.2, blockCols = Seq("source"))
+    }),
+
+    // ───── MinHash + LSH banding candidate pairs with estimated Jaccard
+    "x03_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
+    }),
+
+    // ───── SimHash near-dup pairs (16-bit, Hamming ≤ 2)
+    "x04_dedup_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+          bits = 16, maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+    }),
+
+    // ───── brute-force cosine top-k (exact ANN baseline)
+    "x05_ann_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos_sim"))
+    }),
+
+    // ───── sign-LSH bucketed ANN (the 100 TB path: equi-join replaces cross join)
+    "x06_ann_bucketed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      // anchors = first 8 vectors (deterministic, data-derived hyperplanes);
+      // bounded driver collect of 8 rows, broadcast as literals
+      val anchors = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bucketedTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+          anchors.toSeq, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos_sim"))
+    }),
+
+    // ───── embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus)
+    "x07_embed_neardup" -> ((s, d) => {
+      Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)
+    }),
+
+    // ───── language ID (stopword-profile argmax)
+    "x08_lang_id" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))
+    }),
+
+    // ───── quality scoring (length/punct/digit components)
+    "x09_quality_score" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.digitRatio(col("text")).as("digit_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // ───── token statistics (whitespace + subword cost model)
+    "x10_token_stats" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.subwordCount(col("text")).as("n_subwords"),
+        length(TextOps.normalize(col("text"))).cast("long").as("n_chars_norm"))
+    }),
+
+    // ───── document fingerprinting (md5 of normalized content)
+    "x11_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        substring(TextOps.fingerprint(col("text")), 1, 8).as("fp_prefix"))
+    }),
+
+    // ───── multimodal: binary payload metadata (no decode, column-only)
+    "x12_multimodal_meta" -> ((s, d) => {
+      Multimodal.payloadMeta(Multimodal.documentsAsAssets(t(s, d, "documents")))
+        .select(col("asset_id"), col("media_type"), col("n_bytes"), col("magic_byte"))
+    }),
+
+    // ───── multimodal: stubbed decode via mapPartitions (rows-only check —
+    // the fake decoder's byte-fold has no cheap SQL mirror)
+    "x13_multimodal_decode" -> ((s, d) => {
+      Multimodal.decodeFeatures(Multimodal.documentsAsAssets(t(s, d, "documents"))).toDF()
+    }),
+
+    // ───── rolling fingerprint (order-sensitive signature; rows-only check)
+    "x14_rolling_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("rfp"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      s"""SELECT md5($normSql) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY md5($normSql)""",
+    "x02_dedup_jaccard" ->
+      s"""WITH toks AS ${shingleSql(", source")},
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           FROM toks a JOIN toks b
+           ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+         FROM p JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2""",
+    "x03_dedup_minhash" ->
+      s"""WITH sh AS ${shingleSql()},
+         comps AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || g)) AS sig
+           FROM sh, range(0, 12) r(i) GROUP BY doc_id, i),
+         buckets AS (SELECT doc_id, i // 3 AS band,
+             md5(string_agg(sig, '|' ORDER BY i)) AS h
+           FROM comps GROUP BY doc_id, i // 3),
+         cands AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM buckets l JOIN buckets r
+           ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
+         est AS (SELECT id_a, id_b,
+             CAST(SUM(CASE WHEN ca.sig = cb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 12
+               AS est_jaccard
+           FROM cands
+           JOIN comps ca ON ca.doc_id = id_a
+           JOIN comps cb ON cb.doc_id = id_b AND ca.i = cb.i
+           GROUP BY id_a, id_b)
+         SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.25""",
+    "x04_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+           FROM documents),
+         bitsv AS (SELECT doc_id, i AS bit,
+             SUM(CASE WHEN (CAST(('0x' || substr(md5(t), CAST(i // 4 AS INT) + 1, 1)) AS INT)
+                            & (1 << CAST(i % 4 AS INT))) > 0 THEN 1 ELSE -1 END) AS vote
+           FROM toks, range(0, 16) r(i) GROUP BY doc_id, i),
+         sh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS h
+           FROM bitsv GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(bit_count(xor(a.h, b.h)) AS INT) <= 2""",
+    "x05_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sc AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+             ${cosSql("q.qv", "c.v")} AS cos
+           FROM q, c WHERE c.vec_id <> q.qid)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+         WHERE rank <= 5""",
+    "x06_ann_bucketed" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS (SELECT vec_id AS aid, v AS av FROM ev WHERE vec_id < 8),
+         coded AS (SELECT e.vec_id,
+             string_agg(CASE WHEN list_inner_product(e.v, a.av) > 0
+               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
+           FROM ev e, a GROUP BY e.vec_id),
+         sc AS (SELECT cq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             ${cosSql("q.v", "c.v")} AS cos
+           FROM coded cq
+           JOIN coded cc ON cq.bucket = cc.bucket AND cc.vec_id <> cq.vec_id
+           JOIN ev q ON q.vec_id = cq.vec_id
+           JOIN ev c ON c.vec_id = cc.vec_id
+           WHERE cq.vec_id < 8)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+         WHERE rank <= 5""",
+    "x07_embed_neardup" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
+         FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+         WHERE ${cosSql("a.v", "b.v")} >= 0.4""",
+    "x08_lang_id" -> {
+      val toksSql = s"(SELECT doc_id, unnest(string_split($normSql, ' ')) AS tk FROM documents)"
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      val sw = TextOps.stopwords
+      s"""WITH toks AS $toksSql,
+         sc AS (SELECT d.doc_id,
+             COUNT(CASE WHEN tk IN (${inList(sw("de"))}) THEN 1 END) AS s_de,
+             COUNT(CASE WHEN tk IN (${inList(sw("en"))}) THEN 1 END) AS s_en,
+             COUNT(CASE WHEN tk IN (${inList(sw("es"))}) THEN 1 END) AS s_es,
+             COUNT(CASE WHEN tk IN (${inList(sw("fr"))}) THEN 1 END) AS s_fr
+           FROM documents d LEFT JOIN toks ON d.doc_id = toks.doc_id
+           GROUP BY d.doc_id)
+         SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+         FROM sc"""
+    },
+    "x09_quality_score" -> {
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END"
+      val digit = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END"
+      s"""SELECT doc_id, $punct AS punct_ratio, $digit AS digit_ratio,
+         least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+           + (1.0 - least(($punct) * 5.0, 1.0)) * 0.3
+           + (1.0 - least(($digit) * 5.0, 1.0)) * 0.3 AS quality
+         FROM documents"""
+    },
+    "x10_token_stats" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tk
+           FROM documents),
+         sub AS (SELECT doc_id,
+             CAST(SUM(greatest(CAST(ceil(length(tk) / 4.0) AS BIGINT), 1)) AS BIGINT)
+               AS n_subwords
+           FROM toks WHERE tk <> '' GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(sub.n_subwords, 0) AS n_subwords,
+           CAST(length($normSql) AS BIGINT) AS n_chars_norm
+         FROM documents d LEFT JOIN sub ON d.doc_id = sub.doc_id""",
+    "x11_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp, substr(md5($normSql), 1, 8) AS fp_prefix
+         FROM documents""",
+    "x12_multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'text' AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        ascii(substr(text, 1, 1)) AS magic_byte
+        FROM documents"""
+    // x13_multimodal_decode, x14_rolling_fingerprint: no SQL mirror →
+    // driver records rows-only checks; covered by ScalaTest instead.
+  )
+}

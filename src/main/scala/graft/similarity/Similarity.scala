@@ -1,0 +1,107 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k of every query against the
+  *    full corpus. Correctness baseline; cost O(|Q|·|C|·dim) — only sane
+  *    when the query set is small enough to broadcast.
+  *  - [[bucketedTopK]]: sign-LSH (random-hyperplane) bucketing — vectors
+  *    agree on a b-bit sign pattern against b anchor directions; search
+  *    only within the bucket. At 100 TB this is the shape that works:
+  *    bucket assignment is a map-side projection, and the per-bucket join
+  *    shuffles (bucket, id, vec) once. Recall is tunable via multi-probe /
+  *    more tables; exactness is NOT the contract.
+  *
+  * Dot products use `zip_with` + `aggregate` over the array columns —
+  * codegen'd catalyst expressions, summed in index order (deterministic,
+  * unlike a shuffled groupBy-sum of per-element rows).
+  */
+object Similarity {
+
+  /** Deterministic index-ordered dot product of two float-array columns,
+    * computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (query set = a DataFrame
+    * with (qid, qvec); broadcast it). Ties broken by neighbor id —
+    * deterministic ranking. Self-matches excluded by id. */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col(qidCol) =!= col(idCol))
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(qvecCol), col(vecCol)).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** Sign-LSH bucket code against `anchors` (a Seq of (anchorId, vector)
+    * literals, e.g. a deterministic sample of the corpus): bit i = 1 iff
+    * dot(v, anchor_i) > 0. Returns a b-character '0'/'1' string (portable
+    * to the SQL oracle; a production variant packs to a long). */
+  def bucketCode(vec: Column, anchors: Seq[Array[Float]]): Column = {
+    val bits = anchors.map { a =>
+      val lits = array(a.map(v => lit(v.toDouble)): _*)
+      when(aggregate(zip_with(vec, lits, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v) > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN top-k restricted to the query's LSH bucket. Same output shape as
+    * bruteForceTopK; recall < 1 by design. The bucket equi-join replaces
+    * the cross join — THE scale win: each bucket is a tiny fraction of the
+    * corpus, and bucketing is embarrassingly parallel. */
+  def bucketedTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      anchors: Seq[Array[Float]], k: Int): DataFrame = {
+    val cb = corpus.select(col(idCol), col(vecCol),
+      bucketCode(col(vecCol), anchors).as("bucket"))
+    val qb = queries.select(col(qidCol), col(qvecCol),
+      bucketCode(col(qvecCol), anchors).as("qbucket"))
+    val scored = cb
+      .join(broadcast(qb),
+        col("bucket") === col("qbucket") && col(qidCol) =!= col(idCol))
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(qvecCol), col(vecCol)).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ tau, id_a < id_b.
+    * Small-data exact path is the all-pairs join; at scale, run inside
+    * LSH buckets (same bucketCode) exactly like minhash banding. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   tau: Double): DataFrame = {
+    val v = corpus.select(col(idCol), col(vecCol))
+    v.as("a").join(v.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** Streaming & incremental semantics (SURVEY §2.10).
+  *
+  * The reference is high-watermark incremental batch; here that maps to:
+  *  - [[newerThan]]: the watermark filter every incremental source applies.
+  *  - [[tumblingAgg]] / [[sessionize]]: event-time windowing. Written
+  *    against plain DataFrames so the SAME code path serves batch
+  *    (oracle-checkable) and `readStream` (Structured Streaming) inputs —
+  *    `window()` and groupBy behave identically; only sessionize's window
+  *    function needs the batch path (streaming uses session_window).
+  *  - [[streamingTumbling]]: the genuine streaming wrapper with watermark,
+  *    for the reference's reddit-style continuous pull.
+  */
+object Streams {
+
+  /** High-watermark incremental filter (reference
+    * `helpers/extract_helpers.py:7-21`, `reddit/reddit_extract.py:86-92`):
+    * only rows strictly after the watermark. Pushes down to the scan. */
+  def newerThan(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
+    df.filter(col(tsCol) > watermark)
+
+  /** Tumbling event-time aggregation. Works on batch and streaming frames
+    * alike. Output keys: window_start (epoch seconds) + group columns. */
+  def tumblingAgg(events: DataFrame, tsCol: String, width: String,
+                  groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val keys = window(col(tsCol), width).as("w") +: groupCols.map(col)
+    events.groupBy(keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", unix_timestamp(col("w.start")))
+      .drop("w")
+  }
+
+  /** Gap-based sessionization (batch path): a new session starts when the
+    * gap to the previous event of the same key exceeds `gapSeconds`.
+    * session_id = running count of session-starts — one shuffle on the key,
+    * two window passes over the same partitioning (Catalyst reuses the
+    * sort). Streaming path: `session_window(ts, gap)` gives the same
+    * grouping under watermarked state eviction. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val gap = unix_timestamp(col(tsCol)) -
+      unix_timestamp(lag(col(tsCol), 1).over(byKey))
+    events
+      .withColumn("__new_session",
+        when(gap.isNull || gap > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(
+          byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_session")
+  }
+
+  /** Structured Streaming tumbling count/sum with watermark — the
+    * reference's reddit pull re-expressed as a real stream. Caller wires
+    * the source (`spark.readStream...`) and the sink via foreachBatch
+    * (typically [[graft.ops.Upsert.merge]] for idempotent loads). */
+  def streamingTumbling(stream: DataFrame, tsCol: String, width: String,
+                        watermarkDelay: String,
+                        groupCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), width).as("w") +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** foreachBatch upsert sink: idempotent micro-batch loads into a parquet
+    * target (reference K1 semantics under streaming). */
+  def upsertEachBatch(writer: DataStreamWriter[Row], targetPath: String,
+                      keys: Seq[String]): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val target = new java.io.File(targetPath)
+      val merged =
+        if (target.exists)
+          graft.ops.Upsert.merge(spark.read.parquet(targetPath), batch, keys)
+        else batch
+      merged.write.mode("overwrite").parquet(targetPath + "_tmp")
+      spark.read.parquet(targetPath + "_tmp")
+        .write.mode("overwrite").parquet(targetPath)
+    }
+}
