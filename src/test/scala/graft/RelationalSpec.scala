@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.{Relational, Upsert}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conformTo adds missing as typed null, casts, drops extras") {
+    val df = Seq((1L, "a", 2.5)).toDF("id", "name", "junk")
+    val target = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("added", DoubleType)))
+    val out = Relational.conformTo(df, target)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "name", "added"))
+    assert(out.schema("id").dataType == IntegerType)
+    val r = out.collect().head
+    assert(r.getInt(0) == 1 && r.getString(1) == "a" && r.isNullAt(2))
+  }
+
+  test("unionByNameAll reconciles mismatched columns") {
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val b = Seq((2L, 3.0)).toDF("id", "score")
+    val u = Relational.unionByNameAll(Seq(a, b))
+    assert(u.columns.toSet == Set("id", "name", "score"))
+    assert(u.count() == 2)
+    assert(u.filter($"id" === 2 && $"name".isNull && $"score" === 3.0).count() == 1)
+  }
+
+  test("allocateIds is deterministic: max + row_number over stable key") {
+    val df = Seq(
+      (Some(10L), "c"), (None, "b"), (Some(7L), "a"), (None, "d"), (None, "a2"))
+      .toDF("id", "key")
+    val out = Relational.allocateIds(df, "id", Seq(col("key")))
+    val got = out.orderBy("key").as[(Long, String)].collect().toSeq
+    // nulls ordered by key: a2->11, b->12, d->13
+    assert(got == Seq((7L, "a"), (11L, "a2"), (12L, "b"), (10L, "c"), (13L, "d")))
+    // re-running yields identical assignment
+    val again = Relational.allocateIds(df, "id", Seq(col("key")))
+      .orderBy("key").as[(Long, String)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("dedupByKeys keeps deterministic survivor") {
+    val df = Seq((1, 2, "b"), (1, 1, "a"), (2, 5, "z")).toDF("k", "ord", "v")
+    val out = Relational.dedupByKeys(df, Seq("k"), Seq(col("ord").asc))
+      .orderBy("k").as[(Int, Int, String)].collect().toSeq
+    assert(out == Seq((1, 1, "a"), (2, 5, "z")))
+  }
+
+  test("fixedWidth pads with nulls past array end") {
+    val df = Seq((1, Seq("a", "b"))).toDF("id", "arr")
+    val out = Relational.fixedWidth(df, "arr", "v", 3)
+    val r = out.collect().head
+    assert(r.getString(1) == "a" && r.getString(2) == "b" && r.isNullAt(3))
+  }
+
+  test("fuzzyTwoStageJoin falls back to weak key") {
+    val probe = Seq((1, Some("alice"), "ali"), (2, None, "bob"))
+      .toDF("pid", "strong", "weak")
+    val dim = Seq(("alice", "ali", 100), ("bobby", "bob", 200))
+      .toDF("s_key", "w_key", "payload")
+    val out = Relational.fuzzyTwoStageJoin(
+      probe, dim,
+      strongKey = (col("strong"), col("s_key")),
+      weakKey = (col("weak"), col("w_key")),
+      pick = Seq("payload"))
+    val got = out.select("pid", "payload").orderBy("pid")
+      .as[(Int, Int)].collect().toSeq
+    assert(got == Seq((1, 100), (2, 200)))
+  }
+
+  test("upsert merge: updates win, inserts appear, idempotent") {
+    val base = Seq((1, "old"), (2, "keep")).toDF("k", "v")
+    val upd = Seq((1, "new"), (3, "ins")).toDF("k", "v")
+    val m1 = Upsert.merge(base, upd, Seq("k"))
+    val got = m1.orderBy("k").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "new"), (2, "keep"), (3, "ins")))
+    val m2 = Upsert.merge(m1, upd, Seq("k"))
+    assert(m2.orderBy("k").as[(Int, String)].collect().toSeq == got)
+  }
+
+  test("upsert merge: latest-wins inside batch under tiebreak") {
+    val base = Seq((1, 0, "old")).toDF("k", "seq", "v")
+    val upd = Seq((1, 1, "first"), (1, 2, "second")).toDF("k", "seq", "v")
+    val m = Upsert.merge(base, upd, Seq("k"), Seq(col("seq")))
+    assert(m.select("v").as[String].collect().toSeq == Seq("second"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f), Array(-1.0f, -2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("same"),
+      Similarity.cosine($"a", $"c").as("opp")).as[(Double, Double)].collect().head
+    assert(math.abs(r._1 - 1.0) < 1e-12 && math.abs(r._2 + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine desc, excludes self, breaks ties by id") {
+    val q = corpus.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, "qid", "qvec", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    // nearest to (1,0,0): 1 (cos~0.994), then 2/4 tie at 0 -> id order, 3 is -1
+    assert(out == Seq(1L, 2L, 4L))
+  }
+
+  test("bucketedTopK returns subset of brute-force candidates with same scores") {
+    val q = corpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // one hyperplane: v0 and v1 share bucket "1" (positive x), so each is
+    // the other's candidate; a second (0,1,0) anchor would isolate them
+    val anchors = Seq(Array(1.0f, 0.0f, 0.0f))
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, "qid", "qvec", 5)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val bk = Similarity.bucketedTopK(corpus, "vec_id", "embedding", q, "qid", "qvec", anchors, 5)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(bk.subsetOf(bf) && bk.nonEmpty)
+  }
+
+  test("nearDupPairs finds high-cosine pairs only, a<b") {
+    val out = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L)))
+  }
+}

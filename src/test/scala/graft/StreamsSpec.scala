@@ -1,0 +1,58 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("sessionize splits on gap, counts sessions per key") {
+    val ev = Seq(
+      (1L, "u1", ts(0)), (2L, "u1", ts(100)), (3L, "u1", ts(5000)),
+      (4L, "u2", ts(0)))
+      .toDF("event_id", "user_id", "ts")
+    val out = Streams.sessionize(ev, "user_id", "ts", gapSeconds = 1800)
+      .select("event_id", "session_id").orderBy("event_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("tumblingAgg groups into aligned windows") {
+    val ev = Seq(
+      ("a", ts(10), 1.0), ("a", ts(3590), 2.0), ("a", ts(3610), 3.0))
+      .toDF("event_type", "ts", "value")
+    val out = Streams.tumblingAgg(ev, "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n")))
+      .select("window_start", "n").orderBy("window_start")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L), (3600L, 1L)))
+  }
+
+  test("newerThan filters strictly after watermark") {
+    val ev = Seq((1L, ts(100)), (2L, ts(200))).toDF("id", "ts")
+    val out = Streams.newerThan(ev, "ts", lit(ts(100)))
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(2L))
+  }
+
+  test("streamingTumbling produces windowed counts under watermark (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.streamingTumbling(df, "ts", "1 hour", "10 minutes", Seq("event_type"))
+    val q = agg.writeStream.format("memory").queryName("st_tumbling")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts(10), "a", 1.0), (ts(20), "a", 2.0), (ts(3700), "b", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("st_tumbling")
+        .select($"event_type", $"n", $"sum_value").orderBy("event_type")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(rows == Seq(("a", 2L, 3.0), ("b", 1L, 3.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val out = Seq("  Hello,   WORLD!! 42 ").toDF("text")
+      .select(TextOps.normalize($"text")).as[String].collect().head
+    assert(out == "hello world 42")
+  }
+
+  test("shingles produce k-gram distinct set; degenerate short doc kept") {
+    val out = Seq("a b c d").toDF("text")
+      .select(TextOps.shingles($"text", 2)).as[Seq[String]].collect().head
+    assert(out == Seq("a_b", "b_c", "c_d"))
+    val short = Seq("solo").toDF("text")
+      .select(TextOps.shingles($"text", 2)).as[Seq[String]].collect().head
+    assert(short == Seq("solo"))
+  }
+
+  test("langId picks stopword-profile argmax with deterministic tiebreak") {
+    val df = Seq(
+      ("the cat and the dog", "en"),
+      ("le chat et la porte pour", "fr"),
+      ("el perro y la casa para es", "es"),
+      ("xyzzy qwerty", "und")).toDF("text", "expected")
+    val got = df.select($"expected", TextOps.langId($"text").as("got"))
+      .filter($"expected" =!= $"got").count()
+    assert(got == 0)
+  }
+
+  test("exact dedup clusters normalized variants") {
+    val docs = Seq(
+      (1L, "Hello World"), (2L, "hello,   world!"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").select("keep_id", "n_dups")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash est_jaccard ~ true jaccard for identical and disjoint docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // identical
+      (3L, "z y x w v u t s")) // disjoint
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.0)
+    val got = pairs.select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got((1L, 2L)) == 1.0) // identical docs agree on every component
+    assert(!got.contains((1L, 3L))) // disjoint docs share no band bucket
+  }
+
+  test("simhash: identical docs have hamming 0; token order ignored") {
+    val h = Seq("alpha beta gamma", "gamma beta alpha", "totally different words here")
+      .toDF("text").select(Dedup.simhash($"text", 16)).as[Long].collect().toSeq
+    assert(h(0) == h(1))
+    assert(h.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard with blocking") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c e", "s1"), (3L, "a b c d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 1, tau = 0.0,
+        blockCols = Seq("source"))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    // only (1,2) within s1: |{a,b,c}| / |{a,b,c,d,e}| = 0.6; (1,3) blocked
+    assert(out == Seq((1L, 2L, 0.6)))
+  }
+
+  test("rollingFingerprint is order-sensitive where md5 fingerprint is not") {
+    val df = Seq("alpha beta", "beta alpha").toDF("text")
+    val rolling = df.select(TextOps.rollingFingerprint($"text")).as[Long].collect().toSeq
+    assert(rolling(0) != rolling(1))
+    val sorted = df.select(TextOps.fingerprint(concat_ws(" ",
+      sort_array(TextOps.tokens($"text"))))).as[String].collect().toSeq
+    assert(sorted(0) == sorted(1))
+  }
+
+  test("quality score rewards clean text over noisy") {
+    val scores = Seq(
+      ("clean prose with reasonable length and flow and more words to fill space", "clean"),
+      ("!!!.,;;;??? 123 456 789 000 111", "noisy"))
+      .toDF("text", "tag")
+      .select($"tag", TextOps.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("clean") > scores("noisy"))
+  }
+}
