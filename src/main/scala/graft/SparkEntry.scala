@@ -13,10 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query (J1+A1+W1 multi-join/rank) on sf0.001; driver
-    * smoke-checks rows > 0. */
+  /** Flagship query — the reference's pull_agg_contestant_stats
+    * (J1+A1+W1) on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.defs("q03_agg_join_rank")(spark, "/root/testdata/sf0.001")
+    CoreQueries.defs("q29_contestant_stats")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ ExtensionQueries.defs

@@ -318,6 +318,39 @@ object CoreQueries {
     "q28_sessionize" -> ((s, d) => {
       Streams.sessionize(t(s, d, "events"), "user_id", "ts", 1800)
         .select(col("event_id"), col("user_id"), col("session_id").cast("long").as("session_id"))
+    }),
+
+    // ───── domain flagship: the reference's pull_agg_contestant_stats
+    // (helpers/db_funcs.py:4-45) end-to-end, with the survivor tables
+    // deterministically synthesized from the TPC-H-ish star schema
+    // (customer→contestant/contestant_season, orders→episode stats,
+    // lineitem→votes/immunity). All summed measures are integer-valued or
+    // quarter-valued doubles, so parallel double sums stay exact.
+    "q29_contestant_stats" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val cs = cust.select(
+        col("c_custkey").as("contestant_season_id"),
+        col("c_custkey").as("contestant_id"),
+        col("c_nationkey").cast("long").as("season_id"))
+      val c = cust.select(
+        col("c_custkey").as("contestant_id"),
+        element_at(split(col("c_name"), "#"), 1).as("first_name"),
+        col("c_mktsegment").as("last_name"))
+      val eps = t(s, d, "orders").select(
+        col("o_custkey").as("contestant_id"),
+        col("o_orderkey").as("episode_id"),
+        (col("o_orderkey") % 7).cast("double").as("number_of_days_spent_in_episode"),
+        when(col("o_orderkey") % 11 === 0, 1.0).otherwise(0.0).as("number_of_jury_votes"))
+      val li = t(s, d, "lineitem")
+      val vote = li.select(
+        (col("l_partkey") % 1500 + 1).as("contestant_id"),
+        (col("l_orderkey") % 1500 + 1).as("voted_for_id"))
+      val ic = li.select(
+        (col("l_partkey") % 1500 + 1).as("contestant_id"),
+        (col("l_linenumber") % 2).cast("double").as("team"),
+        ((col("l_partkey") % 4).cast("double") * 0.25).as("win_pct"))
+      graft.domain.ContestantStats
+        .pullAggContestantStats(eps, cs, c, vote, ic)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -485,6 +518,45 @@ object CoreQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start
         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "q29_contestant_stats" ->
+      """WITH cs AS (SELECT c_custkey AS contestant_season_id, c_custkey AS contestant_id,
+          CAST(c_nationkey AS BIGINT) AS season_id FROM customer),
+        con AS (SELECT c_custkey AS contestant_id, string_split(c_name, '#')[1] AS first_name,
+          c_mktsegment AS last_name FROM customer),
+        eps AS (SELECT o_custkey AS contestant_id, o_orderkey AS episode_id,
+          CAST(o_orderkey % 7 AS DOUBLE) AS ndays_ep,
+          CASE WHEN o_orderkey % 11 = 0 THEN 1.0 ELSE 0.0 END AS jury_ep FROM orders),
+        vt AS (SELECT (l_partkey % 1500 + 1) AS contestant_id,
+          (l_orderkey % 1500 + 1) AS voted_for_id FROM lineitem),
+        ic AS (SELECT (l_partkey % 1500 + 1) AS contestant_id,
+          CAST(l_linenumber % 2 AS DOUBLE) AS team,
+          CAST(l_partkey % 4 AS DOUBLE) * 0.25 AS win_pct FROM lineitem),
+        perc AS (SELECT contestant_id, SUM(ndays_ep) AS ndays,
+          COALESCE(SUM(jury_ep), -1.0) AS njury FROM eps GROUP BY contestant_id),
+        ranked AS (SELECT cs.contestant_season_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY cs.season_id
+            ORDER BY njury DESC NULLS LAST, ndays DESC NULLS LAST,
+              cs.contestant_season_id) AS BIGINT) AS placement
+          FROM cs LEFT JOIN perc e ON cs.contestant_season_id = e.contestant_id),
+        v AS (SELECT voted_for_id, COUNT(*) AS votes_against,
+          CAST(SUM(CASE WHEN voted_for_id = contestant_id THEN 1 ELSE 0 END) > 0
+            AS INTEGER) AS medevac_quit FROM vt GROUP BY voted_for_id),
+        icag AS (SELECT contestant_id, SUM(win_pct) AS individual_wins
+          FROM ic WHERE team = 1 GROUP BY contestant_id)
+        SELECT cs.contestant_season_id, con.first_name, con.last_name, cs.season_id,
+          SUM(eps.ndays_ep) AS days_lasted,
+          MAX(v.medevac_quit) AS quit,
+          MAX(v.medevac_quit) AS med_evac,
+          MAX(v.votes_against) AS votes_against,
+          MAX(icag.individual_wins) AS individual_wins,
+          MAX(ranked.placement) AS placement
+        FROM eps
+        LEFT JOIN cs ON cs.contestant_season_id = eps.contestant_id
+        LEFT JOIN con ON cs.contestant_id = con.contestant_id
+        LEFT JOIN v ON eps.contestant_id = v.voted_for_id
+        LEFT JOIN icag ON icag.contestant_id = eps.contestant_id
+        LEFT JOIN ranked ON ranked.contestant_season_id = eps.contestant_id
+        GROUP BY cs.contestant_season_id, con.first_name, con.last_name, cs.season_id""",
     "q28_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, ts,
           CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
