@@ -14,6 +14,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
     // The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     // Spark 4 refuses natively; read them as long nanos and floor-truncate
     // to micros — the same truncation DuckDB applies, so oracle comparisons

