@@ -77,9 +77,21 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SparkSessionExtensions hook — the supported way to install graft's
+  * native expressions cluster-wide:
+  *   spark.sql.extensions=graft.expressions.GraftExtensions
+  * (or `.withExtensions(new GraftExtensions)` on the builder). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),
+      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
+}
+
 /** Runtime registration of graft's native expressions into a session's
-  * function registry (no SparkSessionExtensions wiring needed — works on
-  * any already-built classic session; idempotent). */
+  * function registry (same effect as [[GraftExtensions]] for an
+  * already-built classic session; idempotent). */
 object GraftFunctions {
   @volatile private var registered: Set[String] = Set.empty
 

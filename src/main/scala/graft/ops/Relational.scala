@@ -94,6 +94,19 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Map-of-lists → rows (SURVEY §2.9 G1; reference `create_dict_based_df`
+    * episodes/episodes_transform.py:83-119): each (key → [values]) entry of
+    * a map column becomes one row per value. Pure built-in generators. */
+  def explodeMapOfLists(df: DataFrame, mapCol: String,
+                        keyName: String, valueName: String): DataFrame = {
+    val exploded = df.select(
+      (df.columns.filterNot(_ == mapCol).map(col) :+
+        explode(col(mapCol)).as(Seq("__k", "__vs"))): _*)
+    exploded.select(
+      (exploded.columns.filterNot(c => c == "__k" || c == "__vs").map(col) :+
+        col("__k").as(keyName) :+ explode(col("__vs")).as(valueName)): _*)
+  }
+
   /** Two-stage fuzzy match (SURVEY §2.4 J7; reference
     * `match_to_contestant_season` `episodes/episodes_transform.py:218-240`):
     * exact join on the strong key; rows that miss retry on a weaker key;

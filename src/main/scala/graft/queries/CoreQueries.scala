@@ -330,6 +330,20 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("session_id").cast("long").as("session_id"))
     }),
 
+    // ───── §2.10/S7: high-watermark incremental batch — the reference's
+    // "resume from MAX(created_dt)" pull (reddit/reddit_extract.py:86-92):
+    // the new batch is everything strictly after the stored watermark
+    // (here: the 90th-percentile-ish cutoff derived from the data itself so
+    // the query is self-contained and deterministic).
+    "q30_watermark_incremental" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val wm = ev.filter(col("event_type") === "signup")
+        .agg(max(col("ts")).as("wm"))
+      Streams.newerThan(ev.crossJoin(broadcast(wm)), "ts", col("wm"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+    }),
+
     // ───── domain flagship: the reference's pull_agg_contestant_stats
     // (helpers/db_funcs.py:4-45) end-to-end, with the survivor tables
     // deterministically synthesized from the TPC-H-ish star schema
@@ -533,6 +547,9 @@ object CoreQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start
         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "q30_watermark_incremental" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+        WHERE ts > (SELECT MAX(ts) FROM events WHERE event_type = 'signup')""",
     "q29_contestant_stats" ->
       """WITH cs AS (SELECT c_custkey AS contestant_season_id, c_custkey AS contestant_id,
           CAST(c_nationkey AS BIGINT) AS season_id FROM customer),
