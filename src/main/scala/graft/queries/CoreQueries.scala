@@ -69,13 +69,15 @@ object CoreQueries {
       val o = t(s, d, "orders")
       val ord = o.groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("total_spent"))
+        .withColumnRenamed("o_custkey", "ord_custkey")
       val li = t(s, d, "lineitem")
         .join(o.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey")).agg(dsum("l_quantity").as("total_qty"))
+        .withColumnRenamed("o_custkey", "li_custkey")
       t(s, d, "customer")
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"), "left")
-        .join(ord, col("c_custkey") === ord("o_custkey"), "left")
-        .join(li, col("c_custkey") === li("o_custkey"), "left")
+        .join(ord, col("c_custkey") === col("ord_custkey"), "left")
+        .join(li, col("c_custkey") === col("li_custkey"), "left")
         .select(col("c_custkey"), col("c_name"), col("n_name"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           coalesce(col("total_spent"), lit(-1.0)).as("total_spent"),
