@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.{AsofJoin, Relational, Upsert}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import java.sql.Timestamp
+
+/** Property tests for the engine's algebraic invariants (SURVEY §5):
+  * upsert idempotence, conformTo totality, as-of bounds. Uses plain
+  * ScalaCheck generators sampled under fixed seeds (scalatestplus isn't in
+  * the offline cache): few-but-adversarial cases — tiny key spaces force
+  * duplicate keys and timestamp ties. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val kvGen: Gen[List[(Int, Int, String)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.choose(0, 8) // small key space → frequent collisions
+      seq <- Gen.choose(0, 100)
+      v <- Gen.oneOf("a", "b", "c", "d")
+    } yield (k, seq, v))
+
+  test("upsert: idempotent, and result keys = keys(base) ∪ keys(upd)") {
+    for (seed <- 1L to 5L) {
+      val baseL = sample(kvGen, seed)
+      val updL = sample(kvGen, seed + 100)
+      val base = Relational.dedupByKeys(
+        baseL.toDF("k", "seq", "v"), Seq("k"), Seq(col("seq").desc, col("v")))
+      val upd = updL.toDF("k", "seq", "v")
+      val once = Upsert.merge(base, upd, Seq("k"), Seq(col("seq"), col("v")))
+      val twice = Upsert.merge(once, upd, Seq("k"), Seq(col("seq"), col("v")))
+      assert(once.orderBy("k", "seq", "v").collect().toSeq ==
+        twice.orderBy("k", "seq", "v").collect().toSeq, s"seed=$seed")
+      val keys = once.select("k").as[Int].collect().toSet
+      assert(keys == (baseL.map(_._1).toSet ++ updL.map(_._1).toSet), s"seed=$seed")
+    }
+  }
+
+  test("conformTo: total on any column subset — output schema always target") {
+    val target = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DoubleType)))
+    val colsGen = Gen.someOf(Seq("a", "b", "c", "d", "e"))
+    for (seed <- 1L to 8L) {
+      val cols = sample(colsGen, seed).toSeq
+      val df = spark.range(3).toDF("id")
+        .select(col("id") +: cols.map(c => lit(1).as(c)): _*)
+      val out = Relational.conformTo(df, target)
+      // nullability may tighten when a column is a non-null literal; names
+      // and types are the conformance contract
+      assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        target.fields.map(f => (f.name, f.dataType)).toSeq, s"seed=$seed cols=$cols")
+      assert(out.count() == 3)
+    }
+  }
+
+  test("asof: matched ts is the maximum build ts <= probe ts (or null)") {
+    val evGen = Gen.listOfN(25, for {
+      k <- Gen.choose(0, 2)
+      ts <- Gen.choose(0L, 50L)
+    } yield (k, ts))
+    for (seed <- 1L to 5L) {
+      val probeL = sample(evGen, seed)
+      val buildL = sample(evGen, seed + 100).distinct
+      val probe = probeL.zipWithIndex
+        .map { case ((k, s), i) => (i.toLong, k, new Timestamp(s * 1000)) }
+        .toDF("pid", "k", "ts")
+      val build = buildL
+        .map { case (k, s) => (k, new Timestamp(s * 1000), s.toDouble) }
+        .toDF("k", "ts", "bval")
+      val out = AsofJoin.asofJoin(probe, build, Seq("k"), "ts", "ts", Seq("bval"))
+        .collect().map(r => (r.getInt(1), r.getTimestamp(2).getTime / 1000,
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+      val buildMap = buildL.groupBy(_._1)
+      out.foreach { case (k, pts, got) =>
+        val candidates = buildMap.getOrElse(k, Nil).filter(_._2 <= pts)
+        val expected =
+          if (candidates.isEmpty) None else Some(candidates.map(_._2).max.toDouble)
+        assert(got == expected, s"seed=$seed key=$k probeTs=$pts")
+      }
+    }
+  }
+}

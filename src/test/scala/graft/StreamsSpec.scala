@@ -39,6 +39,25 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq(2L))
   }
 
+  test("upsertEachBatch: micro-batches merge idempotently into parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+      .toString + "/target"
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("k", "v")
+    val q = Streams.upsertEachBatch(df.writeStream, dir, Seq("k"))
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((2L, "b2"), (3L, "c")) // update + insert
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir).orderBy("k")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("streamingTumbling produces windowed counts under watermark (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
