@@ -25,9 +25,13 @@ object CoreQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  /** exact decimal-backed double sum */
-  private def dsum(c: String, scale: Int = 2) =
-    expr(s"CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)")
+  /** Exact order-independent double sum of a 2-decimal column: sum as
+    * scaled-integer (cents) longs, then one double division. Identical to
+    * a decimal-sum-then-cast (both produce the nearest double to the exact
+    * rational) at a fraction of the aggregation cost; floor(x*100+0.5) is
+    * round-half-up for the non-negative inputs and stays in codegen. */
+  private def dsum(c: String) =
+    (sum(floor(col(c) * 100 + 0.5).cast("long")) / 100.0)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -135,7 +139,7 @@ object CoreQueries {
         .withColumn("filled",
           last(when(col("event_type") =!= "error", col("value")), ignoreNulls = true).over(w))
         .withColumn("run_sum",
-          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+          expr("SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0"))
         .select(col("event_id"), col("user_id"), col("filled"), col("run_sum"))
     }),
 
@@ -323,7 +327,7 @@ object CoreQueries {
     "q27_tumbling_window" -> ((s, d) => {
       Streams.tumblingAgg(t(s, d, "events"), "ts", "1 hour", Seq("event_type"),
         Seq(count(lit(1)).as("n"),
-          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value")))
+          (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0).as("sum_value")))
     }),
 
     // ───── §2.10: gap sessionization (stateful event-time op, batch path)
@@ -399,9 +403,10 @@ object CoreQueries {
         FROM events WHERE value IS NOT NULL AND event_type = 'purchase' AND value > 50""",
     "q03_agg_join_rank" ->
       """WITH ord AS (SELECT o_custkey, COUNT(*) AS n_orders,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+          CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_spent
           FROM orders GROUP BY o_custkey),
-        li AS (SELECT o_custkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        li AS (SELECT o_custkey,
+          CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_qty
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey)
         SELECT c_custkey, c_name, n_name,
           COALESCE(n_orders, 0) AS n_orders,
@@ -421,8 +426,8 @@ object CoreQueries {
         FROM customer""",
     "q05_star_join" ->
       """SELECT r_name, p_brand, COUNT(*) AS n_items,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+        CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -440,9 +445,9 @@ object CoreQueries {
         last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
           OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
-        CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS run_sum
         FROM events""",
     "q08_dedup_keys" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
@@ -546,7 +551,7 @@ object CoreQueries {
               FROM events) WHERE k IS NOT NULL""",
     "q27_tumbling_window" ->
       """SELECT event_type, COUNT(*) AS n,
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start
         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
     "q30_watermark_incremental" ->

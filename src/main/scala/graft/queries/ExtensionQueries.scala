@@ -90,6 +90,19 @@ object ExtensionQueries {
           col("neighbor_id"), col("cos_sim"))
     }),
 
+    // ───── IVF coarse-quantized ANN, 16 data-derived centroids, 2 probes
+    "x15_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+          cent, "cid", "cvec", k = 5, probes = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos_sim"))
+    }),
+
     // ───── embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus)
     "x07_embed_neardup" -> ((s, d) => {
       Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)
@@ -213,6 +226,26 @@ object ExtensionQueries {
            JOIN ev q ON q.vec_id = cq.vec_id
            JOIN ev c ON c.vec_id = cc.vec_id
            WHERE cq.vec_id < 8)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+         WHERE rank <= 5""",
+    "x15_ann_ivf" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+         assign AS (SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+           FROM ev e, cent c),
+         cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+         qcells AS (SELECT vec_id AS qid, cid AS cell FROM assign
+           WHERE vec_id < 8 AND rn <= 2),
+         sc AS (SELECT qc.qid AS query_id, ce.vec_id AS neighbor_id,
+             ${cosSql("q.v", "c.v")} AS cos
+           FROM qcells qc
+           JOIN cells ce ON ce.cell = qc.cell AND ce.vec_id <> qc.qid
+           JOIN ev q ON q.vec_id = qc.qid
+           JOIN ev c ON c.vec_id = ce.vec_id)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim FROM
            (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cos DESC, neighbor_id) AS rank FROM sc)

@@ -121,6 +121,50 @@ object Similarity {
         col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest centroid's cell (argmax cosine, ties to the lowest centroid
+    * id); a query probes its `probes` nearest cells and ranks candidates
+    * inside them. With K√N-ish centroids each cell holds ~N/K vectors, so
+    * the per-query candidate set shrinks by K/probes — and unlike sign-LSH
+    * the cells adapt to the data distribution. Assignment is one
+    * broadcast-centroids pass over the corpus (map-side, no shuffle);
+    * candidate search is a cell equi-join. Deterministic throughout, so
+    * the DuckDB oracle replays it exactly. */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      k: Int, probes: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val cent = broadcast(centroids.select(col(cidCol), col(cvecCol))
+      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+    def assign(df: DataFrame, id: String, vec: String, n: String, keep: Int) = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__ccos").desc, col(cidCol).asc)
+      df.crossJoin(cent)
+        .withColumn("__ccos", dot(col(vec), col(cvecCol)) / (col(n) * col("__cn")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col(id), col(vec), col(n), col(cidCol).as("cell"))
+    }
+    val cells = assign(withNorm(corpus, idCol, vecCol, parts), idCol, vecCol, "__n", 1)
+    val qn = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+    val qcells = assign(qn, qidCol, qvecCol, "__qn", probes)
+    val scored = cells
+      .join(broadcast(qcells.withColumnRenamed("cell", "qcell")),
+        col("cell") === col("qcell") && col(qidCol) =!= col(idCol))
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col(qvecCol), col(vecCol)) / (col("__qn") * col("__n"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ tau, id_a < id_b.
     * Small-data exact path is the all-pairs join; at scale, run inside
     * LSH buckets (same bucketCode) exactly like minhash banding. */
