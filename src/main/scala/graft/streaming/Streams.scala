@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.Row
 
 /** Streaming & incremental semantics (SURVEY §2.10).
@@ -68,6 +68,33 @@ object Streams {
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), width).as("w") +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming exactly-once-per-key dedup via custom state
+    * (`flatMapGroupsWithState`): emits each key's row the FIRST time the
+    * key is seen across the whole stream; later occurrences are dropped.
+    * This is the streaming face of the reference's idempotent-upsert
+    * contract (K1): a re-delivered record is a no-op. State = one boolean
+    * per key. Eviction note: at production scale, bound the store by
+    * keying on (key, coarse event-time bucket) under a watermark (or an
+    * EventTimeTimeout variant) — a processing-time TTL is NOT used here
+    * because registered timeouts make the engine schedule continuous
+    * timeout-check batches even with no input. */
+  def streamingFirstSeen(stream: DataFrame, keyCol: String): Dataset[Row] = {
+    val enc = Encoders.row(stream.schema)
+    implicit val rowEnc = enc
+    implicit val strEnc = Encoders.STRING
+    implicit val boolEnc = Encoders.scalaBoolean
+    val keyed = stream.as(enc).groupByKey(r => r.getAs[Any](keyCol).toString)
+    keyed.flatMapGroupsWithState[Boolean, Row](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          rows.take(1)
+        }
+    }
+  }
 
   /** foreachBatch upsert sink: idempotent micro-batch loads into a parquet
     * target (reference K1 semantics under streaming). */

@@ -58,6 +58,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFirstSeen: custom state dedups keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val df = mem.toDF().toDF("key", "v")
+    val out = Streams.streamingFirstSeen(df, "key")
+    val q = out.writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 1), ("b", 2))
+      q.processAllAvailable()
+      mem.addData(("a", 99), ("c", 3)) // a is a redelivery, c is new
+      q.processAllAvailable()
+      val rows = spark.table("first_seen")
+        .as[(String, Int)].collect().sorted.toSeq
+      assert(rows == Seq(("a", 1), ("b", 2), ("c", 3)))
+    } finally q.stop()
+  }
+
   test("streamingTumbling produces windowed counts under watermark (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
