@@ -136,6 +136,35 @@ object ExtensionQueries {
         substring(TextOps.fingerprint(col("text")), 1, 8).as("fp_prefix"))
     }),
 
+    // ───── corpus distribution stats: exact interpolated percentiles
+    "x16_percentiles" -> ((s, d) => {
+      t(s, d, "documents").groupBy(col("source"))
+        .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"),
+          expr("percentile(n_chars, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ───── per-source top terms by tf/df (log-free tf-idf ranking —
+    // integer-ratio scores keep the oracle bit-exact)
+    "x17_top_terms" -> ((s, d) => {
+      val toks = TextOps.tokenRows(t(s, d, "documents"), "doc_id", "text", Seq("source"))
+      val tf = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("tok"))
+      tf.join(df, "tok")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn"), col("tok"), col("tf"), col("df"))
+    }),
+
+    // ───── rollup (hierarchy totals — beyond-reference OLAP completeness)
+    "x18_rollup" -> ((s, d) => {
+      t(s, d, "documents").rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ───── multimodal: binary payload metadata (no decode, column-only)
     "x12_multimodal_meta" -> ((s, d) => {
       Multimodal.payloadMeta(Multimodal.documentsAsAssets(t(s, d, "documents")))
@@ -300,6 +329,24 @@ object ExtensionQueries {
     "x11_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp, substr(md5($normSql), 1, 8) AS fp_prefix
          FROM documents""",
+    "x16_percentiles" ->
+      """SELECT source, quantile_cont(n_chars, 0.5) AS p50,
+        quantile_cont(n_chars, 0.9) AS p90, quantile_cont(n_chars, 0.99) AS p99,
+        COUNT(*) AS n FROM documents GROUP BY source""",
+    "x17_top_terms" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split($normSql, ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY source, tok),
+         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+         SELECT source, rn, tok, tf, df FROM
+           (SELECT tf.source, tf.tok, tf.tf, df.df,
+              ROW_NUMBER() OVER (PARTITION BY tf.source
+                ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok) AS rn
+            FROM tf JOIN df USING (tok))
+         WHERE rn <= 3""",
+    "x18_rollup" ->
+      """SELECT source, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP(source, lang)""",
     "x12_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'text' AS media_type,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
