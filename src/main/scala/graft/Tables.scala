@@ -27,6 +27,4 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Small dimensions that should always be broadcast in joins. */
-  val broadcastDims: Set[String] = Set("region", "nation", "supplier", "part")
 }

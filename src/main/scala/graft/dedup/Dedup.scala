@@ -45,6 +45,18 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Production-speed signature variant: xxhash64 (codegen'd, no string
+    * materialization) instead of md5. Same operator shape and banding as
+    * [[withSignature]]; NOT oracle-replayable (DuckDB's hash differs) —
+    * use wherever cross-engine replay isn't required. */
+  def withSignatureFast(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numHashes: Int): DataFrame = {
+    val sh = TextOps.shingleRows(docs, idCol, textCol, shingleK)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("g"))).as(s"sig_$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
   /** MinHash + LSH candidate pairs (a<b) with their estimated Jaccard
     * (= fraction of equal signature components). Banding: `numHashes`
     * components grouped into bands of `rowsPerBand`; docs sharing ALL

@@ -57,6 +57,16 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L))) // disjoint docs share no band bucket
   }
 
+  test("withSignatureFast: identical docs share full signature, disjoint don't") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.withSignatureFast(docs, "doc_id", "text", 2, 8)
+      .orderBy("doc_id").collect()
+    val (s1, s2, s3) = (sig(0).toSeq.tail, sig(1).toSeq.tail, sig(2).toSeq.tail)
+    assert(s1 == s2)
+    assert(s1 != s3)
+  }
+
   test("simhash: identical docs have hamming 0; token order ignored") {
     val h = Seq("alpha beta gamma", "gamma beta alpha", "totally different words here")
       .toDF("text").select(Dedup.simhash($"text", 16)).as[Long].collect().toSeq
