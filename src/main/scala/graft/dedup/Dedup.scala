@@ -106,9 +106,12 @@ object Dedup {
                         k: Int, tau: Double,
                         blockCols: Seq[String] = Nil): DataFrame = {
     val sh = TextOps.shingleRows(docs, idCol, textCol, k, blockCols)
+    // cache: the inverted index feeds BOTH sides of the self-join — without
+    // it the whole tokenize→explode→window→distinct pipeline runs twice
     val inv = sh.withColumn("n",
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .cache()
     val blockEq = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)

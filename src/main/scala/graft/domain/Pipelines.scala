@@ -68,6 +68,32 @@ object Pipelines {
       regexp_extract(name, pat, 3).as("title"))
   }
 
+  /** Wiki date-range parse (season/season_transform.py:31-37): strings
+    * like "February 12[1] – May 13, 2020" → (start, end) timestamps.
+    * The reference's pattern keeps groups 1 and 4 (footnote markers
+    * dropped) and feeds them to pandas' permissive parser; here the
+    * extracted pieces go through try_to_timestamp over the formats the
+    * wiki actually uses (a year-less start date inherits the end's year,
+    * as pandas did implicitly). */
+  def parseDateRange(text: Column): Column = {
+    val pat = "(\\w* \\w*,? ?\\w*)(\\[\\d\\])? (-|–) (\\w* \\w*,? ?\\w*)(\\[\\d\\])?"
+    val startRaw = trim(regexp_extract(text, pat, 1))
+    val endRaw = trim(regexp_extract(text, pat, 4))
+    def parse(c: Column): Column = coalesce(
+      try_to_timestamp(c, lit("MMMM d, yyyy")),
+      try_to_timestamp(c, lit("MMM d, yyyy")),
+      try_to_timestamp(c, lit("yyyy-MM-dd")))
+    val endTs = parse(endRaw)
+    val startTs = coalesce(
+      parse(startRaw),
+      // year-less start ("February 12") borrows the end date's year
+      try_to_timestamp(concat(startRaw, lit(", "), year(endTs).cast("string")),
+        lit("MMMM d, yyyy")),
+      try_to_timestamp(concat(startRaw, lit(", "), year(endTs).cast("string")),
+        lit("MMM d, yyyy")))
+    struct(startTs.as("start"), endTs.as("end"))
+  }
+
   /** Viewership text → millions ×1e8 semantics
     * (helpers/transform_helpers.py:63-70). */
   def viewership(text: Column): Column = {

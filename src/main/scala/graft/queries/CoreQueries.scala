@@ -350,6 +350,18 @@ object CoreQueries {
           unix_millis(col("ts")).as("ts_ms"))
     }),
 
+    // ───── §2.8 array-slice token surgery (reference drop-last-token
+    // `' '.join(x.split(' ')[:-1])`, contestant_extract.py:360)
+    "q31_token_slice" -> ((s, d) => {
+      val toks = split(col("p_name"), " ")
+      t(s, d, "part").select(
+        col("p_partkey"),
+        array_join(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))), " ")
+          .as("dropped_last"),
+        array_join(slice(toks, 1, 2), " ").as("first_two"),
+        size(toks).cast("long").as("n_tokens"))
+    }),
+
     // ───── domain flagship: the reference's pull_agg_contestant_stats
     // (helpers/db_funcs.py:4-45) end-to-end, with the survivor tables
     // deterministically synthesized from the TPC-H-ish star schema
@@ -557,6 +569,13 @@ object CoreQueries {
     "q30_watermark_incremental" ->
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
         WHERE ts > (SELECT MAX(ts) FROM events WHERE event_type = 'signup')""",
+    "q31_token_slice" ->
+      """SELECT p_partkey,
+        array_to_string(list_slice(string_split(p_name, ' '), 1,
+          greatest(len(string_split(p_name, ' ')) - 1, 0)), ' ') AS dropped_last,
+        array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ' ') AS first_two,
+        CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens
+        FROM part""",
     "q29_contestant_stats" ->
       """WITH cs AS (SELECT c_custkey AS contestant_season_id, c_custkey AS contestant_id,
           CAST(c_nationkey AS BIGINT) AS season_id FROM customer),

@@ -93,6 +93,20 @@ class DomainSpec extends SparkSpec {
     assert(Pipelines.conformAndUpsert(out, batch, "season").count() == 1)
   }
 
+  test("parseDateRange: wiki ranges incl. footnotes and year-less starts") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      "February 12[1] – May 13, 2020",
+      "March 1 - June 2, 2019",
+      "not a range").toDF("t")
+      .select(Pipelines.parseDateRange($"t").as("r"))
+      .select("r.start", "r.end")
+      .as[(Option[Timestamp], Option[Timestamp])].collect().toSeq
+    assert(rows(0) == ((Some(ts("2020-02-12 00:00:00")), Some(ts("2020-05-13 00:00:00")))))
+    assert(rows(1) == ((Some(ts("2019-03-01 00:00:00")), Some(ts("2019-06-02 00:00:00")))))
+    assert(rows(2) == ((None, None)))
+  }
+
   test("scalar helpers: filename parse + viewership") {
     val r = Seq("12x07_ The Merge").toDF("f")
       .select(Pipelines.parseEpisodeFileName($"f").as("p"))
