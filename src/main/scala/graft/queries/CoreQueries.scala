@@ -362,6 +362,36 @@ object CoreQueries {
         size(toks).cast("long").as("n_tokens"))
     }),
 
+    // ───── semi/anti joins: existence predicates as joins (the engine
+    // policy behind A3's "unmatched rows" and K1's anti side)
+    "q32_semi_anti" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val bigOrders = t(s, d, "orders")
+        .filter(col("o_totalprice") > 250000).select(col("o_custkey"))
+      val semi = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("tag", lit("has_big_order"))
+      val anti = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("tag", lit("no_big_order"))
+      semi.unionByName(anti)
+    }),
+
+    // ───── bucketed interval join: clicks within 1h before each purchase
+    // (attribution window; equi-join on (user, hour-bucket) + exact filter
+    // instead of a nested-loop range join)
+    "q33_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      graft.ops.RangeJoin.attributionJoin(purchases, clicks, "user_id",
+          "ts", "click_ts", lookbackSec = 3600L, payload = Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"),
+          unix_millis(col("ts")).as("purchase_ts_ms"),
+          col("click_id"), unix_millis(col("click_ts")).as("click_ts_ms"))
+    }),
+
     // ───── domain flagship: the reference's pull_agg_contestant_stats
     // (helpers/db_funcs.py:4-45) end-to-end, with the survivor tables
     // deterministically synthesized from the TPC-H-ish star schema
@@ -569,6 +599,21 @@ object CoreQueries {
     "q30_watermark_incremental" ->
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
         WHERE ts > (SELECT MAX(ts) FROM events WHERE event_type = 'signup')""",
+    "q32_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_big_order' AS tag FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        UNION ALL
+        SELECT c_custkey, c_name, 'no_big_order' AS tag FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 250000)""",
+    "q33_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, epoch_ms(p.ts) AS purchase_ts_ms,
+        c.event_id AS click_id, epoch_ms(c.ts) AS click_ts_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""",
     "q31_token_slice" ->
       """SELECT p_partkey,
         array_to_string(list_slice(string_split(p_name, ' '), 1,

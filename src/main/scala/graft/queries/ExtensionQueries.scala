@@ -165,6 +165,27 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ───── the composed curation pipeline: the "user switches their whole
+    // pipeline" demo — exact-dup representative ∧ language filter ∧
+    // quality threshold, joined to the embedding table
+    "x19_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lang = TextOps.langIdDF(docs, "doc_id", "text")
+      val qual = docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val rep = qual.withColumn("keep",
+        col("doc_id") === min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      rep.join(lang, "doc_id")
+        .join(emb, col("doc_id") === col("vec_id"))
+        .filter(col("keep") && col("lang_pred") === "en" && col("quality") >= 0.9)
+        .select(col("doc_id"), col("quality"), col("lang_pred"),
+          col("label"), col("n_tokens"))
+    }),
+
     // ───── multimodal: binary payload metadata (no decode, column-only)
     "x12_multimodal_meta" -> ((s, d) => {
       Multimodal.payloadMeta(Multimodal.documentsAsAssets(t(s, d, "documents")))
@@ -329,6 +350,40 @@ object ExtensionQueries {
     "x11_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp, substr(md5($normSql), 1, 8) AS fp_prefix
          FROM documents""",
+    "x19_curation_pipeline" -> {
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      val sw = TextOps.stopwords
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END"
+      val digit = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END"
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tk
+           FROM documents),
+         sc AS (SELECT d.doc_id,
+             COUNT(CASE WHEN tk IN (${inList(sw("de"))}) THEN 1 END) AS s_de,
+             COUNT(CASE WHEN tk IN (${inList(sw("en"))}) THEN 1 END) AS s_en,
+             COUNT(CASE WHEN tk IN (${inList(sw("es"))}) THEN 1 END) AS s_es,
+             COUNT(CASE WHEN tk IN (${inList(sw("fr"))}) THEN 1 END) AS s_fr
+           FROM documents d LEFT JOIN toks ON d.doc_id = toks.doc_id
+           GROUP BY d.doc_id),
+         lang AS (SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred FROM sc),
+         q AS (SELECT doc_id,
+             least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+               + (1.0 - least(($punct) * 5.0, 1.0)) * 0.3
+               + (1.0 - least(($digit) * 5.0, 1.0)) * 0.3 AS quality,
+             CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+             md5($normSql) AS fp
+           FROM documents),
+         rep AS (SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep FROM q)
+         SELECT rep.doc_id, quality, lang_pred, e.label, n_tokens
+         FROM rep
+         JOIN lang ON rep.doc_id = lang.doc_id
+         JOIN embeddings e ON rep.doc_id = e.vec_id
+         WHERE keep AND lang_pred = 'en' AND quality >= 0.9"""
+    },
     "x16_percentiles" ->
       """SELECT source, quantile_cont(n_chars, 0.5) AS p50,
         quantile_cont(n_chars, 0.9) AS p90, quantile_cont(n_chars, 0.99) AS p99,
