@@ -22,6 +22,13 @@ object Relational {
     */
   def conformTo(df: DataFrame, target: StructType): DataFrame = {
     val have = df.columns.toSet
+    val dropped = df.columns.filterNot(target.fieldNames.contains)
+    if (dropped.nonEmpty)
+      // dropping unknown columns is load-bearing (source fields churn) but
+      // must stay visible, as the reference logs it
+      // (helpers/transform_helpers.py:35-36)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"conformTo dropping columns not in target schema: ${dropped.mkString(", ")}")
     val cols = target.fields.map { case StructField(name, dt, _, _) =>
       if (have(name)) col(name).cast(dt).as(name)
       else lit(null).cast(dt).as(name)

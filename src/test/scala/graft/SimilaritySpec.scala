@@ -44,6 +44,30 @@ class SimilaritySpec extends SparkSpec {
     assert(bk.subsetOf(bf) && bk.nonEmpty)
   }
 
+  test("multi-probe recovers neighbors one hyperplane away") {
+    val q = corpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // two anchors isolate v0 ("10") from v1 ("11") — single-probe finds
+    // nothing, Hamming-1 probing crosses the boundary
+    val anchors = Seq(Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+    val single = Similarity.bucketedTopK(corpus, "vec_id", "embedding",
+      q, "qid", "qvec", anchors, 5)
+    assert(single.count() == 0)
+    val multi = Similarity.bucketedTopK(corpus, "vec_id", "embedding",
+      q, "qid", "qvec", anchors, 5, probeFlips = 1)
+    val got = multi.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)) && got.contains((1L, 0L)))
+    // still a subset of brute force with identical scores
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      q, "qid", "qvec", 5)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val mp = multi.select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mp.subsetOf(bf))
+  }
+
   test("nearDupPairs finds high-cosine pairs only, a<b") {
     val out = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
