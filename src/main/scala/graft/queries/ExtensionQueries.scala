@@ -186,6 +186,49 @@ object ExtensionQueries {
           col("label"), col("n_tokens"))
     }),
 
+    // ───── one Lloyd's iteration: per-cell per-dimension centroid means
+    // (assignment from the x15 coarse quantizer; means via index-ordered
+    // folds so the oracle replays bit-for-bit)
+    "x20_kmeans_step" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.assignCells(emb, "vec_id", "embedding", cent, "cid", "cvec")
+        .select(col("vec_id"), col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(
+          (aggregate(
+            transform(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+              x => x.getField("v").cast("double")),
+            lit(0.0), (acc, v) => acc + v) / count(lit(1))).as("mean"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("dim").cast("long").as("dim"),
+          col("mean"), col("n"))
+    }),
+
+    // ───── deterministic hash-based train/val split (portable md5 buckets)
+    "x21_hash_split" -> ((s, d) => {
+      val h = md5(concat(lit("doc_"), col("doc_id")))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        substring(h, 1, 2).as("hash_bucket"),
+        when(substring(h, 1, 2) < "1a", "val").otherwise("train").as("split"))
+    }),
+
+    // ───── context packing: cumulative subword budget → 4096-token bins
+    // (the document-concatenation step of a pretraining data pipeline)
+    "x22_token_packing" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))
+        .withColumn("cum_subwords", sum(col("n_subwords")).over(w))
+        .withColumn("bin",
+          floor((col("cum_subwords") - col("n_subwords")) / 4096.0).cast("long"))
+    }),
+
     // ───── multimodal: binary payload metadata (no decode, column-only)
     "x12_multimodal_meta" -> ((s, d) => {
       Multimodal.payloadMeta(Multimodal.documentsAsAssets(t(s, d, "documents")))
@@ -384,6 +427,40 @@ object ExtensionQueries {
          JOIN embeddings e ON rep.doc_id = e.vec_id
          WHERE keep AND lang_pred = 'en' AND quality >= 0.9"""
     },
+    "x20_kmeans_step" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+         assign AS (SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+           FROM ev e, cent c),
+         cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+         dims AS (SELECT ce.cell, r.i AS dim, e.vec_id, e.v[CAST(r.i AS INT) + 1] AS val
+           FROM cells ce JOIN ev e ON ce.vec_id = e.vec_id,
+           range(0, 64) r(i))
+         SELECT cell, CAST(dim AS BIGINT) AS dim,
+           list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mean,
+           COUNT(*) AS n
+         FROM dims GROUP BY cell, dim""",
+    "x21_hash_split" ->
+      """SELECT doc_id, substr(md5('doc_' || doc_id), 1, 2) AS hash_bucket,
+        CASE WHEN substr(md5('doc_' || doc_id), 1, 2) < '1a'
+          THEN 'val' ELSE 'train' END AS split
+        FROM documents""",
+    "x22_token_packing" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tk
+           FROM documents),
+         sub AS (SELECT d.doc_id, COALESCE(CAST(SUM(greatest(
+             CAST(ceil(length(tk) / 4.0) AS BIGINT), 1)) AS BIGINT), 0) AS n_subwords
+           FROM documents d LEFT JOIN toks ON d.doc_id = toks.doc_id AND tk <> ''
+           GROUP BY d.doc_id),
+         c AS (SELECT doc_id, n_subwords,
+           CAST(SUM(n_subwords) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_subwords FROM sub)
+         SELECT doc_id, n_subwords, cum_subwords,
+           CAST(floor((cum_subwords - n_subwords) / 4096.0) AS BIGINT) AS bin
+         FROM c""",
     "x16_percentiles" ->
       """SELECT source, quantile_cont(n_chars, 0.5) AS p50,
         quantile_cont(n_chars, 0.9) AS p90, quantile_cont(n_chars, 0.99) AS p99,

@@ -141,6 +141,25 @@ object Similarity {
         col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Coarse-quantizer cell assignment: each vector → nearest centroid by
+    * cosine (ties to the lowest centroid id). One broadcast pass; also the
+    * assignment half of a Lloyd's/k-means iteration. */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val cent = broadcast(centroids.select(col(cidCol), col(cvecCol))
+      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+    val c = withNorm(corpus, idCol, vecCol, parts)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__ccos").desc, col(cidCol).asc)
+    c.crossJoin(cent)
+      .withColumn("__ccos", dot(col(vecCol), col(cvecCol)) / (col("__n") * col("__cn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col(cidCol).as("cell"))
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its
     * nearest centroid's cell (argmax cosine, ties to the lowest centroid
     * id); a query probes its `probes` nearest cells and ranks candidates
