@@ -13,10 +13,12 @@ flags = [a for a in sys.argv[3:]]
 skip_verify = "--skip-verify" in flags
 only = [a for a in flags if not a.startswith("--")]
 
+repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 if not skip_verify:
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
-        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+        cwd=repo_root, capture_output=True, text=True, timeout=1800)
     sys.stdout.write("\n".join(l for l in r.stdout.splitlines()
                                if "[verify]" in l or "error" in l.lower()) + "\n")
     if r.returncode != 0:
