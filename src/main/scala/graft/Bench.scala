@@ -39,7 +39,11 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // drop caches the warmup populated (minhash/jaccard pin their
+    // signature frames) so timed passes measure full computation
+    spark.catalog.clearCache()
     val p1 = timedPass().toMap
+    spark.catalog.clearCache()
     val results = timedPass().map { case (k, v) => k -> math.min(v, p1(k)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

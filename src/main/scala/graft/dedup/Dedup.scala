@@ -69,6 +69,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 12,
                       rowsPerBand: Int = 3, tau: Double = 0.5): DataFrame = {
+    // NOTE cache lifecycle: the signature frame feeds three plan branches
+    // (banding + both verification sides); the cache entry lives until the
+    // caller's session drops it (spark.catalog.clearCache() / unpersist) —
+    // long-running services should treat that as caller-managed state
     val signed = withSignature(docs, idCol, textCol, shingleK, numHashes).cache()
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>

@@ -52,14 +52,19 @@ class Runner(spark: SparkSession, storeDir: String) {
     merged.write.mode("overwrite").parquet(tmp)
     merged.unpersist()
     val target = new java.io.File(path(table))
+    def renameOrFail(from: java.io.File, to: java.io.File): Unit =
+      if (!from.renameTo(to))
+        throw new java.io.IOException(s"swap failed: $from -> $to " +
+          "(cross-device move or open handles); stored table left unchanged")
     if (target.exists()) {
       val old = new java.io.File(path(table) + "__old")
       deleteRec(old)
-      target.renameTo(old)
-      new java.io.File(tmp).renameTo(target)
+      renameOrFail(target, old)
+      try renameOrFail(new java.io.File(tmp), target)
+      catch { case e: Throwable => renameOrFail(old, target); throw e }
       deleteRec(old)
     } else {
-      new java.io.File(tmp).renameTo(target)
+      renameOrFail(new java.io.File(tmp), target)
     }
     n
   }

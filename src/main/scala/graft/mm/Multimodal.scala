@@ -38,8 +38,10 @@ object Multimodal {
       col("asset_id"),
       col("media_type"),
       length(col("payload")).cast("long").as("n_bytes"),
-      // first payload byte as unsigned int (format sniffing stand-in)
-      ascii(substring(col("payload").cast("string"), 1, 1)).as("magic_byte"),
+      // first RAW byte as unsigned int — going through a string cast would
+      // UTF-8-decode and collapse any non-ASCII lead byte (0xFF JPEG,
+      // 0x89 PNG, …) to U+FFFD, breaking format sniffing
+      conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int").as("magic_byte"),
       crc32(col("payload")).as("payload_crc"))
 
   /** Decoded feature record produced per asset. In a real deployment

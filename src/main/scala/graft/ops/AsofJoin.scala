@@ -51,12 +51,14 @@ object AsofJoin {
       .select(
         (probeCols.map(col) :+ col("__ts") :+ col("__side") :+
           lit(null).cast(bTagged.schema("__b").dataType).as("__b")) ++
-          tbCols.map(c => lit(null).cast("string").as(c)): _*)
+          // null placeholders keep the tiebreaks' ORIGINAL types — casting
+          // to string would make numeric tiebreaks order lexicographically
+          tbCols.map(c => lit(null).cast(bTagged.schema(c).dataType).as(c)): _*)
     val bSide = bTagged
       .select(
         (probeCols.map(c => if (keys.contains(c)) col(c) else lit(null).cast(probe.schema(c).dataType).as(c)) :+
           col("__ts") :+ col("__side") :+ col("__b")) ++
-          tbCols.map(c => col(c).cast("string").as(c)): _*)
+          tbCols.map(col): _*)
 
     val ordering: Seq[Column] =
       (col("__ts").asc +: col("__side").asc +: tbCols.map(c => col(c).asc))

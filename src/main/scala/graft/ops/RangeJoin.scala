@@ -28,12 +28,13 @@ object RangeJoin {
     require(lookbackSec > 0 && bucketSec > 0)
     require(buildTs != probeTs,
       "rename the build timestamp column so it differs from the probe's")
-    val nBuckets = (lookbackSec / bucketSec).toInt + 1
+    // a [p−Δ, p] window reaches back at most ⌈Δ/bucket⌉ buckets
+    val reach = ((lookbackSec + bucketSec - 1) / bucketSec).toInt
     val pBucket = floor(unix_micros(col(probeTs)) / (bucketSec * 1000000L))
     val bBucket = floor(unix_micros(col(buildTs)) / (bucketSec * 1000000L))
     // probe fans out to every bucket its window can reach
     val p = probe.withColumn("__pbk",
-      explode(array((0 to nBuckets).map(i => pBucket - i): _*)))
+      explode(array((0 to reach).map(i => pBucket - i): _*)))
     val b = build
       .select((key +: buildTs +: payload).distinct.map(col): _*)
       .withColumn("__bbk", bBucket)

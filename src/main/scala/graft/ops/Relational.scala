@@ -126,10 +126,13 @@ object Relational {
       strongKey: (Column, Column),
       weakKey: (Column, Column),
       pick: Seq[String]): DataFrame = {
-    val dimStrong = broadcast(dim.select((pick.map(col) :+ strongKey._2.as("__k1")): _*))
+    // explicit match marker — testing pick.head for null would misroute a
+    // genuine match whose picked column is legitimately null
+    val dimStrong = broadcast(dim.select(
+      (pick.map(col) :+ strongKey._2.as("__k1") :+ lit(true).as("__hit")): _*))
     val s1 = probe.join(dimStrong, strongKey._1 === col("__k1"), "left").drop("__k1")
-    val hit = s1.filter(col(pick.head).isNotNull)
-    val miss = s1.filter(col(pick.head).isNull).drop(pick: _*)
+    val hit = s1.filter(col("__hit")).drop("__hit")
+    val miss = s1.filter(col("__hit").isNull).drop("__hit").drop(pick: _*)
     val dimWeak = broadcast(dim.select((pick.map(col) :+ weakKey._2.as("__k2")): _*))
     val s2 = miss.join(dimWeak, weakKey._1 === col("__k2"), "left").drop("__k2")
     hit.unionByName(s2.select(hit.columns.map(col).toSeq: _*))

@@ -24,6 +24,11 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    // right/full outer would emit one unmatched copy of a small-side row
+    // PER REPLICA — only join types that never output unmatched small rows
+    // preserve unsalted semantics
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val salted = big.withColumn("__salt",
       pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",

@@ -31,7 +31,15 @@ object Upsert {
       updates: DataFrame,
       keys: Seq[String],
       updateTiebreak: Seq[Column] = Nil): DataFrame = {
-    val tb = if (updateTiebreak.nonEmpty) updateTiebreak else keys.map(col)
+    // default tiebreak = every non-key column: with duplicate keys in the
+    // batch the survivor must still be a deterministic function of the row
+    // multiset, or replays stop being no-ops (keys alone tie on every row)
+    val tb =
+      if (updateTiebreak.nonEmpty) updateTiebreak
+      else updates.columns.filterNot(keys.contains).map(col).toSeq match {
+        case Nil => keys.map(col)
+        case nonKey => nonKey
+      }
     // latest-wins dedup inside the batch, deterministic
     val upd = Relational.dedupByKeys(updates, keys, tb.map(_.desc))
     val kept = current.join(upd.select(keys.map(col): _*), keys, "left_anti")

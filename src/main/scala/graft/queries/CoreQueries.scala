@@ -123,9 +123,11 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("value").as("click_value"),
-          unix_millis(col("ts")).as("click_ts_ms"))
+          unix_millis(col("ts")).as("click_ts_ms"),
+          col("event_id").as("click_eid"))
       AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
-          Seq("click_value", "click_ts_ms"))
+          Seq("click_value", "click_ts_ms"),
+          buildTiebreak = Seq(col("click_eid")))
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
           col("click_value"), col("click_ts_ms"))
     }),

@@ -97,12 +97,16 @@ object TextOps {
     val scores = langs.map(l =>
       count(when(col("tok").isInCollection(stopwords(l)), 1)).as(s"s_$l"))
     val grouped = tr.groupBy(col(idCol)).agg(scores.head, scores.tail: _*)
-    val m = greatest(langs.map(l => col(s"s_$l")): _*)
+    // left-join back from the full doc set: a null/empty text produces
+    // ZERO token rows and would silently vanish from the grouped side —
+    // it must come back as 'und', matching the Column-form langId
+    val m = greatest(langs.map(l => coalesce(col(s"s_$l"), lit(0L))): _*)
     val pick = langs.foldRight(lit(langs.last)) { (l, rest) =>
-      when(col(s"s_$l") === m, lit(l)).otherwise(rest)
+      when(coalesce(col(s"s_$l"), lit(0L)) === m, lit(l)).otherwise(rest)
     }
-    grouped.select(col(idCol),
-      when(m === 0, lit("und")).otherwise(pick).as("lang_pred"))
+    docs.select(col(idCol)).join(grouped, Seq(idCol), "left")
+      .select(col(idCol),
+        when(m === 0, lit("und")).otherwise(pick).as("lang_pred"))
   }
 
   /** Stopword-profile language ID (SURVEY §7.1 step 7 extension).

@@ -29,6 +29,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Seq(Some(1.0)))
   }
 
+  test("asofJoin numeric tiebreak orders numerically, not lexicographically") {
+    val probe = Seq((1L, "u", ts(100))).toDF("pid", "k", "ts")
+    // seq 9 vs 10 at the same ts: latest under numeric order is 10
+    // (a string-ordered tiebreak would pick 9, since "10" < "9")
+    val build = Seq(("u", ts(100), 9L, 90.0), ("u", ts(100), 10L, 100.0))
+      .toDF("k", "ts", "seq", "v")
+    val out = AsofJoin.asofJoin(probe, build, Seq("k"), "ts", "ts", Seq("v"),
+        buildTiebreak = Seq(org.apache.spark.sql.functions.col("seq")))
+      .select("v").as[Double].collect().toSeq
+    assert(out == Seq(100.0))
+  }
+
   test("asofJoin invariant on events data: matched ts <= probe ts") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val p = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")

@@ -72,6 +72,39 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1, 100), (2, 200)))
   }
 
+  test("fuzzyTwoStageJoin: strong match with null picked value is NOT retried") {
+    val probe = Seq((1, "alice", "zz")).toDF("pid", "strong", "weak")
+    val dim = Seq((Option.empty[String], 7, "alice", "zz"), (Some("wrong"), 8, "nobody", "zz"))
+      .toDF("payload", "extra", "s_key", "w_key")
+    val out = Relational.fuzzyTwoStageJoin(
+      probe, dim,
+      strongKey = (col("strong"), col("s_key")),
+      weakKey = (col("weak"), col("w_key")),
+      pick = Seq("payload", "extra"))
+    // the strong match (payload=null, extra=7) must win; a null-based hit
+    // test would fall through to the weak key and attach ("wrong", 8)
+    val got = out.select("payload", "extra").as[(Option[String], Int)].collect().toSeq
+    assert(got == Seq((None, 7)))
+  }
+
+  test("upsert merge: default tiebreak is deterministic with duplicate batch keys") {
+    val base = Seq((1, "x", 0)).toDF("k", "v", "seq")
+    val upd = Seq((1, "a", 5), (1, "b", 3)).toDF("k", "v", "seq")
+    val expected = Upsert.merge(base, upd, Seq("k"))
+      .as[(Int, String, Int)].collect().toSeq
+    // survivor is a pure function of the row multiset: repeat runs agree,
+    // and replaying the batch is a no-op
+    (1 to 3).foreach { _ =>
+      val again = Upsert.merge(base, upd, Seq("k"))
+        .as[(Int, String, Int)].collect().toSeq
+      assert(again == expected)
+    }
+    val replay = Upsert.merge(
+      Upsert.merge(base, upd, Seq("k")), upd, Seq("k"))
+      .as[(Int, String, Int)].collect().toSeq
+    assert(replay == expected)
+  }
+
   test("upsert merge: updates win, inserts appear, idempotent") {
     val base = Seq((1, "old"), (2, "keep")).toDF("k", "v")
     val upd = Seq((1, "new"), (3, "ins")).toDF("k", "v")
