@@ -81,6 +81,18 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling plumbing: one row per sampled frame index (every
+    * `stride`-th frame of each decoded asset, first frame always). The
+    * downstream contract of a video pipeline — (asset, frame_idx) rows that
+    * a decode stage fills with pixels — expressed as a pure generator, so
+    * the fan-out happens engine-side and partitions freely. */
+  def sampleFrames(features: Dataset[AssetFeatures], stride: Int): DataFrame = {
+    require(stride > 0)
+    features.toDF().select(
+      col("asset_id"), col("media_type"), col("n_frames"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+  }
+
   /** Adapt the synthetic `documents` table into an asset table (text bytes
     * as payload) — the test-harness source for the multimodal path. */
   def documentsAsAssets(docs: DataFrame): DataFrame =

@@ -23,6 +23,17 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(f => f.width >= 1 && f.width <= 640 && f.n_frames == 1))
   }
 
+  test("sampleFrames emits strided frame indexes per asset") {
+    import org.apache.spark.sql.functions.col
+    val feats = Seq(
+      Multimodal.AssetFeatures(1L, "video", 100, 100, 7, 0.5),
+      Multimodal.AssetFeatures(2L, "image", 100, 100, 1, 0.5))
+      .toDS()
+    val out = Multimodal.sampleFrames(feats, stride = 3)
+      .select("asset_id", "frame_idx").as[(Long, Int)].collect().toSet
+    assert(out == Set((1L, 0), (1L, 3), (1L, 6), (2L, 0)))
+  }
+
   test("fakeDecode matches direct computation") {
     val payload = "hello".getBytes("UTF-8")
     val f = Multimodal.fakeDecode(7L, "video", payload)
