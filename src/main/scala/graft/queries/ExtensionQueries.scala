@@ -229,6 +229,28 @@ object ExtensionQueries {
           floor((col("cum_subwords") - col("n_subwords")) / 4096.0).cast("long"))
     }),
 
+    // ───── deterministic stratified sample: top-5 per source in
+    // md5-shuffled order (portable pseudo-random, replayable anywhere)
+    "x23_stratified_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("s_"), col("doc_id"))), col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("rn"), col("doc_id"))
+    }),
+
+    // ───── relative (distribution-aware) filtering: docs longer than
+    // their source's median — the "keep the upper half" curation rule
+    "x24_relative_filter" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      t(s, d, "documents")
+        .withColumn("src_median", expr("percentile(n_chars, 0.5)")
+          .over(w))
+        .filter(col("n_chars") > col("src_median"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("src_median"))
+    }),
+
     // ───── multimodal: binary payload metadata (no decode, column-only)
     "x12_multimodal_meta" -> ((s, d) => {
       Multimodal.payloadMeta(Multimodal.documentsAsAssets(t(s, d, "documents")))
@@ -427,6 +449,17 @@ object ExtensionQueries {
          JOIN embeddings e ON rep.doc_id = e.vec_id
          WHERE keep AND lang_pred = 'en' AND quality >= 0.9"""
     },
+    "x23_stratified_sample" ->
+      """SELECT source, rn, doc_id FROM
+        (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5('s_' || doc_id), doc_id) AS rn FROM documents)
+        WHERE rn <= 5""",
+    "x24_relative_filter" ->
+      """SELECT doc_id, source, n_chars, src_median FROM
+        (SELECT doc_id, source, n_chars,
+           quantile_cont(n_chars, 0.5) OVER (PARTITION BY source) AS src_median
+         FROM documents)
+        WHERE n_chars > src_median""",
     "x20_kmeans_step" ->
       s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
