@@ -170,6 +170,48 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Connected components over a near-duplicate pair list: each node gets
+    * the minimum id reachable from it — the cluster label that turns
+    * pairwise similarity into dedup groups (keep min-id per cluster, drop
+    * the rest).
+    *
+    * Algorithm: iterative min-label propagation — per round, every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in graph-diameter rounds (near-dup clusters are shallow; for
+    * pathological chain graphs switch to large-star/small-star). Each
+    * round is one join + one aggregate — all set-based, driver only checks
+    * the convergence counter. Deterministic: min is order-independent.
+    * Input: (id_a, id_b) pairs; output: (id, cluster). */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.as("e")
+        .join(labels.as("l"), col("e.b") === col("l.id"))
+        .groupBy(col("e.a").as("nid")).agg(min(col("l.cluster")).as("nl"))
+      val updated = labels
+        .join(neighborMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
+        .cache()
+      updated.count() // materialize before comparing
+      changed = updated.as("u")
+        .join(labels.withColumnRenamed("cluster", "old").as("o"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash near-dup pairs: docs whose simhash values differ by ≤
     * `maxHamming` bits. Small-data path = self-join on bit_count of xor;
     * scale path = LSH over bit-bands of the simhash (join on exact match of

@@ -251,6 +251,22 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("n_chars"), col("src_median"))
     }),
 
+    // ───── dedup completion: near-dup pairs → connected-component clusters
+    "x25_dedup_clusters" -> ((s, d) => {
+      val pairs = Similarity.nearDupPairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", tau = 0.4)
+      graft.dedup.Dedup.connectedComponents(pairs)
+    }),
+
+    // ───── PII scrubbing (emails/URLs/digit runs → placeholders);
+    // md5 of the scrubbed text keeps the comparison compact
+    "x26_pii_scrub" -> ((s, d) => {
+      val scrubbed = TextOps.scrubPii(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        md5(scrubbed).as("scrubbed_md5"),
+        (scrubbed =!= col("text")).as("changed"))
+    }),
+
     // ───── multimodal: binary payload metadata (no decode, column-only)
     "x12_multimodal_meta" -> ((s, d) => {
       Multimodal.payloadMeta(Multimodal.documentsAsAssets(t(s, d, "documents")))
@@ -449,6 +465,29 @@ object ExtensionQueries {
          JOIN embeddings e ON rep.doc_id = e.vec_id
          WHERE keep AND lang_pred = 'en' AND quality >= 0.9"""
     },
+    "x25_dedup_clusters" ->
+      s"""WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+           FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+           WHERE ${cosSql("a.v", "b.v")} >= 0.4),
+         sym AS (SELECT ia AS a, ib AS b FROM pr
+           UNION ALL SELECT ib, ia FROM pr),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b)
+         SELECT a AS id, least(a, MIN(b)) AS cluster FROM reach GROUP BY a""",
+    "x26_pii_scrub" ->
+      """SELECT doc_id,
+        md5(regexp_replace(regexp_replace(regexp_replace(text,
+          'https?://[^ ]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{4,}', '<NUM>', 'g')) AS scrubbed_md5,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          'https?://[^ ]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{4,}', '<NUM>', 'g') <> text AS changed
+        FROM documents""",
     "x23_stratified_sample" ->
       """SELECT source, rn, doc_id FROM
         (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source

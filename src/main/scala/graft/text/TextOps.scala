@@ -167,6 +167,18 @@ object TextOps {
     lenScore * 0.4 + punct * 0.3 + digit * 0.3
   }
 
+  /** PII / boilerplate scrubbing for training corpora: emails, URLs and
+    * long digit runs become placeholder tokens. Applied in rule order
+    * (URLs first so their digits don't half-match). Patterns kept in the
+    * regex subset Java and RE2 agree on, so the oracle replays exactly. */
+  def scrubPii(text: Column): Column = {
+    val rules = Seq(
+      "https?://[^ ]+" -> "<URL>",
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+      "[0-9]{4,}" -> "<NUM>")
+    rules.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+  }
+
   /** Content fingerprint = md5 of the normalized text: exact-dup clustering
     * key that survives whitespace/case/punctuation noise. */
   def fingerprint(text: Column): Column =

@@ -94,6 +94,20 @@ class TextDedupSpec extends SparkSpec {
     assert(sorted(0) == sorted(1))
   }
 
+  test("connectedComponents: chain graph collapses to one cluster, islands stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (7L, 7L), (8L, 7L)))
+  }
+
+  test("scrubPii replaces emails, urls, digit runs in order") {
+    val out = Seq("mail me at bob@example.com or see https://ex.co/a?id=12345 code 987654")
+      .toDF("text").select(TextOps.scrubPii($"text")).as[String].collect().head
+    assert(out == "mail me at <EMAIL> or see <URL> code <NUM>")
+  }
+
   test("quality score rewards clean text over noisy") {
     val scores = Seq(
       ("clean prose with reasonable length and flow and more words to fill space", "clean"),
