@@ -209,6 +209,14 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still moving) — the graph has a longer diameter " +
+          "than expected; raise maxIter or switch to star contraction")
+    // NOTE cache lifecycle: the returned frame stays cached (recomputing it
+    // would replay the whole iteration); callers own the unpersist, as with
+    // minhashLshPairs.
     labels
   }
 

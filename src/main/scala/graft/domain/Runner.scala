@@ -54,18 +54,31 @@ class Runner(spark: SparkSession, storeDir: String) {
     val target = new java.io.File(path(table))
     def renameOrFail(from: java.io.File, to: java.io.File): Unit =
       if (!from.renameTo(to))
-        throw new java.io.IOException(s"swap failed: $from -> $to " +
-          "(cross-device move or open handles); stored table left unchanged")
-    if (target.exists()) {
-      val old = new java.io.File(path(table) + "__old")
-      deleteRec(old)
-      renameOrFail(target, old)
-      try renameOrFail(new java.io.File(tmp), target)
-      catch { case e: Throwable => renameOrFail(old, target); throw e }
-      deleteRec(old)
-    } else {
-      renameOrFail(new java.io.File(tmp), target)
-    }
+        throw new java.io.IOException(
+          s"swap failed: $from -> $to (cross-device move or open handles)")
+    try {
+      if (target.exists()) {
+        val old = new java.io.File(path(table) + "__old")
+        deleteRec(old)
+        renameOrFail(target, old)
+        try renameOrFail(new java.io.File(tmp), target)
+        catch {
+          case e: Throwable =>
+            // restore; if even that fails, surface BOTH failures and where
+            // the data now lives
+            try renameOrFail(old, target)
+            catch {
+              case e2: Throwable =>
+                e.addSuppressed(new java.io.IOException(
+                  s"restore also failed — previous table data is at $old", e2))
+            }
+            throw e
+        }
+        deleteRec(old)
+      } else {
+        renameOrFail(new java.io.File(tmp), target)
+      }
+    } finally deleteRec(new java.io.File(tmp))
     n
   }
 

@@ -88,9 +88,12 @@ object Multimodal {
     * the fan-out happens engine-side and partitions freely. */
   def sampleFrames(features: Dataset[AssetFeatures], stride: Int): DataFrame = {
     require(stride > 0)
+    // zero-frame assets (corrupt/empty media) emit no rows: a null array
+    // is dropped by explode, where sequence(0, -1) would throw
     features.toDF().select(
       col("asset_id"), col("media_type"), col("n_frames"),
-      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      explode(when(col("n_frames") > 0,
+        sequence(lit(0), col("n_frames") - 1, lit(stride)))).as("frame_idx"))
   }
 
   /** Adapt the synthetic `documents` table into an asset table (text bytes

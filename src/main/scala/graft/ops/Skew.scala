@@ -26,9 +26,12 @@ object Skew {
     require(saltBuckets > 0)
     // right/full outer would emit one unmatched copy of a small-side row
     // PER REPLICA — only join types that never output unmatched small rows
-    // preserve unsalted semantics
-    require(Set("inner", "left", "left_outer", "leftouter")(joinType.toLowerCase),
-      s"saltedJoin supports inner/left joins only, got $joinType")
+    // preserve unsalted semantics (semi/anti qualify: they emit big-side
+    // rows only)
+    require(Set("inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")(
+        joinType.toLowerCase),
+      s"saltedJoin preserves semantics only for inner/left/semi/anti joins, got $joinType")
     val salted = big.withColumn("__salt",
       pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",

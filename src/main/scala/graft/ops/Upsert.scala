@@ -36,9 +36,15 @@ object Upsert {
     // multiset, or replays stop being no-ops (keys alone tie on every row)
     val tb =
       if (updateTiebreak.nonEmpty) updateTiebreak
-      else updates.columns.filterNot(keys.contains).map(col).toSeq match {
-        case Nil => keys.map(col)
-        case nonKey => nonKey
+      else {
+        // maps are unorderable — skip them (and fall back to keys when
+        // nothing orderable remains; duplicate keys then need an explicit
+        // tiebreak for determinism)
+        val orderable = updates.schema.fields
+          .filterNot(f => keys.contains(f.name))
+          .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .map(f => col(f.name)).toSeq
+        if (orderable.nonEmpty) orderable else keys.map(col)
       }
     // latest-wins dedup inside the batch, deterministic
     val upd = Relational.dedupByKeys(updates, keys, tb.map(_.desc))

@@ -480,11 +480,11 @@ object ExtensionQueries {
     "x26_pii_scrub" ->
       """SELECT doc_id,
         md5(regexp_replace(regexp_replace(regexp_replace(text,
-          'https?://[^ ]+', '<URL>', 'g'),
+          'https?://[^\s]+', '<URL>', 'g'),
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           '[0-9]{4,}', '<NUM>', 'g')) AS scrubbed_md5,
         regexp_replace(regexp_replace(regexp_replace(text,
-          'https?://[^ ]+', '<URL>', 'g'),
+          'https?://[^\s]+', '<URL>', 'g'),
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           '[0-9]{4,}', '<NUM>', 'g') <> text AS changed
         FROM documents""",

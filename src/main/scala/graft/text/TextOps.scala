@@ -173,7 +173,9 @@ object TextOps {
     * regex subset Java and RE2 agree on, so the oracle replays exactly. */
   def scrubPii(text: Column): Column = {
     val rules = Seq(
-      "https?://[^ ]+" -> "<URL>",
+      "https?://[^\\s]+" -> "<URL>", // bounded by ALL whitespace — [^ ]
+                                     // would swallow the next line
+
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
       "[0-9]{4,}" -> "<NUM>")
     rules.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }

@@ -54,7 +54,6 @@ class IntegrationSpec extends SparkSpec {
         "speaker")
       .withColumn("season_id", lit(1L))
       .withColumn("episode_id", lit(100L))
-      .withColumnRenamed("content", "content")
     r.upsert("confessional", parsed)
     assert(r.state("confessional").count() == 2)
     assert(r.state("confessional").schema == Schemas.of("confessional"))

@@ -102,10 +102,13 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (7L, 7L), (8L, 7L)))
   }
 
-  test("scrubPii replaces emails, urls, digit runs in order") {
+  test("scrubPii replaces emails, urls, digit runs; URL stops at newline") {
     val out = Seq("mail me at bob@example.com or see https://ex.co/a?id=12345 code 987654")
       .toDF("text").select(TextOps.scrubPii($"text")).as[String].collect().head
     assert(out == "mail me at <EMAIL> or see <URL> code <NUM>")
+    val nl = Seq("see https://ex.co\nImportant line").toDF("text")
+      .select(TextOps.scrubPii($"text")).as[String].collect().head
+    assert(nl == "see <URL>\nImportant line")
   }
 
   test("quality score rewards clean text over noisy") {
