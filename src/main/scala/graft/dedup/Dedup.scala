@@ -184,31 +184,40 @@ object Dedup {
     * Input: (id_a, id_b) pairs; output: (id, cluster). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache) each round: the loop references `labels`
+    // three times per iteration, so without LINEAGE truncation the logical
+    // plan grows 3^rounds and analysis alone OOMs — the standard iterative-
+    // algorithm discipline on Spark
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
+      .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val neighborMin = edges.as("e")
+      // one round = neighbor-min step + pointer jump (label of label) —
+      // effective propagation distance grows geometrically, so rounds are
+      // O(log diameter) instead of O(diameter); one action per round
+      val nm = edges.as("e")
         .join(labels.as("l"), col("e.b") === col("l.id"))
         .groupBy(col("e.a").as("nid")).agg(min(col("l.cluster")).as("nl"))
-      val updated = labels
-        .join(neighborMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
-        .cache()
-      updated.count() // materialize before comparing
-      changed = updated.as("u")
-        .join(labels.withColumnRenamed("cluster", "old").as("o"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
+      val stepped = labels
+        .join(nm, col("id") === col("nid"), "left")
+        .select(col("id"), col("cluster").as("old"),
+          least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("c1"))
+      val jumped = stepped.as("s")
+        .join(labels.select(col("id").as("jid"), col("cluster").as("jc")).as("j"),
+          col("s.c1") === col("j.jid"), "left")
+        .select(col("s.id").as("id"),
+          least(col("s.c1"), coalesce(col("j.jc"), col("s.c1"))).as("cluster"),
+          (least(col("s.c1"), coalesce(col("j.jc"), col("s.c1"))) =!= col("s.old"))
+            .as("moved"))
+        .localCheckpoint()
+      changed = jumped.filter(col("moved")).count()
+      labels = jumped.drop("moved")
       i += 1
     }
-    edges.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
