@@ -31,24 +31,30 @@ object Bench {
     }
     // Two timed passes, report the per-query minimum — single-shot times
     // on a shared box vary ±30%; min-of-2 is the standard stabilizer.
+    // A query that throws reports the -1 sentinel (and is excluded from the
+    // total) instead of folding its abort time into a silently-faster sum.
     def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // drop caches the warmup populated (minhash/jaccard pin their
     // signature frames) so timed passes measure full computation
     spark.catalog.clearCache()
     val p1 = timedPass().toMap
     spark.catalog.clearCache()
-    val results = timedPass().map { case (k, v) => k -> math.min(v, p1(k)) }
+    val results = timedPass().map { case (k, v) =>
+      k -> (if (v < 0 || p1(k) < 0) -1.0 else math.min(v, p1(k)))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

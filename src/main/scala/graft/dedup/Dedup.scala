@@ -73,6 +73,9 @@ object Dedup {
     // (banding + both verification sides); the cache entry lives until the
     // caller's session drops it (spark.catalog.clearCache() / unpersist) —
     // long-running services should treat that as caller-managed state
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
+        "trailing signature components would be silently excluded from banding")
     val signed = withSignature(docs, idCol, textCol, shingleK, numHashes).cache()
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
@@ -229,10 +232,10 @@ object Dedup {
     labels
   }
 
-  /** SimHash near-dup pairs: docs whose simhash values differ by ≤
-    * `maxHamming` bits. Small-data path = self-join on bit_count of xor;
-    * scale path = LSH over bit-bands of the simhash (join on exact match of
-    * any band), same as minhash banding. */
+  /** SimHash near-dup pairs, ALL-PAIRS baseline: self-join on bit_count of
+    * xor. Quadratic — kept ONLY as the cross-check baseline for
+    * [[simhashPairsBanded]] (which produces the identical output at banded
+    * cost); never run this standalone at scale. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 16, maxHamming: Int = 2): DataFrame = {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
@@ -240,6 +243,50 @@ object Dedup {
     h.as("a").join(h.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs, SCALE path: LSH over exact-match bit-bands of
+    * the simhash. The `bits`-bit value splits into `numBands` contiguous
+    * bands; two docs become a candidate pair iff some band matches exactly,
+    * and candidates are then verified by full Hamming distance.
+    *
+    * EXACT recall, not approximate: a pair within Hamming ≤ maxHamming has
+    * at most `maxHamming` differing bits, which can dirty at most
+    * `maxHamming` bands — with maxHamming < numBands, at least one band is
+    * untouched and matches exactly (pigeonhole). So the output is
+    * IDENTICAL to [[simhashPairs]] (same oracle), while the join shuffles
+    * only (band, band-bits, id, sh) rows and each bucket's self-join is
+    * bounded by bucket population, not corpus size. At 100 TB: ~corpus/2^bandBits
+    * docs per bucket on average; widen bands (more bits per band) to thin
+    * buckets, or salt pathological buckets.
+    */
+  def simhashPairsBanded(docs: DataFrame, idCol: String, textCol: String,
+                         bits: Int = 16, maxHamming: Int = 2,
+                         numBands: Int = 4): DataFrame = {
+    require(bits % numBands == 0,
+      s"bits ($bits) must divide evenly into numBands ($numBands)")
+    require(maxHamming < numBands,
+      s"exact recall needs maxHamming ($maxHamming) < numBands ($numBands)")
+    val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    val h = simhashDF(docs, idCol, textCol, bits)
+    val bandCols = (0 until numBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("bb")))
+    // carry sh through the join: the Hamming verify then needs no second
+    // pass over the signature frame
+    val buckets = h.select(col(idCol), col("sh"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("sh"), col("bk.band"), col("bk.bb"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.sh").as("__sa"), col("b.sh").as("__sb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -114,6 +114,42 @@ object Relational {
         col("__k").as(keyName) :+ explode(col("__vs")).as(valueName)): _*)
   }
 
+  /** Distributed running total over a global ordering — the two-level
+    * prefix-sum that replaces an unpartitioned `Window.orderBy` (which
+    * funnels the whole dataset through ONE task and is serial by
+    * construction).
+    *
+    * Level 1: rows shuffle on a coarse range key (`orderCol / rangeSize`)
+    * and cumulate within each range — fully parallel windows. Level 2:
+    * per-range totals (one row per range) get each range's starting offset;
+    * offsets broadcast back onto the level-1 rows. The offset step runs as
+    * a broadcast triangular join over the TOTALS frame, so no stage in the
+    * plan has a single-partition exchange.
+    *
+    * Output = input columns + `outCol` (the inclusive running sum in
+    * `orderCol` order). Scale: choose rangeSize so #ranges stays
+    * broadcast-small (e.g. 1e6 rows/range → 1e5 range rows at 1e11 rows);
+    * the triangular join is #ranges² pairs spread over the cluster — for
+    * truly huge range counts, recurse (prefix-sum the totals frame).
+    * `orderCol` must be numeric and unique (a doc id / sequence number). */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                outCol: String, rangeSize: Long): DataFrame = {
+    require(rangeSize > 0)
+    val base = df.withColumn("__rng", floor(col(orderCol) / rangeSize).cast("long"))
+    val wIn = Window.partitionBy(col("__rng")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__local", sum(col(valueCol)).over(wIn))
+    val totals = base.groupBy(col("__rng")).agg(sum(col(valueCol)).as("__tot"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.select(col("__rng").as("__brng"), col("__tot").as("__btot"))),
+        col("__brng") < col("a.__rng"), "left")
+      .groupBy(col("a.__rng").as("__rng"))
+      .agg(coalesce(sum(col("__btot")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), Seq("__rng"))
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop("__rng", "__local", "__off")
+  }
+
   /** Two-stage fuzzy match (SURVEY §2.4 J7; reference
     * `match_to_contestant_season` `episodes/episodes_transform.py:218-240`):
     * exact join on the strong key; rows that miss retry on a weaker key;

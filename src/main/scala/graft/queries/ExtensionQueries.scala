@@ -38,6 +38,28 @@ object ExtensionQueries {
   private def cosSql(a: String, b: String) =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
+  /** DuckDB CTE chain mirroring Similarity.nearDupPairsBanded over the
+    * embeddings table (anchors = vec_id < 8, 4 tables × 2 bits, cosine ≥
+    * tau): ends with a `pairs(id_a, id_b, cos)` relation. */
+  private def bandedPairsSql(tau: Double) =
+    s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       anch AS (SELECT vec_id AS aid, v AS av FROM ev WHERE vec_id < 8),
+       coded AS (SELECT e.vec_id,
+           string_agg(CASE WHEN list_inner_product(e.v, anch.av) > 0
+             THEN '1' ELSE '0' END, '' ORDER BY anch.aid) AS code
+         FROM ev e, anch GROUP BY e.vec_id),
+       buckets AS (SELECT vec_id, tb,
+           substr(code, CAST(tb * 2 + 1 AS INT), 2) AS tc
+         FROM coded, range(0, 4) r(tb)),
+       cands AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM buckets x JOIN buckets y
+         ON x.tb = y.tb AND x.tc = y.tc AND x.vec_id < y.vec_id),
+       pairs AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
+         FROM cands
+         JOIN ev ea ON ea.vec_id = id_a
+         JOIN ev eb ON eb.vec_id = id_b
+         WHERE ${cosSql("ea.v", "eb.v")} >= $tau)"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ───── exact dedup: normalized-content hash clustering
@@ -57,10 +79,12 @@ object ExtensionQueries {
         shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
     }),
 
-    // ───── SimHash near-dup pairs (16-bit, Hamming ≤ 2)
+    // ───── SimHash near-dup pairs (16-bit, Hamming ≤ 2): bit-band LSH
+    // path — identical output to the all-pairs baseline (maxHamming <
+    // numBands ⇒ exact recall, see simhashPairsBanded), banded-join cost
     "x04_dedup_simhash" -> ((s, d) => {
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-          bits = 16, maxHamming = 2)
+      Dedup.simhashPairsBanded(t(s, d, "documents"), "doc_id", "text",
+          bits = 16, maxHamming = 2, numBands = 4)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
     }),
 
@@ -103,9 +127,17 @@ object ExtensionQueries {
           col("neighbor_id"), col("cos_sim"))
     }),
 
-    // ───── embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus)
+    // ───── embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus):
+    // multi-table sign-LSH candidates (4 tables × 2 bits from 8
+    // data-derived anchors) + exact cosine verify — the bucketed scale path;
+    // the all-pairs form survives only as the recall baseline in tests
     "x07_embed_neardup" -> ((s, d) => {
-      Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)
+      val emb = t(s, d, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      Similarity.nearDupPairsBanded(emb, "vec_id", "embedding", tau = 0.4,
+        anchors = anchors.toSeq, bitsPerTable = 2)
     }),
 
     // ───── language ID (stopword-profile argmax, one-tokenization row form)
@@ -216,15 +248,15 @@ object ExtensionQueries {
     }),
 
     // ───── context packing: cumulative subword budget → 4096-token bins
-    // (the document-concatenation step of a pretraining data pipeline)
+    // (the document-concatenation step of a pretraining data pipeline).
+    // The running sum is the two-level distributed prefix-sum — per-range
+    // windows + broadcast offsets — NOT a global unpartitioned window
+    // (which would funnel the whole corpus through one task)
     "x22_token_packing" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      t(s, d, "documents")
+      val base = t(s, d, "documents")
         .select(col("doc_id"), TextOps.subwordCount(col("text")).as("n_subwords"))
-        .withColumn("cum_subwords", sum(col("n_subwords")).over(w))
+      graft.ops.Relational.prefixSum(base, "doc_id", "n_subwords",
+          "cum_subwords", rangeSize = 64L)
         .withColumn("bin",
           floor((col("cum_subwords") - col("n_subwords")) / 4096.0).cast("long"))
     }),
@@ -251,10 +283,17 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("n_chars"), col("src_median"))
     }),
 
-    // ───── dedup completion: near-dup pairs → connected-component clusters
+    // ───── dedup completion: near-dup pairs → connected-component clusters.
+    // Pair generation is the LSH-bucketed path (same candidates as x07) —
+    // the production recipe: banded candidates feed CC, never an all-pairs
+    // join
     "x25_dedup_clusters" -> ((s, d) => {
-      val pairs = Similarity.nearDupPairs(t(s, d, "embeddings"),
-        "vec_id", "embedding", tau = 0.4)
+      val emb = t(s, d, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val pairs = Similarity.nearDupPairsBanded(emb, "vec_id", "embedding",
+        tau = 0.4, anchors = anchors.toSeq, bitsPerTable = 2)
       graft.dedup.Dedup.connectedComponents(pairs)
     }),
 
@@ -382,11 +421,8 @@ object ExtensionQueries {
               ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
          WHERE rank <= 5""",
     "x07_embed_neardup" ->
-      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(${cosSql("a.v", "b.v")}, 4) AS cos_sim
-         FROM ev a JOIN ev b ON a.vec_id < b.vec_id
-         WHERE ${cosSql("a.v", "b.v")} >= 0.4""",
+      s"""WITH ${bandedPairsSql(0.4)}
+         SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM pairs""",
     "x08_lang_id" -> {
       val toksSql = s"(SELECT doc_id, unnest(string_split($normSql, ' ')) AS tk FROM documents)"
       def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
@@ -466,12 +502,9 @@ object ExtensionQueries {
          WHERE keep AND lang_pred = 'en' AND quality >= 0.9"""
     },
     "x25_dedup_clusters" ->
-      s"""WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
-           FROM ev a JOIN ev b ON a.vec_id < b.vec_id
-           WHERE ${cosSql("a.v", "b.v")} >= 0.4),
-         sym AS (SELECT ia AS a, ib AS b FROM pr
-           UNION ALL SELECT ib, ia FROM pr),
+      s"""WITH RECURSIVE ${bandedPairsSql(0.4)},
+         sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
          reach(a, b) AS (
            SELECT a, b FROM sym
            UNION
@@ -554,9 +587,33 @@ object ExtensionQueries {
     "x12_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'text' AS media_type,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        ascii(substr(text, 1, 1)) AS magic_byte
-        FROM documents"""
-    // x13_multimodal_decode, x14_rolling_fingerprint: no SQL mirror →
-    // driver records rows-only checks; covered by ScalaTest instead.
-  )
+        CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+             ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT)
+        END AS magic_byte
+        FROM documents""",
+    // x13: the stub decoder is a pure fold over payload bytes (sum of
+    // unsigned octets), which DuckDB CAN replay: hex the UTF-8 bytes and
+    // list_sum the hex pairs — a full value oracle for the decode plumbing
+    "x13_multimodal_decode" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+         s AS (SELECT doc_id, n,
+           COALESCE(CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
+             i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
+             AS BIGINT), 0) AS bsum FROM b)
+         SELECT doc_id AS asset_id, 'text' AS media_type,
+           CAST(bsum % 640 + 1 AS INT) AS width,
+           CAST(n % 480 + 1 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames,
+           CAST(bsum % 1000 AS DOUBLE) / 1000.0 AS feature_norm
+         FROM s""",
+    // x14: the rolling fold is engine-portable (md5-prefix token hashes,
+    // base-31 modular polynomial) — list_reduce replays it exactly
+    "x14_rolling_fingerprint" ->
+      s"""SELECT doc_id,
+         list_reduce([CAST(7 AS BIGINT)] || list_transform(
+             string_split($normSql, ' '),
+             t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
+           (a, b) -> (a * 31 + b) % 2147483647) AS rfp
+         FROM documents""")
 }

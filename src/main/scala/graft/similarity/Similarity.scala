@@ -204,9 +204,9 @@ object Similarity {
         col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ tau, id_a < id_b.
-    * Small-data exact path is the all-pairs join; at scale, run inside
-    * LSH buckets (same bucketCode) exactly like minhash banding. */
+  /** Embedding near-duplicate pairs, ALL-PAIRS baseline: exact recall,
+    * quadratic cost. Kept as the recall reference for
+    * [[nearDupPairsBanded]] in tests; never run standalone at scale. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    tau: Double): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
@@ -216,6 +216,50 @@ object Similarity {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         (dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
           (col("a.__n") * col("b.__n"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs, SCALE path: multi-table sign-LSH.
+    * The `anchors` hyperplanes split into tables of `bitsPerTable` bits;
+    * two vectors become a candidate pair iff they agree on EVERY bit of
+    * some table (same banding scheme as MinHash LSH), and candidates are
+    * verified by exact cosine ≥ tau.
+    *
+    * Candidate generation shuffles only (table, table-code, id) triples
+    * and each bucket's self-join is bounded by bucket population — the
+    * vectors themselves are only touched in the per-candidate verify join.
+    * Recall < 1 by construction (a near-dup pair disagreeing on ≥1 bit of
+    * every table is missed); tune via more/narrower tables. Per-table match
+    * probability for angle θ is (1 − θ/π)^bitsPerTable; any-of-L tables
+    * compounds it. Fully deterministic → the DuckDB oracle replays it. */
+  def nearDupPairsBanded(corpus: DataFrame, idCol: String, vecCol: String,
+                         tau: Double, anchors: Seq[Array[Float]],
+                         bitsPerTable: Int = 2): DataFrame = {
+    require(anchors.nonEmpty && anchors.length % bitsPerTable == 0,
+      s"anchors (${anchors.length}) must divide evenly into tables of $bitsPerTable bits")
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val numTables = anchors.length / bitsPerTable
+    val v = withNorm(corpus, idCol, vecCol, parts)
+    val coded = v.withColumn("__code", bucketCode(col(vecCol), anchors))
+    val tableCols = (0 until numTables).map(tb =>
+      struct(lit(tb).as("tb"),
+        substring(col("__code"), tb * bitsPerTable + 1, bitsPerTable).as("tc")))
+    val buckets = coded.select(col(idCol), explode(array(tableCols: _*)).as("k"))
+      .select(col(idCol), col("k.tb"), col("k.tc"))
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.tb") === col("b.tb") && col("a.tc") === col("b.tc") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cands
+      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        col("__n").as("__na")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        col("__n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cos"))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
   }

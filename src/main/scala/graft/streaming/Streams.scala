@@ -44,8 +44,11 @@ object Streams {
     * sort). Streaming path: `session_window(ts, gap)` gives the same
     * grouping under watermarked state eviction. */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
-                 gapSeconds: Long): DataFrame = {
-    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+                 gapSeconds: Long, tiebreak: Seq[Column] = Nil): DataFrame = {
+    // the window order must be TOTAL: duplicate (key, ts) rows would make
+    // session assignment engine-dependent — callers pass a unique column
+    // (e.g. the event id) as tiebreak
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol) +: tiebreak: _*)
     val gap = unix_timestamp(col(tsCol)) -
       unix_timestamp(lag(col(tsCol), 1).over(byKey))
     events

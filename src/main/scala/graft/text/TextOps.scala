@@ -187,17 +187,19 @@ object TextOps {
     md5(normalize(text))
 
   /** Rolling polynomial fingerprint (Rabin-Karp style, base 31 mod the
-    * Mersenne prime 2^31-1 — headroom-safe under ANSI long arithmetic)
-    * over normalized tokens — a cheap order-sensitive signature used where
-    * md5 of the whole text is too strict (e.g. windowed chunk fingerprints).
-    * Built-ins only: aggregate over the token array.
-    * NOTE: not oracle-checkable (DuckDB lacks the same fold) — covered by
-    * unit tests instead. */
+    * Mersenne prime 2^31-1) over normalized tokens — a cheap
+    * order-sensitive signature used where md5 of the whole text is too
+    * strict (e.g. windowed chunk fingerprints). The per-token hash is the
+    * first 8 hex digits of md5 (engine-portable, so the DuckDB oracle
+    * replays the fold exactly via list_reduce). ANSI-safe headroom:
+    * acc < 2^31, so acc*31 + tokenHash < 2^37 — no long overflow.
+    * The lambda only hashes the already-materialized token — the tokenizer
+    * itself runs once, outside the fold. */
   def rollingFingerprint(text: Column): Column = {
-    val mod = lit(2147483647L) // 2^31-1; acc*31 + crc32 < 2^38, no overflow
+    val mod = lit(2147483647L) // 2^31-1
     aggregate(
       tokens(text),
       lit(7L),
-      (acc, t) => pmod(acc * 31 + crc32(t.cast("binary")), mod))
+      (acc, t) => pmod(acc * 31 + conv(substring(md5(t), 1, 8), 16, 10).cast("long"), mod))
   }
 }

@@ -73,4 +73,19 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(out == Seq((0L, 1L)))
   }
+
+  test("nearDupPairsBanded: subset of all-pairs with identical scores; finds co-bucketed dups") {
+    // 2 anchors = 1 table of 2 bits: v0=(1,0,0) and v1=(0.9,0.1,0) both
+    // code "10" against the x/z hyperplanes, so the banded path must
+    // surface their pair with the same cosine the all-pairs join computes
+    // (a y-axis anchor would separate them: dot(v1, ŷ)=0.1 > 0)
+    val anchors = Seq(Array(1.0f, 0.0f, 0.0f), Array(0.0f, 0.0f, 1.0f))
+    val banded = Similarity.nearDupPairsBanded(corpus, "vec_id", "embedding",
+        tau = 0.9, anchors = anchors, bitsPerTable = 2)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val allPairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(banded.subsetOf(allPairs))
+    assert(banded.map(p => (p._1, p._2)) == Set((0L, 1L)))
+  }
 }

@@ -94,6 +94,37 @@ class TextDedupSpec extends SparkSpec {
     assert(sorted(0) == sorted(1))
   }
 
+  test("simhashPairsBanded equals the all-pairs baseline (exact recall by pigeonhole)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "completely unrelated content about databases and query engines"),
+      (5L, "the quick brown fox jumps over the lazy dog"),
+      (6L, "yet another distinct document with its own vocabulary entirely"))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val allPairs = norm(Dedup.simhashPairs(docs, "doc_id", "text", 16, 4)
+      .select($"id_a", $"id_b", $"hamming".cast("int")))
+    val banded = norm(Dedup.simhashPairsBanded(docs, "doc_id", "text", 16, 4, 8)
+      .select($"id_a", $"id_b", $"hamming".cast("int")))
+    assert(banded == allPairs)
+    assert(allPairs.nonEmpty) // the near-identical docs must actually pair up
+  }
+
+  test("prefixSum matches a global running-sum window") {
+    val df = (0L until 100L).map(i => (i, i % 7 + 1)).toDF("k", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expected = df.withColumn("cum", sum($"v").over(w))
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    val got = graft.ops.Relational.prefixSum(df, "k", "v", "cum", rangeSize = 16L)
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("connectedComponents: chain graph collapses to one cluster, islands stay apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
       .toDF("id_a", "id_b")
