@@ -132,6 +132,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard for a GIVEN candidate pair list — the verification
+    * stage that makes LSH candidates exact. Unlike [[ngramJaccardPairs]]
+    * (which self-joins the whole inverted index), this only touches the
+    * shingle rows of candidate ids: cost is O(candidates × shingles/doc),
+    * linear in the LSH output. Pairs sharing zero shingles simply drop out
+    * (their Jaccard is 0 — below any meaningful threshold).
+    * Input pairs: (id_a, id_b); output: (id_a, id_b, jaccard). */
+  def jaccardForPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, pairs: DataFrame): DataFrame = {
+    val sh = TextOps.shingleRows(docs, idCol, textCol, k).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sh.select(col(idCol).as("id_a"), col("g")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+  }
+
+  /** The production text-dedup recipe end-to-end: MinHash-LSH candidate
+    * generation → exact Jaccard verification → connected-component
+    * clusters. Every stage is the scale-safe form — banded candidate
+    * joins, candidate-only verification, pointer-jumping CC — composed
+    * exactly as they would run over 100 TB. */
+  def lshDedupClusters(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 2, numHashes: Int = 12,
+                       rowsPerBand: Int = 3, candTau: Double = 0.25,
+                       jaccardTau: Double = 0.2): DataFrame = {
+    val cands = minhashLshPairs(docs, idCol, textCol, shingleK, numHashes,
+      rowsPerBand, candTau).select(col("id_a"), col("id_b"))
+    val verified = jaccardForPairs(docs, idCol, textCol, shingleK, cands)
+      .filter(col("jaccard") >= jaccardTau)
+    connectedComponents(verified)
+  }
+
   /** SimHash (16-bit default, md5-derived) of the token multiset, as a
     * DataFrame op: one md5 per token occurrence, hex digits parsed once,
     * then per-bit ±1 votes aggregate per document; bit b = 1 iff vote > 0.

@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   *     construction). This is what `MERGE INTO` computes, expressed as a
   *     plan so it can be tested and oracle-checked.
   *
-  *  2. For real sinks: parquet/lakehouse targets rewrite via
-  *     `merge(current, updates, keys).write`; JDBC targets should write the
-  *     updates batch to a temp table and issue the reference's
-  *     `ON CONFLICT` statement driver-side (no per-row round trips).
+  *  2. [[viaTempTable]] — the real-sink face: stage the updates batch into
+  *     a temp table (one bulk write), then issue ONE driver-side
+  *     `INSERT … ON CONFLICT (keys) DO UPDATE` statement — the reference's
+  *     load path with the O(rows) per-row round trips replaced by a single
+  *     set statement. The [[UpsertSink]] seam separates the statement
+  *     generation (pure, tested) from the transport (JDBC in production,
+  *     a parquet-backed fake in tests). Parquet/lakehouse targets instead
+  *     rewrite via `merge(current, updates, keys).write` (Runner.upsert).
   *
   * Scale: one shuffle of each side on the key columns; the anti-join and
   * the union reuse the same hash partitioning. Idempotent by construction:
@@ -50,5 +54,63 @@ object Upsert {
     val upd = Relational.dedupByKeys(updates, keys, tb.map(_.desc))
     val kept = current.join(upd.select(keys.map(col): _*), keys, "left_anti")
     kept.unionByName(upd.select(current.columns.map(col).toSeq: _*))
+  }
+
+  /** Transport seam for [[viaTempTable]]: production = [[JdbcUpsertSink]];
+    * tests use a parquet-backed fake that interprets the statement's
+    * semantics via [[merge]] and captures the generated SQL. */
+  trait UpsertSink {
+    /** Bulk-stage the updates batch into `tempTable`, replacing it. */
+    def stage(updates: DataFrame, tempTable: String): Unit
+    /** Run one driver-side SQL statement against the target database. */
+    def execute(sql: String): Unit
+  }
+
+  /** JDBC transport: `df.write.jdbc` batch-inserts the staging table
+    * (executor-parallel, batched statements — not per-row round trips),
+    * then the upsert statement runs once on a driver connection.
+    * (reference `helpers/load_helpers.py:4-39` — temp table + ON CONFLICT). */
+  final class JdbcUpsertSink(jdbcUrl: String,
+                             props: java.util.Properties = new java.util.Properties)
+      extends UpsertSink {
+    def stage(updates: DataFrame, tempTable: String): Unit =
+      updates.write.mode("overwrite").jdbc(jdbcUrl, tempTable, props)
+    def execute(sql: String): Unit = {
+      val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
+      try {
+        val st = conn.createStatement()
+        try { st.execute(sql); () } finally st.close()
+      } finally conn.close()
+    }
+  }
+
+  /** The reference's upsert statement (`load_helpers.py:21-35`): insert the
+    * whole staging table, updates win on key conflict. Pure function so the
+    * generated SQL is directly testable. */
+  def upsertStatement(table: String, tempTable: String,
+                      cols: Seq[String], keys: Seq[String]): String = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(keys.forall(cols.contains),
+      s"keys ${keys.filterNot(cols.contains).mkString(",")} not in columns")
+    val collist = cols.mkString(", ")
+    val updates = cols.filterNot(keys.contains)
+    val action =
+      if (updates.isEmpty) "DO NOTHING" // key-only table: conflict = no-op
+      else "DO UPDATE SET " + updates.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"INSERT INTO $table ($collist) SELECT $collist FROM $tempTable " +
+      s"ON CONFLICT (${keys.mkString(", ")}) $action"
+  }
+
+  /** Temp-table upsert through a sink: ONE bulk stage + ONE set-based
+    * statement. Idempotent by the statement's semantics (re-running the
+    * same batch re-applies identical updates). Returns the generated SQL
+    * (for logging/audit). */
+  def viaTempTable(updates: DataFrame, sink: UpsertSink, table: String,
+                   keys: Seq[String]): String = {
+    val tempTable = table + "_staging"
+    sink.stage(updates, tempTable)
+    val sql = upsertStatement(table, tempTable, updates.columns.toSeq, keys)
+    sink.execute(sql)
+    sql
   }
 }

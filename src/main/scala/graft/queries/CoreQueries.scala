@@ -33,7 +33,47 @@ object CoreQueries {
   private def dsum(c: String) =
     (sum(floor(col(c) * 100 + 0.5).cast("long")) / 100.0)
 
+  /** The versioned name-map dataset — the engine-policy form of the
+    * reference's 1,272-entry contestant name map
+    * (data/interim/truedorks_contestant_namemap.yaml): canonical names live
+    * as DATA (data/namemap.csv), not code. This in-code copy is what the
+    * DuckDB oracle inlines; ExtractSpec asserts the CSV asset matches it
+    * entry-for-entry, so asset drift fails CI rather than silently
+    * diverging from the oracle. */
+  val nameMapEntries: Seq[(String, String)] = Seq(
+    "c1" -> "jon dalton", "c7" -> "rupert boneham", "c13" -> "parvati shallow",
+    "c17" -> "cirie fields", "c19" -> "ozzy lusth", "c23" -> "sandra diaz-twine",
+    "c29" -> "tony vlachos", "c31" -> "rob mariano", "c37" -> "amber brkich",
+    "c41" -> "tom westman", "c43" -> "yul kwon", "c47" -> "todd herzog",
+    "c53" -> "bob crowley", "c59" -> "natalie white", "c61" -> "fabio birza",
+    "c67" -> "kim spradlin", "c71" -> "denise stapley", "c73" -> "john cochran",
+    "c79" -> "tyson apostol", "c83" -> "natalie anderson", "c89" -> "mike holloway",
+    "c97" -> "michele fitzgerald", "c101" -> "adam klein", "c103" -> "sarah lacina",
+    "c107" -> "ben driebergen", "c109" -> "wendell holland", "c113" -> "nick wilson",
+    "c127" -> "chris underwood", "c131" -> "tommy sheehan", "c137" -> "erika casupanan",
+    "c139" -> "maryanne oketch", "c149" -> "mike gabler", "c151" -> "dee valladares",
+    "c157" -> "kenzie petty", "c163" -> "rachel lamont",
+    "c1400" -> "customer fourteen hundred")
+
+  /** Ordered fix-rule chain applied BEFORE the mapping join (reference
+    * `alter_key`'s 35 ordered rules, episodes/episodes_transform.py:38-80):
+    * rule 2 only fires on rule 1's output, so order is semantic. */
+  val nameFixChain: Seq[(String, String)] =
+    Seq("Customer#" -> "C", "^C0+" -> "c")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ───── §2.8 replace-chain + data-driven canonicalization: the ordered
+    // regex fix rules, then the versioned name-map asset joined broadcast;
+    // unmapped names pass through (reference episodes_transform.py:38-80 +
+    // the contestant name-map yaml)
+    "q37_mapping_chain" -> ((s, d) => {
+      val mapping = s.read.option("header", "true").csv("data/namemap.csv")
+      val chained = t(s, d, "customer").select(col("c_custkey"),
+        graft.ops.Extract.replaceChain(col("c_name"), nameFixChain).as("name"))
+      graft.ops.Extract.mappingJoin(chained, "name", mapping, "dirty", "canonical")
+        .select(col("c_custkey"), col("name"))
+    }),
 
     // ───── A1/A2: hash aggregate with exact sums (TPC-H Q1 shape).
     // Money/quantity sums run as scaled-integer (cents) LONG sums — exact,
@@ -400,6 +440,84 @@ object CoreQueries {
           col("click_id"), unix_millis(col("click_ts")).as("click_ts_ms"))
     }),
 
+    // ───── S3: Excel grid sub-table walk + vote-matrix unpivot
+    // (episode_stats_extract.py:137-190 / 107-134). The bronze cell matrix
+    // is synthesized deterministically from `nation` and exercises every
+    // stop condition: a header gap (col 4 missing → col 5 excluded) and a
+    // data-row gap (rows 7-8 missing → row 9 excluded), plus null cells
+    // (the unpivot's vote filter).
+    "q34_grid_subtable" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      val sheets = n.filter(col("nk") < 2)
+      val markers = sheets.select(
+        concat(lit("sh"), col("nk").cast("string")).as("sheet"),
+        lit(0L).as("row"), lit(1L).as("col"), lit("VOTE_TABLE").as("value"))
+      val headers = sheets
+        .select(col("nk"), explode(array(lit(1L), lit(2L), lit(3L), lit(5L))).as("hc"))
+        .select(concat(lit("sh"), col("nk").cast("string")).as("sheet"),
+          lit(1L).as("row"), col("hc").as("col"),
+          concat(lit("H"), col("hc").cast("string")).as("value"))
+      val dataRows = n.withColumn("r", expr("nk div 2 + 2"))
+        .filter(col("r") <= 6 || col("r") === 9)
+        .withColumn("sheet", concat(lit("sh"), (col("nk") % 2).cast("string")))
+      val anchors = dataRows.select(col("sheet"), col("r").as("row"),
+        lit(1L).as("col"), col("n_name").as("value"))
+      val v2 = dataRows.filter(col("nk") % 3 =!= 0)
+        .select(col("sheet"), col("r").as("row"), lit(2L).as("col"),
+          concat(lit("V"), col("nk").cast("string")).as("value"))
+      val v3 = dataRows.filter(col("nk") % 3 =!= 1)
+        .select(col("sheet"), col("r").as("row"), lit(3L).as("col"),
+          concat(lit("W"), col("nk").cast("string")).as("value"))
+      val v5 = dataRows.select(col("sheet"), col("r").as("row"),
+        lit(5L).as("col"), lit("X").as("value"))
+      val cells = markers.unionByName(headers).unionByName(anchors)
+        .unionByName(v2).unionByName(v3).unionByName(v5)
+      graft.sources.GridTables
+        .unpivotVoteMatrix(graft.sources.GridTables.subtableAt(cells, "^VOTE_TABLE$"))
+        .select(col("sheet"), col("marker"),
+          col("table_row").cast("long").as("table_row"),
+          col("voted_for"), col("vote_counted"))
+    }),
+
+    // ───── S5: the docx confessional state machine
+    // (confessional_extract.py:26-47) over synthesized numbered lines:
+    // every 5th line is a `Day N` marker (carried forward, W4), the rest
+    // are `Name (i/total): text` rows (regex bank + per-doc counter)
+    "q35_docx_confessional" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_custkey") <= 200)
+      val lines = c.select(
+        (col("c_custkey") % 4).as("doc_id"),
+        expr("c_custkey div 4").as("line_no"),
+        when(col("c_custkey") % 5 === 0,
+          concat(lit("Day "), (col("c_custkey") % 40 + 1).cast("string")))
+          .otherwise(concat(
+            lit("Speaker"), (col("c_custkey") % 7).cast("string"),
+            lit(" ("), (col("c_custkey") % 3 + 1).cast("string"),
+            lit("/3): reflections on the vote "), col("c_custkey").cast("string")))
+          .as("line"))
+      graft.domain.Pipelines.parseConfessionalLines(lines)
+        .select(col("doc_id"), col("day"), col("speaker"), col("n_from_player"),
+          col("total_confessionals_in_episode"),
+          col("n_in_episode").cast("long").as("n_in_episode"), col("content"))
+    }),
+
+    // ───── P4: seasons still in flight as of a watermark
+    // (helpers/extract_helpers.py:7-57 currently-running test)
+    "q36_active_seasons" -> ((s, d) => {
+      val seasons = t(s, d, "orders").select(
+        col("o_orderkey").as("season_id"),
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("o_orderdate")).as("showing_started"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("showing_ended"))
+      graft.domain.Pipelines
+        .activeSeasons(seasons, lit("1995-06-01 00:00:00").cast("timestamp"))
+        .select(col("season_id"),
+          unix_millis(col("showing_started")).as("started_ms"),
+          unix_millis(col("showing_ended")).as("ended_ms"))
+    }),
+
     // ───── domain flagship: the reference's pull_agg_contestant_stats
     // (helpers/db_funcs.py:4-45) end-to-end, with the survivor tables
     // deterministically synthesized from the TPC-H-ish star schema
@@ -434,6 +552,17 @@ object CoreQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q37_mapping_chain" -> {
+      val values = nameMapEntries
+        .map { case (f, t) => s"('${f}', '${t}')" }.mkString(", ")
+      s"""WITH m(dirty, canonical) AS (VALUES $values),
+        chained AS (SELECT c_custkey,
+          regexp_replace(regexp_replace(c_name, 'Customer#', 'C', 'g'),
+            '^C0+', 'c', 'g') AS name
+          FROM customer)
+        SELECT c_custkey, COALESCE(m.canonical, chained.name) AS name
+        FROM chained LEFT JOIN m ON chained.name = m.dirty"""
+    },
     "q01_agg_pricing" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
           CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
@@ -668,6 +797,88 @@ object CoreQueries {
         LEFT JOIN icag ON icag.contestant_id = eps.contestant_id
         LEFT JOIN ranked ON ranked.contestant_season_id = eps.contestant_id
         GROUP BY cs.contestant_season_id, con.first_name, con.last_name, cs.season_id""",
+    "q34_grid_subtable" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name FROM nation),
+        cells AS (
+          SELECT 'sh' || CAST(nk AS VARCHAR) AS sheet, CAST(0 AS BIGINT) AS rw,
+            CAST(1 AS BIGINT) AS cl, 'VOTE_TABLE' AS val FROM n WHERE nk < 2
+          UNION ALL
+          SELECT 'sh' || CAST(nk AS VARCHAR), 1, c.cl, 'H' || CAST(c.cl AS VARCHAR)
+          FROM n, (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+            (CAST(3 AS BIGINT)), (CAST(5 AS BIGINT))) c(cl) WHERE nk < 2
+          UNION ALL
+          SELECT 'sh' || CAST(nk % 2 AS VARCHAR), nk // 2 + 2, 1, n_name FROM n
+          WHERE nk // 2 + 2 <= 6 OR nk // 2 + 2 = 9
+          UNION ALL
+          SELECT 'sh' || CAST(nk % 2 AS VARCHAR), nk // 2 + 2, 2, 'V' || CAST(nk AS VARCHAR)
+          FROM n WHERE (nk // 2 + 2 <= 6 OR nk // 2 + 2 = 9) AND nk % 3 <> 0
+          UNION ALL
+          SELECT 'sh' || CAST(nk % 2 AS VARCHAR), nk // 2 + 2, 3, 'W' || CAST(nk AS VARCHAR)
+          FROM n WHERE (nk // 2 + 2 <= 6 OR nk // 2 + 2 = 9) AND nk % 3 <> 1
+          UNION ALL
+          SELECT 'sh' || CAST(nk % 2 AS VARCHAR), nk // 2 + 2, 5, 'X' FROM n
+          WHERE nk // 2 + 2 <= 6 OR nk // 2 + 2 = 9),
+        markers AS (SELECT sheet, rw AS m_row, cl AS m_col, val AS marker FROM cells
+          WHERE regexp_matches(val, '^VOTE_TABLE$')),
+        hdr AS (SELECT c.sheet, m.m_row, m.m_col, m.marker, c.cl AS h_col, c.val AS header
+          FROM cells c JOIN markers m
+          ON c.sheet = m.sheet AND c.rw = m.m_row + 1 AND c.cl >= m.m_col),
+        contiguous AS (SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY sheet, m_row, m_col
+              ORDER BY h_col) AS rk FROM hdr)
+          WHERE h_col - m_col = rk - 1),
+        anchor AS (SELECT c.sheet, m.m_row, m.m_col, c.rw AS d_row
+          FROM cells c JOIN markers m
+          ON c.sheet = m.sheet AND c.cl = m.m_col AND c.rw > m.m_row + 1),
+        trows AS (SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY sheet, m_row, m_col
+              ORDER BY d_row) AS rk FROM anchor)
+          WHERE d_row - (m_row + 1) = rk)
+        SELECT tr.sheet, h.marker, tr.rk AS table_row, h.header AS voted_for,
+          TRUE AS vote_counted
+        FROM trows tr
+        JOIN contiguous h
+          ON tr.sheet = h.sheet AND tr.m_row = h.m_row AND tr.m_col = h.m_col
+        JOIN cells v
+          ON v.sheet = tr.sheet AND v.rw = tr.d_row AND v.cl = h.h_col""",
+    "q35_docx_confessional" ->
+      """WITH lines AS (SELECT c_custkey % 4 AS doc_id, c_custkey // 4 AS line_no,
+          CASE WHEN c_custkey % 5 = 0 THEN 'Day ' || CAST(c_custkey % 40 + 1 AS VARCHAR)
+               ELSE 'Speaker' || CAST(c_custkey % 7 AS VARCHAR) || ' (' ||
+                 CAST(c_custkey % 3 + 1 AS VARCHAR) ||
+                 '/3): reflections on the vote ' || CAST(c_custkey AS VARCHAR)
+          END AS line
+          FROM customer WHERE c_custkey <= 200),
+        marked AS (SELECT *, CASE WHEN regexp_matches(line, '^Day (\d+)$')
+            THEN CAST(regexp_extract(line, '^Day (\d+)$', 1) AS INT) END AS day_mark
+          FROM lines),
+        carried AS (SELECT *, last_value(day_mark IGNORE NULLS) OVER
+            (PARTITION BY doc_id ORDER BY line_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day
+          FROM marked),
+        parsed AS (SELECT doc_id, line_no, day,
+            regexp_extract(line, '^(\w+ ?\w*) \((\d+)/(\d+)\): (.*)$', 1) AS speaker,
+            TRY_CAST(regexp_extract(line, '^(\w+ ?\w*) \((\d+)/(\d+)\): (.*)$', 2) AS INT)
+              AS n_from_player,
+            TRY_CAST(regexp_extract(line, '^(\w+ ?\w*) \((\d+)/(\d+)\): (.*)$', 3) AS INT)
+              AS total_confessionals_in_episode,
+            regexp_extract(line, '^(\w+ ?\w*) \((\d+)/(\d+)\): (.*)$', 4) AS content
+          FROM carried)
+        SELECT doc_id, day, speaker, n_from_player, total_confessionals_in_episode,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY line_no) AS n_in_episode,
+          content
+        FROM parsed WHERE speaker <> ''""",
+    "q36_active_seasons" ->
+      """WITH seasons AS (SELECT o_orderkey AS season_id,
+          CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderdate END AS showing_started,
+          CASE WHEN o_orderkey % 7 = 0 THEN NULL
+               ELSE o_orderdate + INTERVAL 90 DAY END AS showing_ended
+          FROM orders)
+        SELECT season_id, epoch_ms(showing_started) AS started_ms,
+          epoch_ms(showing_ended) AS ended_ms
+        FROM seasons
+        WHERE showing_started IS NOT NULL
+          AND (showing_ended IS NULL OR showing_ended > TIMESTAMP '1995-06-01 00:00:00')""",
     "q28_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, ts,
           CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

@@ -306,6 +306,41 @@ object ExtensionQueries {
         (scrubbed =!= col("text")).as("changed"))
     }),
 
+    // ───── the production dedup recipe end-to-end: LSH candidates →
+    // exact-Jaccard verify → connected-component clusters (the composition
+    // the standalone x02/x03/x25 stages exist for)
+    "x27_lsh_dedup_pipeline" -> ((s, d) => {
+      Dedup.lshDedupClusters(t(s, d, "documents"), "doc_id", "text",
+        shingleK = 2, numHashes = 12, rowsPerBand = 3,
+        candTau = 0.25, jaccardTau = 0.2)
+    }),
+
+    // ───── x16's production twin: approx_percentile (GK sketch, bounded
+    // state per group — rank error ≤ n/accuracy, and EXACT while the group
+    // holds ≤ accuracy values, where it returns the order statistic
+    // DuckDB's quantile_disc picks, hence the value oracle). The exact
+    // interpolating percentile (x16) stays as the oracle-mirror form; this
+    // is the one to run when a group holds 10^9 values.
+    "x28_percentiles_approx" -> ((s, d) => {
+      t(s, d, "documents").groupBy(col("source"))
+        .agg(expr("approx_percentile(n_chars, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(n_chars, 0.9, 10000)").as("p90"),
+          expr("approx_percentile(n_chars, 0.99, 10000)").as("p99"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ───── x24's production twin: median-relative filter with the sketch
+    // percentile computed per group + broadcast back — no per-group value
+    // buffering, no window with an unbounded frame
+    "x29_relative_filter_approx" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val med = docs.groupBy(col("source"))
+        .agg(expr("approx_percentile(n_chars, 0.5, 10000)").as("src_median"))
+      docs.join(broadcast(med), "source")
+        .filter(col("n_chars") > col("src_median"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("src_median"))
+    }),
+
     // ───── multimodal: binary payload metadata (no decode, column-only)
     "x12_multimodal_meta" -> ((s, d) => {
       Multimodal.payloadMeta(Multimodal.documentsAsAssets(t(s, d, "documents")))
@@ -566,6 +601,51 @@ object ExtensionQueries {
          SELECT doc_id, n_subwords, cum_subwords,
            CAST(floor((cum_subwords - n_subwords) / 4096.0) AS BIGINT) AS bin
          FROM c""",
+    "x27_lsh_dedup_pipeline" ->
+      s"""WITH RECURSIVE sh AS ${shingleSql()},
+         comps AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || g)) AS sig
+           FROM sh, range(0, 12) r(i) GROUP BY doc_id, i),
+         buckets AS (SELECT doc_id, i // 3 AS band,
+             md5(string_agg(sig, '|' ORDER BY i)) AS h
+           FROM comps GROUP BY doc_id, i // 3),
+         cand0 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM buckets l JOIN buckets r
+           ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
+         est AS (SELECT id_a, id_b,
+             CAST(SUM(CASE WHEN ca.sig = cb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 12
+               AS ej
+           FROM cand0
+           JOIN comps ca ON ca.doc_id = id_a
+           JOIN comps cb ON cb.doc_id = id_b AND ca.i = cb.i
+           GROUP BY id_a, id_b),
+         cands AS (SELECT id_a, id_b FROM est WHERE ej >= 0.25),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         cmn AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
+           FROM cands c
+           JOIN sh a ON a.doc_id = c.id_a
+           JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
+           GROUP BY c.id_a, c.id_b),
+         ver AS (SELECT cm.id_a, cm.id_b FROM cmn cm
+           JOIN sizes sa ON cm.id_a = sa.doc_id
+           JOIN sizes sb ON cm.id_b = sb.doc_id
+           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2),
+         sym AS (SELECT id_a AS a, id_b AS b FROM ver
+           UNION ALL SELECT id_b, id_a FROM ver),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b)
+         SELECT a AS id, least(a, MIN(b)) AS cluster FROM reach GROUP BY a""",
+    "x28_percentiles_approx" ->
+      """SELECT source, quantile_disc(n_chars, 0.5) AS p50,
+        quantile_disc(n_chars, 0.9) AS p90, quantile_disc(n_chars, 0.99) AS p99,
+        COUNT(*) AS n FROM documents GROUP BY source""",
+    "x29_relative_filter_approx" ->
+      """WITH med AS (SELECT source, quantile_disc(n_chars, 0.5) AS src_median
+          FROM documents GROUP BY source)
+        SELECT doc_id, source, n_chars, src_median
+        FROM documents JOIN med USING (source)
+        WHERE n_chars > src_median""",
     "x16_percentiles" ->
       """SELECT source, quantile_cont(n_chars, 0.5) AS p50,
         quantile_cont(n_chars, 0.9) AS p90, quantile_cont(n_chars, 0.99) AS p99,

@@ -36,4 +36,22 @@ class ExtractSpec extends SparkSpec {
       .orderBy("id").select("name").as[String].collect().toSeq
     assert(out == Seq("James Thomas", "Alice"))
   }
+
+  test("namemap.csv asset matches the in-code entries the oracle inlines (no drift)") {
+    val csv = spark.read.option("header", "true").csv("data/namemap.csv")
+      .select("dirty", "canonical").as[(String, String)].collect().toSeq
+    assert(csv == graft.queries.CoreQueries.nameMapEntries)
+    assert(csv.map(_._1).distinct.size == csv.size, "duplicate dirty keys")
+  }
+
+  test("fix chain + mapping compose: chained key hits the map, unmapped pass through") {
+    val mapping = graft.queries.CoreQueries.nameMapEntries.toDF("dirty", "canonical")
+    val df = Seq((7L, "Customer#000000007"), (8L, "Customer#000000008"))
+      .toDF("id", "name")
+    val chained = df.withColumn("name",
+      Extract.replaceChain($"name", graft.queries.CoreQueries.nameFixChain))
+    val out = Extract.mappingJoin(chained, "name", mapping, "dirty", "canonical")
+      .orderBy("id").select("name").as[String].collect().toSeq
+    assert(out == Seq("rupert boneham", "c8"))
+  }
 }

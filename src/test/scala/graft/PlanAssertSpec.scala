@@ -1,0 +1,63 @@
+package graft
+
+/** Plan-shape assertions: the 100 TB claims the Scaladoc makes, locked in
+  * CI. Each test parses the physical plan of a catalog query and asserts
+  * the property that makes it scale — zero shuffled joins where every dim
+  * is broadcast, a single exchange where the design says "one shuffle",
+  * no single-partition exchange where a naive global window would have one.
+  * A regression that silently de-broadcasts a join or re-introduces a
+  * serial window fails here, not in a 100× production run.
+  */
+class PlanAssertSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Shuffle exchanges only — BroadcastExchange is the cheap kind and
+    * doesn't count against a "no shuffle" claim. */
+  private def shuffleExchanges(p: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(p).size
+
+  test("q05 star join: every dimension broadcast, zero shuffled joins") {
+    val p = plan("q05_star_join")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"shuffled join crept into the star join plan:\n$p")
+  }
+
+  test("q06 as-of join: exactly one shuffle (the union-tag window)") {
+    val p = plan("q06_asof_join")
+    assert(shuffleExchanges(p) == 1,
+      s"as-of join should shuffle once, found ${shuffleExchanges(p)}:\n$p")
+  }
+
+  test("x22 token packing: no single-partition exchange (two-level prefix sum)") {
+    val p = plan("x22_token_packing")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"serial global window crept back into token packing:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global sort crept into token packing:\n$p")
+  }
+
+  test("x04 simhash: banded plan joins on band buckets, not a cross join") {
+    val p = plan("x04_dedup_simhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join crept back into simhash pairing:\n$p")
+  }
+
+  test("q01 agg pushes the scan down to the projected columns only") {
+    val p = plan("q01_agg_pricing")
+    // the lineitem scan must prune to the 5 referenced columns — a scan
+    // reading the full schema would move ~3× the bytes at 100 TB
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    // (the toString truncates the schema line — assert the used columns
+    // that fit and, decisively, the absence of every unused column)
+    assert(Seq("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .forall(readSchema.contains), readSchema)
+    assert(Seq("l_tax", "l_shipdate", "l_orderkey", "l_partkey", "l_suppkey")
+      .forall(c => !readSchema.contains(c)), readSchema)
+  }
+}

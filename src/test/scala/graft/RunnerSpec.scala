@@ -10,6 +10,62 @@ class RunnerSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("upsertStatement emits the reference ON CONFLICT shape; key-only tables DO NOTHING") {
+    assert(graft.ops.Upsert.upsertStatement("t", "t_staging",
+      Seq("id", "a", "b"), Seq("id")) ==
+      "INSERT INTO t (id, a, b) SELECT id, a, b FROM t_staging " +
+        "ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b")
+    assert(graft.ops.Upsert.upsertStatement("t", "t_staging",
+      Seq("id"), Seq("id")) ==
+      "INSERT INTO t (id) SELECT id FROM t_staging ON CONFLICT (id) DO NOTHING")
+    assertThrows[IllegalArgumentException](
+      graft.ops.Upsert.upsertStatement("t", "s", Seq("a"), Seq("id")))
+  }
+
+  test("viaTempTable: one staged write + one statement; updates win; replay is a no-op") {
+    import graft.ops.Upsert
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val keys = Seq("id")
+    val captured = scala.collection.mutable.Buffer[String]()
+    // parquet-backed fake transport: stage() bulk-writes the batch where a
+    // JDBC sink would CREATE TEMP TABLE; execute() applies the statement's
+    // upsert semantics (insert-or-update on keys) to the stored target
+    // state and captures the SQL text for assertion
+    val sink = new Upsert.UpsertSink {
+      def stage(updates: org.apache.spark.sql.DataFrame, tempTable: String): Unit =
+        updates.write.mode("overwrite").parquet(s"$dir/$tempTable")
+      def execute(sql: String): Unit = {
+        captured += sql
+        val staged = spark.read.parquet(s"$dir/target_staging")
+        val tgt = new java.io.File(s"$dir/target")
+        val merged =
+          if (tgt.exists) Upsert.merge(spark.read.parquet(s"$dir/target"), staged, keys)
+          else staged
+        val rows = merged.collect().toSeq // materialize before overwriting the source
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), merged.schema)
+          .write.mode("overwrite").parquet(s"$dir/target")
+      }
+    }
+    def state() = spark.read.parquet(s"$dir/target")
+      .as[(Long, String)].collect().toMap
+
+    val sql1 = Upsert.viaTempTable(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), sink, "target", keys)
+    assert(sql1 == "INSERT INTO target (id, v) SELECT id, v FROM target_staging " +
+      "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v")
+    assert(state() == Map(1L -> "a", 2L -> "b"))
+
+    val batch2 = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    Upsert.viaTempTable(batch2, sink, "target", keys)
+    assert(state() == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+
+    // replay the identical batch through the sink API: state unchanged
+    Upsert.viaTempTable(batch2, sink, "target", keys)
+    assert(state() == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    assert(captured.size == 3 && captured.distinct.size == 1)
+  }
+
   test("runner: watermark advances, replay is idempotent, conform applied") {
     val dir = Files.createTempDirectory("graft_runner").toString
     val r = new Runner(spark, dir)
