@@ -39,17 +39,17 @@ object ExtensionQueries {
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
   /** DuckDB CTE chain mirroring Similarity.nearDupPairsBanded over the
-    * embeddings table (anchors = vec_id < 8, 4 tables × 2 bits, cosine ≥
+    * embeddings table (anchors = vec_id < 16, 4 tables × 4 bits, cosine ≥
     * tau): ends with a `pairs(id_a, id_b, cos)` relation. */
   private def bandedPairsSql(tau: Double) =
     s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       anch AS (SELECT vec_id AS aid, v AS av FROM ev WHERE vec_id < 8),
+       anch AS (SELECT vec_id AS aid, v AS av FROM ev WHERE vec_id < 16),
        coded AS (SELECT e.vec_id,
            string_agg(CASE WHEN list_inner_product(e.v, anch.av) > 0
              THEN '1' ELSE '0' END, '' ORDER BY anch.aid) AS code
          FROM ev e, anch GROUP BY e.vec_id),
        buckets AS (SELECT vec_id, tb,
-           substr(code, CAST(tb * 2 + 1 AS INT), 2) AS tc
+           substr(code, CAST(tb * 4 + 1 AS INT), 4) AS tc
          FROM coded, range(0, 4) r(tb)),
        cands AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
          FROM buckets x JOIN buckets y
@@ -128,16 +128,17 @@ object ExtensionQueries {
     }),
 
     // ───── embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus):
-    // multi-table sign-LSH candidates (4 tables × 2 bits from 8
-    // data-derived anchors) + exact cosine verify — the bucketed scale path;
-    // the all-pairs form survives only as the recall baseline in tests
+    // multi-table sign-LSH candidates (4 tables × 4 bits from 16
+    // data-derived anchors; measured at sf0.1: 23% of all-pairs
+    // candidates) + exact cosine verify — the bucketed scale path; the
+    // all-pairs form survives only as the recall baseline in tests
     "x07_embed_neardup" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val anchors = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      val anchors = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .select("embedding").collect()
         .map(_.getSeq[Float](0).toArray)
       Similarity.nearDupPairsBanded(emb, "vec_id", "embedding", tau = 0.4,
-        anchors = anchors.toSeq, bitsPerTable = 2)
+        anchors = anchors.toSeq, bitsPerTable = 4)
     }),
 
     // ───── language ID (stopword-profile argmax, one-tokenization row form)
@@ -289,11 +290,11 @@ object ExtensionQueries {
     // join
     "x25_dedup_clusters" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val anchors = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      val anchors = emb.filter(col("vec_id") < 16).orderBy("vec_id")
         .select("embedding").collect()
         .map(_.getSeq[Float](0).toArray)
       val pairs = Similarity.nearDupPairsBanded(emb, "vec_id", "embedding",
-        tau = 0.4, anchors = anchors.toSeq, bitsPerTable = 2)
+        tau = 0.4, anchors = anchors.toSeq, bitsPerTable = 4)
       graft.dedup.Dedup.connectedComponents(pairs)
     }),
 

@@ -1,0 +1,135 @@
+package graft
+
+import graft.sources.{BronzeStage, GridTables}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class BronzeStageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close(); bos.toByteArray
+  }
+
+  // a realistic minimal workbook: shared strings, one sheet, a marker at
+  // B1, headers B2:D2 with a gap before F2, data rows 3-5 with a gap
+  // before row 7, a numeric literal cell and an inline string
+  private def sampleXlsx: Array[Byte] = {
+    val shared =
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<si><t>VOTE_TABLE</t></si><si><t>Name</t></si><si><t>V1</t></si>
+        |<si><t>V2</t></si><si><t>Skip</t></si><si><t>alice</t></si>
+        |<si><t>bob</t></si><si><t>cara</t></si><si><t>dan</t></si>
+        |<si><t>x</t></si><si><t>y</t></si></sst>""".stripMargin
+    val sheet =
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="B1" t="s"><v>0</v></c></row>
+        |<row r="2"><c r="B2" t="s"><v>1</v></c><c r="C2" t="s"><v>2</v></c>
+        |  <c r="D2" t="s"><v>3</v></c><c r="F2" t="s"><v>4</v></c></row>
+        |<row r="3"><c r="B3" t="s"><v>5</v></c><c r="C3" t="s"><v>9</v></c></row>
+        |<row r="4"><c r="B4" t="s"><v>6</v></c><c r="D4" t="s"><v>10</v></c></row>
+        |<row r="5"><c r="B5" t="s"><v>7</v></c><c r="C5"><v>7</v></c>
+        |  <c r="E5" t="inlineStr"><is><t>inline!</t></is></c></row>
+        |<row r="7"><c r="B7" t="s"><v>8</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    zip("xl/sharedStrings.xml" -> shared, "xl/worksheets/sheet1.xml" -> sheet)
+  }
+
+  private def sampleDocx: Array[Byte] = {
+    def p(t: String) = s"<w:p><w:r><w:t>$t</w:t></w:r></w:p>"
+    val doc =
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+        p("Day 1") + p("Alice (1/2): I trust bob") + p("Bob (1/1): vote alice") +
+        p("Day 2") + p("Alice (2/2): blindside") +
+        "</w:body></w:document>"
+    zip("word/document.xml" -> doc)
+  }
+
+  test("parseXlsx: refs, shared/inline/literal cells, empty cells absent") {
+    val cells = BronzeStage.parseXlsx(sampleXlsx)
+    val m = cells.map(c => (c.row, c.col) -> c.value).toMap
+    assert(m((0L, 1L)) == "VOTE_TABLE") // B1
+    assert(m((1L, 5L)) == "Skip")       // F2
+    assert(m((4L, 2L)) == "7")          // C5 numeric literal
+    assert(m((4L, 4L)) == "inline!")    // E5 inlineStr
+    assert(!m.contains((5L, 1L)))       // B6 never existed
+    assert(cells.forall(_.sheet == "sheet1"))
+  }
+
+  test("parseRef handles multi-letter columns") {
+    assert(BronzeStage.parseRef("A1") == (0L, 0L))
+    assert(BronzeStage.parseRef("Z10") == (9L, 25L))
+    assert(BronzeStage.parseRef("AA2") == (1L, 26L))
+  }
+
+  test("xlsx bronze feeds the grid walk end-to-end: gaps stop headers and rows") {
+    val dir = Files.createTempDirectory("graft_bronze").toString
+    Files.write(Paths.get(s"$dir/wb.xlsx"), sampleXlsx)
+    val cells = BronzeStage.xlsxCells(spark, s"$dir/wb.xlsx")
+      .withColumnRenamed("sheet", "s0")
+      .withColumn("sheet", concat_ws(":", col("path"), col("s0")))
+      .drop("path", "s0")
+    val out = GridTables.subtableAt(cells, "^VOTE_TABLE$")
+      .select("table_row", "header", "value")
+      .as[(Int, String, Option[String])].collect().toSet
+    assert(out == Set(
+      (1, "Name", Some("alice")), (1, "V1", Some("x")), (1, "V2", None),
+      (2, "Name", Some("bob")), (2, "V1", None), (2, "V2", Some("y")),
+      (3, "Name", Some("cara")), (3, "V1", Some("7")), (3, "V2", None)))
+    // header gap excluded F2's "Skip"; row gap excluded B7's "dan"
+  }
+
+  test("docx bronze feeds the confessional parser end-to-end") {
+    val dir = Files.createTempDirectory("graft_bronze_docx").toString
+    Files.write(Paths.get(s"$dir/ep.docx"), sampleDocx)
+    val lines = BronzeStage.docxLines(spark, s"$dir/ep.docx")
+      .withColumnRenamed("path", "doc_id")
+    val out = graft.domain.Pipelines.parseConfessionalLines(lines)
+      .select("day", "speaker", "n_from_player", "n_in_episode", "content")
+      .as[(Int, String, Int, Int, String)].collect().toSet
+    assert(out == Set(
+      (1, "Alice", 1, 1, "I trust bob"),
+      (1, "Bob", 1, 2, "vote alice"),
+      (2, "Alice", 2, 3, "blindside")))
+  }
+
+  test("stripHtml drops tags and script subtrees, decodes entities, collapses space") {
+    val html = """<html><head><style>p {color: red}</style></head>
+      |<body><h1>Title</h1><script>var x = "<evil>";</script>
+      |<p>A &amp; B &lt;ok&gt; &quot;q&quot;&nbsp;end</p></body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(BronzeStage.stripHtml($"h")).as[String].collect().head
+    assert(out == "Title A & B <ok> \"q\" end")
+  }
+
+  test("withRetry: deterministic backoff schedule, succeeds after transient failures") {
+    import graft.ops.Retry
+    val sleeps = scala.collection.mutable.Buffer[Long]()
+    var calls = 0
+    val out = Retry.withRetry(maxAttempts = 4, baseMs = 100, jitterMs = 50,
+      seed = 7, sleep = sleeps.append(_)) { attempt =>
+      calls += 1
+      if (attempt < 3) throw new RuntimeException(s"flaky $attempt")
+      s"ok on $attempt"
+    }
+    assert(out == "ok on 3" && calls == 3)
+    assert(sleeps.toSeq == Seq(
+      Retry.delayMs(1, 100, 50, 7), Retry.delayMs(2, 100, 50, 7)))
+    assert(sleeps(0) >= 100 && sleeps(0) < 150)
+    assert(sleeps(1) >= 200 && sleeps(1) < 250)
+    // exhausted retries propagate the LAST failure with priors suppressed
+    val e = intercept[RuntimeException] {
+      Retry.withRetry[String](maxAttempts = 2, sleep = _ => ()) { a =>
+        throw new RuntimeException(s"always $a")
+      }
+    }
+    assert(e.getMessage == "always 2" && e.getSuppressed.length == 1)
+  }
+}
