@@ -342,6 +342,43 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("n_chars"), col("src_median"))
     }),
 
+    // ───── x20's production twin: the same Lloyd's-step centroid means
+    // with BOUNDED aggregation state — per-value quantization to 1e-9,
+    // exact order-independent integer sums in the normal partial-agg
+    // (map-side combine) path, ONE division at the end. No collect_list,
+    // no per-group buffering: state per (cell,dim) is one decimal + one
+    // count regardless of cell population
+    "x30_kmeans_scalable" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.assignCells(emb, "vec_id", "embedding", cent, "cid", "cvec")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(
+          sum(floor(col("v").cast("double") * 1e9 + 0.5).cast("long")
+            .cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("dim").cast("long").as("dim"),
+          (col("s").cast("double") / 1e9 / col("n")).as("mean"), col("n"))
+    }),
+
+    // ───── distinct-cardinality sketch (HLL++): the contract the oracle
+    // CAN check — exact per-group cardinality plus a boolean asserting the
+    // sketch landed within its error budget. The sketch is deterministic
+    // for a given dataset, so the boolean is stable, and at 10^9 distinct
+    // keys per group the sketch is the only form that still runs
+    "x31_distinct_approx" -> ((s, d) => {
+      val toks = TextOps.tokenRows(t(s, d, "documents"), "doc_id", "text",
+        Seq("source"))
+      toks.groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("n_exact"),
+          approx_count_distinct(col("tok"), 0.02).as("n_approx"))
+        .select(col("source"), col("n_exact"),
+          (abs(col("n_approx").cast("double") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("approx_ok"))
+    }),
+
     // ───── multimodal: binary payload metadata (no decode, column-only)
     "x12_multimodal_meta" -> ((s, d) => {
       Multimodal.payloadMeta(Multimodal.documentsAsAssets(t(s, d, "documents")))
@@ -583,6 +620,27 @@ object ExtensionQueries {
            list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mean,
            COUNT(*) AS n
          FROM dims GROUP BY cell, dim""",
+    "x30_kmeans_scalable" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+         assign AS (SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+           FROM ev e, cent c),
+         cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+         dims AS (SELECT ce.cell, r.i AS dim, e.vec_id, e.v[CAST(r.i AS INT) + 1] AS val
+           FROM cells ce JOIN ev e ON ce.vec_id = e.vec_id,
+           range(0, 64) r(i))
+         SELECT cell, CAST(dim AS BIGINT) AS dim,
+           CAST(CAST(SUM(CAST(floor(val * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS DOUBLE) / 1000000000 / COUNT(*) AS mean,
+           COUNT(*) AS n
+         FROM dims GROUP BY cell, dim""",
+    "x31_distinct_approx" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split($normSql, ' ')) AS tok
+           FROM documents)
+         SELECT source, COUNT(DISTINCT tok) AS n_exact, TRUE AS approx_ok
+         FROM toks GROUP BY source""",
     "x21_hash_split" ->
       """SELECT doc_id, substr(md5('doc_' || doc_id), 1, 2) AS hash_bucket,
         CASE WHEN substr(md5('doc_' || doc_id), 1, 2) < '1a'
