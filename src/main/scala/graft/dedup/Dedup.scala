@@ -38,8 +38,15 @@ object Dedup {
     * the mins fold in the normal partial-aggregation path.
     * Output: (idCol, sig_0 … sig_{n-1}). */
   def withSignature(docs: DataFrame, idCol: String, textCol: String,
-                    shingleK: Int, numHashes: Int): DataFrame = {
-    val sh = TextOps.shingleRows(docs, idCol, textCol, shingleK)
+                    shingleK: Int, numHashes: Int): DataFrame =
+    signatureOfShingles(TextOps.shingleRows(docs, idCol, textCol, shingleK),
+      idCol, numHashes)
+
+  /** Signature aggregation over ALREADY-MATERIALIZED shingle rows — the
+    * form composed pipelines use so tokenization runs once, not once per
+    * consumer. */
+  def signatureOfShingles(sh: DataFrame, idCol: String,
+                          numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("g")))).as(s"sig_$i"))
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
@@ -77,6 +84,15 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
         "trailing signature components would be silently excluded from banding")
     val signed = withSignature(docs, idCol, textCol, shingleK, numHashes).cache()
+    lshCandidatePairs(signed, idCol, numHashes, rowsPerBand, tau)
+  }
+
+  /** Banding + estimated-Jaccard filter over an already-computed (cached)
+    * signature frame — shared by [[minhashLshPairs]] and
+    * [[lshDedupClusters]]. */
+  private def lshCandidatePairs(signed: DataFrame, idCol: String,
+                                numHashes: Int, rowsPerBand: Int,
+                                tau: Double): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
@@ -140,8 +156,15 @@ object Dedup {
     * (their Jaccard is 0 — below any meaningful threshold).
     * Input pairs: (id_a, id_b); output: (id_a, id_b, jaccard). */
   def jaccardForPairs(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int, pairs: DataFrame): DataFrame = {
-    val sh = TextOps.shingleRows(docs, idCol, textCol, k).cache()
+                      k: Int, pairs: DataFrame): DataFrame =
+    // NOTE cache lifecycle: as with minhashLshPairs, the pinned shingle
+    // frame is caller-managed session state
+    jaccardForShingles(
+      TextOps.shingleRows(docs, idCol, textCol, k).cache(), idCol, pairs)
+
+  /** [[jaccardForPairs]] over already-materialized shingle rows. */
+  def jaccardForShingles(sh: DataFrame, idCol: String,
+                         pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     pairs.select(col("id_a"), col("id_b"))
       .join(sh.select(col(idCol).as("id_a"), col("g")), Seq("id_a"))
@@ -158,16 +181,27 @@ object Dedup {
     * generation → exact Jaccard verification → connected-component
     * clusters. Every stage is the scale-safe form — banded candidate
     * joins, candidate-only verification, pointer-jumping CC — composed
-    * exactly as they would run over 100 TB. */
+    * exactly as they would run over 100 TB. Tokenization runs ONCE (the
+    * shingle frame is shared by signatures and verification) and both
+    * intermediate caches are released before returning — the composed
+    * recipe leaves no pinned state behind (the CC result itself is
+    * checkpointed, not cached). */
   def lshDedupClusters(docs: DataFrame, idCol: String, textCol: String,
                        shingleK: Int = 2, numHashes: Int = 12,
                        rowsPerBand: Int = 3, candTau: Double = 0.25,
                        jaccardTau: Double = 0.2): DataFrame = {
-    val cands = minhashLshPairs(docs, idCol, textCol, shingleK, numHashes,
-      rowsPerBand, candTau).select(col("id_a"), col("id_b"))
-    val verified = jaccardForPairs(docs, idCol, textCol, shingleK, cands)
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val sh = TextOps.shingleRows(docs, idCol, textCol, shingleK).cache()
+    val signed = signatureOfShingles(sh, idCol, numHashes).cache()
+    val cands = lshCandidatePairs(signed, idCol, numHashes, rowsPerBand, candTau)
+      .select(col("id_a"), col("id_b"))
+    val verified = jaccardForShingles(sh, idCol, cands)
       .filter(col("jaccard") >= jaccardTau)
-    connectedComponents(verified)
+    val labels = connectedComponents(verified) // materializes via localCheckpoint
+    sh.unpersist()
+    signed.unpersist()
+    labels
   }
 
   /** SimHash (16-bit default, md5-derived) of the token multiset, as a

@@ -25,12 +25,15 @@ object Retry {
   }
 
   /** Run `f`, retrying on exception up to `maxAttempts` total attempts.
-    * `retryOn` filters retryable failures (default: anything non-fatal);
-    * the last failure propagates with earlier ones suppressed. `sleep` is
-    * injectable for tests. */
+    * `retryOn` filters retryable failures — the default retries anything
+    * NonFatal, so OutOfMemoryError / InterruptedException / LinkageError
+    * always propagate immediately (sleeping on a cancellation or an OOM
+    * would be worse than the original failure). The last failure
+    * propagates with earlier ones suppressed. `sleep` is injectable for
+    * tests. */
   def withRetry[T](maxAttempts: Int, baseMs: Long = 1000L,
                    jitterMs: Long = 500L, seed: Long = 42L,
-                   retryOn: Throwable => Boolean = _ => true,
+                   retryOn: Throwable => Boolean = scala.util.control.NonFatal(_),
                    sleep: Long => Unit = Thread.sleep)(f: Int => T): T = {
     require(maxAttempts >= 1)
     var last: Throwable = null

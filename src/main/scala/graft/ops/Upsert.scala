@@ -30,14 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  def merge(
-      current: DataFrame,
-      updates: DataFrame,
-      keys: Seq[String],
-      updateTiebreak: Seq[Column] = Nil): DataFrame = {
-    // default tiebreak = every non-key column: with duplicate keys in the
-    // batch the survivor must still be a deterministic function of the row
-    // multiset, or replays stop being no-ops (keys alone tie on every row)
+  /** Latest-wins dedup of an updates batch on its keys, deterministic.
+    * Default tiebreak = every non-key column: with duplicate keys in the
+    * batch the survivor must still be a deterministic function of the row
+    * multiset, or replays stop being no-ops (keys alone tie on every row).
+    * Shared by [[merge]] and [[viaTempTable]] — a staged batch with
+    * duplicate keys would make the single ON CONFLICT statement illegal
+    * ("cannot affect row a second time" on PostgreSQL). */
+  def dedupLatest(updates: DataFrame, keys: Seq[String],
+                  updateTiebreak: Seq[Column] = Nil): DataFrame = {
     val tb =
       if (updateTiebreak.nonEmpty) updateTiebreak
       else {
@@ -50,8 +51,15 @@ object Upsert {
           .map(f => col(f.name)).toSeq
         if (orderable.nonEmpty) orderable else keys.map(col)
       }
-    // latest-wins dedup inside the batch, deterministic
-    val upd = Relational.dedupByKeys(updates, keys, tb.map(_.desc))
+    Relational.dedupByKeys(updates, keys, tb.map(_.desc))
+  }
+
+  def merge(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      updateTiebreak: Seq[Column] = Nil): DataFrame = {
+    val upd = dedupLatest(updates, keys, updateTiebreak)
     val kept = current.join(upd.select(keys.map(col): _*), keys, "left_anti")
     kept.unionByName(upd.select(current.columns.map(col).toSeq: _*))
   }
@@ -102,13 +110,16 @@ object Upsert {
   }
 
   /** Temp-table upsert through a sink: ONE bulk stage + ONE set-based
-    * statement. Idempotent by the statement's semantics (re-running the
+    * statement. The batch is key-deduped before staging ([[dedupLatest]]) —
+    * `ON CONFLICT DO UPDATE` rejects a statement touching the same row
+    * twice, so a raw batch with duplicate keys would fail on a real
+    * database. Idempotent by the statement's semantics (re-running the
     * same batch re-applies identical updates). Returns the generated SQL
     * (for logging/audit). */
   def viaTempTable(updates: DataFrame, sink: UpsertSink, table: String,
-                   keys: Seq[String]): String = {
+                   keys: Seq[String], updateTiebreak: Seq[Column] = Nil): String = {
     val tempTable = table + "_staging"
-    sink.stage(updates, tempTable)
+    sink.stage(dedupLatest(updates, keys, updateTiebreak), tempTable)
     val sql = upsertStatement(table, tempTable, updates.columns.toSeq, keys)
     sink.execute(sql)
     sql

@@ -68,7 +68,13 @@ object CoreQueries {
     // unmapped names pass through (reference episodes_transform.py:38-80 +
     // the contestant name-map yaml)
     "q37_mapping_chain" -> ((s, d) => {
-      val mapping = s.read.option("header", "true").csv("data/namemap.csv")
+      // the one query reading a repo data asset: resolve relative to the
+      // CWD when present (sbt runs from the repo root), else the canonical
+      // repo path — a spark-submit from elsewhere must still find it
+      val csvPath =
+        if (new java.io.File("data/namemap.csv").exists()) "data/namemap.csv"
+        else "/root/repo/data/namemap.csv"
+      val mapping = s.read.option("header", "true").csv(csvPath)
       val chained = t(s, d, "customer").select(col("c_custkey"),
         graft.ops.Extract.replaceChain(col("c_name"), nameFixChain).as("name"))
       graft.ops.Extract.mappingJoin(chained, "name", mapping, "dirty", "canonical")

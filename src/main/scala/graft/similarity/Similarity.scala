@@ -80,6 +80,19 @@ object Similarity {
         col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Deterministic data-derived anchor vectors: the first `n` corpus rows
+    * by id, collected to the driver (bounded — n is single digits to low
+    * tens) for embedding as hyperplane literals. The single definition the
+    * bucketed/banded queries share, so anchor selection can't drift
+    * between call sites. */
+  def collectAnchors(corpus: DataFrame, idCol: String, vecCol: String,
+                     n: Int): Seq[Array[Float]] = {
+    require(n > 0 && n <= 64, s"anchor count $n outside the bounded-collect range")
+    corpus.filter(col(idCol) < n).orderBy(idCol)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+  }
+
   /** Sign-LSH bucket code against `anchors` (a Seq of (anchorId, vector)
     * literals, e.g. a deterministic sample of the corpus): bit i = 1 iff
     * dot(v, anchor_i) > 0. Returns a b-character '0'/'1' string (portable

@@ -117,24 +117,38 @@ object BronzeStage {
   }
 
   /** One worksheet part → cells. Cell refs ("B3") give exact positions;
-    * shared-string cells dereference the workbook table. */
+    * per ECMA-376 both the row's `r` and the cell's `r` are OPTIONAL —
+    * when absent, position is implied from document order (next row /
+    * next column), which streaming xlsx writers rely on. Shared-string
+    * cells dereference the workbook table. */
   private def parseSheet(sheet: String, bytes: Array[Byte],
                          shared: IndexedSeq[String]): Seq[Cell] = {
     val r = newReader(bytes)
     val out = Seq.newBuilder[Cell]
-    var ref = ""; var cellType = ""; var inV = false; var inIsT = false
+    var curRow = -1L // last materialized row index
+    var nextCol = 0L // implied column for a ref-less cell
+    var cellRow = 0L; var cellCol = 0L
+    var cellType = ""; var inV = false; var inIsT = false
     val sb = new StringBuilder
-    def flush(): Unit = if (ref.nonEmpty && sb.nonEmpty) {
-      val (row, col) = parseRef(ref)
+    def flush(): Unit = if (sb.nonEmpty) {
       val raw = sb.toString
       val value = if (cellType == "s") shared(raw.trim.toInt) else raw
-      out += Cell(sheet, row, col, value)
+      out += Cell(sheet, cellRow, cellCol, value)
     }
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "row" =>
+            curRow = Option(r.getAttributeValue(null, "r"))
+              .map(_.toLong - 1).getOrElse(curRow + 1)
+            nextCol = 0L
           case "c" =>
-            ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
+            Option(r.getAttributeValue(null, "r")) match {
+              case Some(ref) =>
+                val (rw, cl) = parseRef(ref); cellRow = rw; cellCol = cl
+              case None =>
+                cellRow = curRow; cellCol = nextCol
+            }
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
             sb.clear()
           case "v" => inV = true
@@ -146,7 +160,7 @@ object BronzeStage {
         case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
           case "v" => inV = false
           case "t" => inIsT = false
-          case "c" => flush(); ref = ""
+          case "c" => flush(); nextCol = cellCol + 1
           case _ => ()
         }
         case _ => ()

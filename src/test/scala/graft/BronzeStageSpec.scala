@@ -63,6 +63,24 @@ class BronzeStageSpec extends SparkSpec {
     assert(cells.forall(_.sheet == "sheet1"))
   }
 
+  test("parseXlsx: ref-less cells take implied positions (streaming-writer xlsx)") {
+    // ECMA-376 makes both row@r and c@r optional: position is implied
+    // from document order — row 0 explicit refs, row 1 entirely implied,
+    // row 2 mixes an explicit C3 with an implied D3 after it
+    val sheet =
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1"><v>a</v></c><c><v>b</v></c></row>
+        |<row><c><v>c</v></c><c><v>d</v></c></row>
+        |<row><c r="C3"><v>e</v></c><c><v>f</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val cells = BronzeStage.parseXlsx(zip("xl/worksheets/sheet1.xml" -> sheet))
+    val m = cells.map(c => (c.row, c.col) -> c.value).toMap
+    assert(m == Map(
+      (0L, 0L) -> "a", (0L, 1L) -> "b", // implied col after A1
+      (1L, 0L) -> "c", (1L, 1L) -> "d", // implied row + cols
+      (2L, 2L) -> "e", (2L, 3L) -> "f")) // explicit C3, then implied D3
+  }
+
   test("parseRef handles multi-letter columns") {
     assert(BronzeStage.parseRef("A1") == (0L, 0L))
     assert(BronzeStage.parseRef("Z10") == (9L, 25L))

@@ -64,6 +64,16 @@ class RunnerSpec extends SparkSpec {
     Upsert.viaTempTable(batch2, sink, "target", keys)
     assert(state() == Map(1L -> "a", 2L -> "B", 3L -> "c"))
     assert(captured.size == 3 && captured.distinct.size == 1)
+
+    // a batch with duplicate keys stages DEDUPED (latest-wins) — a raw
+    // duplicate would make the single ON CONFLICT statement illegal on a
+    // real database ("cannot affect row a second time")
+    Upsert.viaTempTable(
+      Seq((4L, "x"), (4L, "z"), (4L, "y")).toDF("id", "v"), sink, "target", keys)
+    val staged = spark.read.parquet(s"$dir/target_staging")
+      .as[(Long, String)].collect().toSeq
+    assert(staged == Seq((4L, "z"))) // one survivor, deterministic (max v)
+    assert(state() == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "z"))
   }
 
   test("runner: watermark advances, replay is idempotent, conform applied") {
