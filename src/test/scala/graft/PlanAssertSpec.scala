@@ -48,6 +48,28 @@ class PlanAssertSpec extends SparkSpec {
       s"all-pairs join crept back into simhash pairing:\n$p")
   }
 
+  test("catalog sweep: no cartesian products anywhere; single-partition exchanges only where documented") {
+    // Documented exceptions. q15: the unpartitioned window runs over the
+    // bounded null-id remainder only (Relational.allocateIds). q23/q30: a
+    // whole-table scalar MIN/MAX — the single partition receives one
+    // pre-aggregated row per upstream partition (map-side partial combine),
+    // not data; that is the correct global-aggregate shape at any scale.
+    val singlePartitionOk =
+      Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental")
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p =
+          try fn(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+        Seq(
+          Option.when(p.contains("CartesianProduct"))(s"$name: cartesian product"),
+          Option.when(p.contains("Exchange SinglePartition") &&
+            !singlePartitionOk(name))(s"$name: single-partition exchange")
+        ).flatten
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   test("q01 agg pushes the scan down to the projected columns only") {
     val p = plan("q01_agg_pricing")
     // the lineitem scan must prune to the 5 referenced columns — a scan
