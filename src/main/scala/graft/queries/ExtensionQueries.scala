@@ -395,10 +395,23 @@ object ExtensionQueries {
       Multimodal.decodeFeatures(Multimodal.documentsAsAssets(t(s, d, "documents"))).toDF()
     }),
 
-    // ───── rolling fingerprint (order-sensitive signature; rows-only check)
+    // ───── rolling fingerprint (order-sensitive signature)
     "x14_rolling_fingerprint" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("rfp"))
+    }),
+
+    // ───── multimodal frame-sampling fan-out: decode (stub) → one row per
+    // sampled frame (every 3rd), the (asset, frame_idx) contract a video
+    // pipeline hands to its pixel stage; every 5th doc plays a "video"
+    // with payload-derived frame count, the rest are single-frame
+    "x32_frame_sample" -> ((s, d) => {
+      val assets = Multimodal.documentsAsAssets(t(s, d, "documents"))
+        .withColumn("media_type",
+          when(col("asset_id") % 5 === 0, "video").otherwise("text"))
+      Multimodal.sampleFrames(Multimodal.decodeFeatures(assets), stride = 3)
+        .select(col("asset_id"), col("media_type"), col("n_frames"),
+          col("frame_idx"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -758,5 +771,17 @@ object ExtensionQueries {
              string_split($normSql, ' '),
              t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
            (a, b) -> (a * 31 + b) % 2147483647) AS rfp
-         FROM documents""")
+         FROM documents""",
+    // x32: stub-decode frame counts from payload bytes, frame fan-out via
+    // range unnest — mirrors sampleFrames(stride=3)
+    "x32_frame_sample" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+         f AS (SELECT doc_id AS asset_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'video' ELSE 'text' END AS media_type,
+             CASE WHEN doc_id % 5 = 0 THEN CAST(n % 24 + 1 AS INT)
+                  ELSE CAST(1 AS INT) END AS n_frames
+           FROM b)
+         SELECT asset_id, media_type, n_frames, CAST(u.i AS INT) AS frame_idx
+         FROM f, unnest(range(0, CAST(n_frames AS BIGINT), 3)) u(i)""")
 }
