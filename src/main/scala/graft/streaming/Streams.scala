@@ -60,6 +60,22 @@ object Streams {
       .drop("__new_session")
   }
 
+  /** Streaming face of [[sessionize]]: `session_window` merges events
+    * within `gap` of each other into one growing session per key, state
+    * evicted once the watermark passes a session's close. Emits one row
+    * per CLOSED session (append mode) — the streaming equivalent of the
+    * batch path's per-event session ids, aggregated. */
+  def streamingSessionize(stream: DataFrame, keyCol: String, tsCol: String,
+                          gap: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end"),
+        col("n_events"))
+
   /** Structured Streaming tumbling count/sum with watermark — the
     * reference's reddit pull re-expressed as a real stream. Caller wires
     * the source (`spark.readStream...`) and the sink via foreachBatch

@@ -76,6 +76,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSessionize: session_window merges within gap, splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val agg = Streams.streamingSessionize(df, "user_id", "ts",
+      gap = "30 minutes", watermarkDelay = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("st_sessions")
+      .outputMode("complete").start()
+    try {
+      // u1: two events 100s apart (one session) + one 5000s later (new
+      // session); u2: one event
+      mem.addData((ts(0), "u1"), (ts(100), "u1"), (ts(5000), "u1"), (ts(0), "u2"))
+      q.processAllAvailable()
+      val rows = spark.table("st_sessions")
+        .select($"user_id", $"session_start", $"n_events")
+        .orderBy("user_id", "session_start")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(rows == Seq(("u1", 0L, 2L), ("u1", 5000L, 1L), ("u2", 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("streamingTumbling produces windowed counts under watermark (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
