@@ -347,7 +347,10 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("bb")))
     // carry sh through the join: the Hamming verify then needs no second
-    // pass over the signature frame
+    // pass over the signature frame. Verify BEFORE dedup: the per-row
+    // xor+popcount is far cheaper than shuffling every duplicate
+    // candidate through distinct — the distinct runs on the (tiny)
+    // verified survivor set instead of the full candidate stream
     val buckets = h.select(col(idCol), col("sh"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("sh"), col("bk.band"), col("bk.bb"))
@@ -355,10 +358,8 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.sh").as("__sa"), col("b.sh").as("__sb"))
-      .distinct()
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
