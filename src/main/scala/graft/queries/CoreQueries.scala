@@ -524,6 +524,24 @@ object CoreQueries {
           unix_millis(col("showing_ended")).as("ended_ms"))
     }),
 
+    // ───── robust JSON ingestion with quarantine (reference reddit pull:
+    // API fields churn, payloads go malformed — bad records must divert,
+    // never kill the batch). Every 7th record is corrupted to exercise
+    // the parse-failure path; records whose declared fields are all null
+    // quarantine too (the "schema is authority" stance at parse time)
+    "q38_json_ingest" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"),
+        when(col("event_id") % 7 === 0, concat(lit("{broken"), col("props")))
+          .otherwise(col("props")).as("props"))
+      val parsed = graft.sources.JsonIngest.parseWithQuarantine(ev, "props",
+        StructType(Seq(StructField("k", LongType))))
+      parsed.good
+        .select(col("event_id"), col("k"), lit("good").as("status"))
+        .unionByName(parsed.quarantine
+          .select(col("event_id"), lit(null).cast("long").as("k"),
+            lit("quarantined").as("status")))
+    }),
+
     // ───── domain flagship: the reference's pull_agg_contestant_stats
     // (helpers/db_funcs.py:4-45) end-to-end, with the survivor tables
     // deterministically synthesized from the TPC-H-ish star schema
@@ -874,6 +892,16 @@ object CoreQueries {
           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY line_no) AS n_in_episode,
           content
         FROM parsed WHERE speaker <> ''""",
+    "q38_json_ingest" ->
+      """WITH ev AS (SELECT event_id,
+          CASE WHEN event_id % 7 = 0 THEN '{broken' || props ELSE props END AS props
+          FROM events),
+        p AS (SELECT event_id,
+          TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
+          FROM ev)
+        SELECT event_id, k, 'good' AS status FROM p WHERE k IS NOT NULL
+        UNION ALL
+        SELECT event_id, NULL AS k, 'quarantined' AS status FROM p WHERE k IS NULL""",
     "q36_active_seasons" ->
       """WITH seasons AS (SELECT o_orderkey AS season_id,
           CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderdate END AS showing_started,

@@ -401,6 +401,24 @@ object ExtensionQueries {
         TextOps.rollingFingerprint(col("text")).as("rfp"))
     }),
 
+    // ───── benchmark decontamination: flag training docs sharing any
+    // word 4-gram with a held-out benchmark set (here: the first 20 docs).
+    // The real-pipeline shape: benchmark shingles are tiny → broadcast
+    // semi-join against the corpus shingle rows; corpus text never
+    // shuffles. Production uses 8–13-grams; 4 fits this corpus's length
+    "x33_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = TextOps.shingleRows(docs, "doc_id", "text", 4)
+      val bench = sh.filter(col("doc_id") < 20).select(col("g")).distinct()
+      val flagged = sh.filter(col("doc_id") >= 20)
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") >= 20).select(col("doc_id"))
+        .join(flagged.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    }),
+
     // ───── multimodal frame-sampling fan-out: decode (stub) → one row per
     // sampled frame (every 3rd), the (asset, frame_idx) contract a video
     // pipeline hands to its pixel stage; every 5th doc plays a "video"
@@ -772,6 +790,20 @@ object ExtensionQueries {
              t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
            (a, b) -> (a * 31 + b) % 2147483647) AS rfp
          FROM documents""",
+    // x33: word 4-gram shingles (same lead-composed short-doc tail rule as
+    // TextOps.shingleRows) → benchmark semi-join → per-doc flag
+    "x33_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(tk) - 4, 0) + 2),
+             i -> array_to_string(list_slice(tk, i, least(i + 3, len(tk))), '_')))) AS g
+           FROM toks),
+         bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20),
+         flagged AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g
+           WHERE s.doc_id >= 20)
+         SELECT d.doc_id, f.doc_id IS NOT NULL AS contaminated
+         FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+         WHERE d.doc_id >= 20""",
     // x32: stub-decode frame counts from payload bytes, frame fan-out via
     // range unnest — mirrors sampleFrames(stride=3)
     "x32_frame_sample" ->
