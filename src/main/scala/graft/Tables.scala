@@ -24,17 +24,13 @@ object Tables {
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else if (name == "documents") {
-      // the synthetic file is ONE parquet row group → one scan task, which
-      // serializes every CPU-heavy per-document stage (tokenize, md5,
-      // shingles) behind a single core. Spread it across the local
-      // parallelism HERE, at the harness seam: a production lake has
-      // enough files/row groups for the scan to split naturally, and you
-      // would never full-shuffle document bodies at scale — this stands in
-      // for a properly-split source, not for an operator.
-      spark.read.parquet(s"$dir/$name.parquet")
-        .repartition(spark.sparkContext.defaultParallelism)
     } else spark.read.parquet(s"$dir/$name.parquet")
+    // NOTE the synthetic files are single parquet row groups, so every
+    // scan is one task locally; a production lake splits naturally across
+    // files/row groups. Deliberately NOT compensated with a repartition
+    // here: that would shuffle document payloads through every query —
+    // including the multimodal paths whose contract is zero payload
+    // shuffles — and measured ~no bench benefit.
   }
 
 }

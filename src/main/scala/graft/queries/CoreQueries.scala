@@ -893,15 +893,19 @@ object CoreQueries {
           content
         FROM parsed WHERE speaker <> ''""",
     "q38_json_ingest" ->
+      // quarantine requires a NON-NULL raw payload (a null input is not a
+      // parse failure — mirrors JsonIngest's `bad` predicate exactly)
       """WITH ev AS (SELECT event_id,
           CASE WHEN event_id % 7 = 0 THEN '{broken' || props ELSE props END AS props
           FROM events),
-        p AS (SELECT event_id,
+        p AS (SELECT event_id, props,
           TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
           FROM ev)
-        SELECT event_id, k, 'good' AS status FROM p WHERE k IS NOT NULL
+        SELECT event_id, k, 'good' AS status FROM p
+        WHERE k IS NOT NULL OR props IS NULL
         UNION ALL
-        SELECT event_id, NULL AS k, 'quarantined' AS status FROM p WHERE k IS NULL""",
+        SELECT event_id, NULL AS k, 'quarantined' AS status FROM p
+        WHERE props IS NOT NULL AND k IS NULL""",
     "q36_active_seasons" ->
       """WITH seasons AS (SELECT o_orderkey AS season_id,
           CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderdate END AS showing_started,

@@ -76,24 +76,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streamingSessionize: session_window merges within gap, splits across it") {
+  test("streamingSessionize: append mode emits only CLOSED sessions as the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
     val df = mem.toDF().toDF("ts", "user_id")
     val agg = Streams.streamingSessionize(df, "user_id", "ts",
       gap = "30 minutes", watermarkDelay = "10 minutes")
     val q = agg.writeStream.format("memory").queryName("st_sessions")
-      .outputMode("complete").start()
+      .outputMode("append").start()
     try {
-      // u1: two events 100s apart (one session) + one 5000s later (new
-      // session); u2: one event
-      mem.addData((ts(0), "u1"), (ts(100), "u1"), (ts(5000), "u1"), (ts(0), "u2"))
-      q.processAllAvailable()
-      val rows = spark.table("st_sessions")
+      def emitted() = spark.table("st_sessions")
         .select($"user_id", $"session_start", $"n_events")
         .orderBy("user_id", "session_start")
         .as[(String, Long, Long)].collect().toSeq
-      assert(rows == Seq(("u1", 0L, 2L), ("u1", 5000L, 1L), ("u2", 0L, 1L)))
+      // batch 1: u1 session [0,1900), u2 session [0,1800) — all still open
+      mem.addData((ts(0), "u1"), (ts(100), "u1"), (ts(0), "u2"))
+      q.processAllAvailable()
+      assert(emitted().isEmpty) // watermark hasn't passed any session end
+      // batch 2 opens a new u1 session at 5000 and (as of the NEXT batch)
+      // advances the watermark to 5000-600=4400
+      mem.addData((ts(5000), "u1"))
+      q.processAllAvailable()
+      // batch 3: watermark 4400 closes both early sessions; the open
+      // [5000, 6800) session must be withheld
+      mem.addData((ts(5100), "u2"))
+      q.processAllAvailable()
+      assert(emitted() == Seq(("u1", 0L, 2L), ("u2", 0L, 1L)))
     } finally q.stop()
   }
 
