@@ -342,7 +342,10 @@ object Dedup {
       s"exact recall needs maxHamming ($maxHamming) < numBands ($numBands)")
     val bandBits = bits / numBands
     val mask = (1L << bandBits) - 1
-    val h = simhashDF(docs, idCol, textCol, bits)
+    // cache: both sides of the bucket self-join read the signature frame —
+    // without it the tokenize+md5+vote pipeline runs twice (same
+    // caller-managed cache lifecycle as minhashLshPairs)
+    val h = simhashDF(docs, idCol, textCol, bits).cache()
     val bandCols = (0 until numBands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("bb")))

@@ -263,7 +263,10 @@ object Similarity {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val numTables = anchors.length / bitsPerTable
-    val v = withNorm(corpus, idCol, vecCol, parts)
+    // cache: the (id, vec, norm) frame feeds the coding pass AND both
+    // sides of the verify join — caller-managed lifecycle, as with
+    // minhashLshPairs' signature cache
+    val v = withNorm(corpus, idCol, vecCol, parts).cache()
     val coded = v.withColumn("__code", bucketCode(col(vecCol), anchors))
     val tableCols = (0 until numTables).map(tb =>
       struct(lit(tb).as("tb"),
