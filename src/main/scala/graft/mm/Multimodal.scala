@@ -1,6 +1,6 @@
 package graft.mm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -79,6 +79,20 @@ object Multimodal {
           fakeDecode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
         }
       }
+  }
+
+  /** Resize planning: target dimensions that fit an asset into a
+    * `maxDim`-square preserving aspect ratio (floor semantics, min 1px;
+    * assets already inside the box keep their dims). A pure integer-math
+    * projection — the real resample happens in the decode stage; THIS is
+    * what the pipeline plans/partitions by, so it stays codegen-friendly
+    * and oracle-checkable. */
+  def resizePlan(w: Column, h: Column, maxDim: Int): Column = {
+    val m = greatest(w, h)
+    def fit(side: Column) =
+      when(m <= maxDim, side)
+        .otherwise(greatest(floor(side * maxDim / m).cast("int"), lit(1)))
+    struct(fit(w).as("new_width"), fit(h).as("new_height"))
   }
 
   /** Frame sampling plumbing: one row per sampled frame index (every

@@ -430,6 +430,18 @@ object ExtensionQueries {
       Multimodal.sampleFrames(Multimodal.decodeFeatures(assets), stride = 3)
         .select(col("asset_id"), col("media_type"), col("n_frames"),
           col("frame_idx"))
+    }),
+
+    // ───── multimodal resize planning: aspect-preserving fit into a
+    // 224-square over the stub-decoded dimensions — the projection a
+    // decode stage partitions/batches by
+    "x34_resize_plan" -> ((s, d) => {
+      Multimodal.decodeFeatures(
+          Multimodal.documentsAsAssets(t(s, d, "documents"))).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          Multimodal.resizePlan(col("width"), col("height"), 224).as("r"))
+        .select(col("asset_id"), col("width"), col("height"),
+          col("r.new_width").as("new_width"), col("r.new_height").as("new_height"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -804,6 +816,28 @@ object ExtensionQueries {
          SELECT d.doc_id, f.doc_id IS NOT NULL AS contaminated
          FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
          WHERE d.doc_id >= 20""",
+    // x34: stub-decode dims from payload bytes (x13's fold), then the
+    // aspect-preserving fit — floor of exact small-int double division,
+    // identical on both engines
+    "x34_resize_plan" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+         s AS (SELECT doc_id, n,
+           COALESCE(CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
+             i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
+             AS BIGINT), 0) AS bsum FROM b),
+         dims AS (SELECT doc_id AS asset_id,
+             CAST(bsum % 640 + 1 AS INT) AS width,
+             CAST(n % 480 + 1 AS INT) AS height
+           FROM s)
+         SELECT asset_id, width, height,
+           CASE WHEN greatest(width, height) <= 224 THEN width
+                ELSE greatest(CAST(floor(width * 224 / greatest(width, height)) AS INT), 1)
+           END AS new_width,
+           CASE WHEN greatest(width, height) <= 224 THEN height
+                ELSE greatest(CAST(floor(height * 224 / greatest(width, height)) AS INT), 1)
+           END AS new_height
+         FROM dims""",
     // x32: stub-decode frame counts from payload bytes, frame fan-out via
     // range unnest — mirrors sampleFrames(stride=3)
     "x32_frame_sample" ->
