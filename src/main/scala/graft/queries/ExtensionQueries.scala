@@ -408,9 +408,14 @@ object ExtensionQueries {
     // shuffles. Production uses 8–13-grams; 4 fits this corpus's length
     "x33_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sh = TextOps.shingleRows(docs, "doc_id", "text", 4)
-      val bench = sh.filter(col("doc_id") < 20).select(col("g")).distinct()
-      val flagged = sh.filter(col("doc_id") >= 20)
+      // filter BEFORE shingling: the benchmark side tokenizes only its own
+      // 20 docs (filter pushes to the scan) instead of re-tokenizing the
+      // whole corpus for each branch
+      val bench = TextOps.shingleRows(docs.filter(col("doc_id") < 20),
+          "doc_id", "text", 4)
+        .select(col("g")).distinct()
+      val flagged = TextOps.shingleRows(docs.filter(col("doc_id") >= 20),
+          "doc_id", "text", 4)
         .join(broadcast(bench), Seq("g"), "left_semi")
         .select(col("doc_id")).distinct()
       docs.filter(col("doc_id") >= 20).select(col("doc_id"))
