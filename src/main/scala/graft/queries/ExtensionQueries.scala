@@ -437,6 +437,30 @@ object ExtensionQueries {
           col("frame_idx"))
     }),
 
+    // ───── Gopher/C4-style repetition + word-length quality rules: token
+    // repetition ratio (1 − distinct/total) and mean word length per doc,
+    // thresholded into a keep flag. One tokenization, partial-combine
+    // aggregation; empty/token-less docs come back via the left join with
+    // keep=false (same missing-group rule as x10)
+    "x35_repetition_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tr = TextOps.tokenRows(docs, "doc_id", "text")
+        .filter(col("tok") =!= "")
+      val agg = tr.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        (sum(length(col("tok"))).cast("double") / count(lit(1))).as("mean_word_len"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+            .as("rep_ratio"),
+          col("mean_word_len"),
+          coalesce(
+            col("n_distinct").cast("double") / col("n_tokens") >= 0.5 &&
+              col("mean_word_len") >= 4.0, lit(false)).as("keep"))
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the stub-decoded dimensions — the projection a
     // decode stage partitions/batches by
@@ -821,6 +845,21 @@ object ExtensionQueries {
          SELECT d.doc_id, f.doc_id IS NOT NULL AS contaminated
          FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
          WHERE d.doc_id >= 20""",
+    // x35: per-doc token repetition + mean word length, thresholded
+    "x35_repetition_filter" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tk
+           FROM documents),
+         a AS (SELECT doc_id, COUNT(*) AS n_tokens,
+             COUNT(DISTINCT tk) AS n_distinct,
+             CAST(SUM(length(tk)) AS DOUBLE) / COUNT(*) AS mean_word_len
+           FROM toks WHERE tk <> '' GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_tokens AS rep_ratio,
+           a.mean_word_len,
+           COALESCE(CAST(a.n_distinct AS DOUBLE) / a.n_tokens >= 0.5
+             AND a.mean_word_len >= 4.0, FALSE) AS keep
+         FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
     // x34: stub-decode dims from payload bytes (x13's fold), then the
     // aspect-preserving fit — floor of exact small-int double division,
     // identical on both engines
