@@ -38,6 +38,18 @@ object ExtensionQueries {
   private def cosSql(a: String, b: String) =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
+  /** DuckDB CTE pair mirroring Multimodal.fakeDecode's input fold: per
+    * doc, the UTF-8 byte count `n` and unsigned byte sum `bsum` (hex the
+    * bytes, list_sum the hex pairs). Shared by x13/x32/x34 so the fold
+    * can't desynchronize between the decode-derived oracles. */
+  private val byteFoldSql =
+    """b AS (SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+       s AS (SELECT doc_id, n,
+         COALESCE(CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
+           i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
+           AS BIGINT), 0) AS bsum FROM b)"""
+
   /** DuckDB CTE chain mirroring Similarity.nearDupPairsBanded over the
     * embeddings table (anchors = vec_id < 16, 4 tables × 4 bits, cosine ≥
     * tau): ends with a `pairs(id_a, id_b, cos)` relation. */
@@ -810,12 +822,7 @@ object ExtensionQueries {
     // unsigned octets), which DuckDB CAN replay: hex the UTF-8 bytes and
     // list_sum the hex pairs — a full value oracle for the decode plumbing
     "x13_multimodal_decode" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
-         s AS (SELECT doc_id, n,
-           COALESCE(CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
-             i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
-             AS BIGINT), 0) AS bsum FROM b)
+      s"""WITH $byteFoldSql
          SELECT doc_id AS asset_id, 'text' AS media_type,
            CAST(bsum % 640 + 1 AS INT) AS width,
            CAST(n % 480 + 1 AS INT) AS height,
@@ -864,12 +871,7 @@ object ExtensionQueries {
     // aspect-preserving fit — floor of exact small-int double division,
     // identical on both engines
     "x34_resize_plan" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
-         s AS (SELECT doc_id, n,
-           COALESCE(CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
-             i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
-             AS BIGINT), 0) AS bsum FROM b),
+      s"""WITH $byteFoldSql,
          dims AS (SELECT doc_id AS asset_id,
              CAST(bsum % 640 + 1 AS INT) AS width,
              CAST(n % 480 + 1 AS INT) AS height
@@ -885,8 +887,7 @@ object ExtensionQueries {
     // x32: stub-decode frame counts from payload bytes, frame fan-out via
     // range unnest — mirrors sampleFrames(stride=3)
     "x32_frame_sample" ->
-      """WITH b AS (SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+      s"""WITH $byteFoldSql,
          f AS (SELECT doc_id AS asset_id,
              CASE WHEN doc_id % 5 = 0 THEN 'video' ELSE 'text' END AS media_type,
              CASE WHEN doc_id % 5 = 0 THEN CAST(n % 24 + 1 AS INT)
