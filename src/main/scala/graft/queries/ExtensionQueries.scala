@@ -157,12 +157,14 @@ object ExtensionQueries {
       TextOps.langIdDF(t(s, d, "documents"), "doc_id", "text")
     }),
 
-    // ───── quality scoring (length/punct/digit components)
+    // ───── quality scoring (length/punct/digit components + natural
+    // stopword rate)
     "x09_quality_score" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
         TextOps.punctRatio(col("text")).as("punct_ratio"),
         TextOps.digitRatio(col("text")).as("digit_ratio"),
-        TextOps.qualityScore(col("text")).as("quality"))
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"))
     }),
 
     // ───── token statistics (whitespace + subword cost model)
@@ -607,11 +609,20 @@ object ExtensionQueries {
     "x09_quality_score" -> {
       val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END"
       val digit = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END"
-      s"""SELECT doc_id, $punct AS punct_ratio, $digit AS digit_ratio,
+      val allSw = TextOps.stopwords.values.flatten.toSeq.distinct.sorted
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tk
+           FROM documents),
+         sw AS (SELECT doc_id, COUNT(*) AS n,
+             COUNT(CASE WHEN tk IN ($allSw) THEN 1 END) AS nsw
+           FROM toks GROUP BY doc_id)
+         SELECT d.doc_id, $punct AS punct_ratio, $digit AS digit_ratio,
          least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
            + (1.0 - least(($punct) * 5.0, 1.0)) * 0.3
-           + (1.0 - least(($digit) * 5.0, 1.0)) * 0.3 AS quality
-         FROM documents"""
+           + (1.0 - least(($digit) * 5.0, 1.0)) * 0.3 AS quality,
+         CASE WHEN sw.n = 0 THEN 0.0
+              ELSE CAST(sw.nsw AS DOUBLE) / sw.n END AS stopword_ratio
+         FROM documents d LEFT JOIN sw ON d.doc_id = sw.doc_id"""
     },
     "x10_token_stats" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tk
