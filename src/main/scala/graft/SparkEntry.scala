@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, ExtensionQueries}
+import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,8 +19,8 @@ object SparkEntry {
     CoreQueries.defs("q29_contestant_stats")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ ExtensionQueries.defs
+    CoreQueries.defs ++ ExtensionQueries.defs ++ CurationQueries.defs
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ ExtensionQueries.oracle
+    CoreQueries.oracle ++ ExtensionQueries.oracle ++ CurationQueries.oracle
 }

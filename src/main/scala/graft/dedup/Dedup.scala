@@ -258,14 +258,32 @@ object Dedup {
     * the convergence counter. Deterministic: min is order-independent.
     * Input: (id_a, id_b) pairs; output: (id, cluster). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          collectThreshold: Long = 2000000L): DataFrame = {
+    // Adaptive physical choice, same rule as broadcast-vs-shuffle joins:
+    // the undirected edge list is first deduped and COUNTED (one bounded
+    // action on (long, long) pairs — no payloads). At or below
+    // `collectThreshold` edges (~32 MB at 16 B/edge, broadcast-scale) the
+    // component labels come from a driver-side union-find: zero iterative
+    // jobs, exactly the min-label semantics of the distributed loop.
+    // Above it, the pointer-jumping loop below runs — that path's cost is
+    // per-ROUND (log diameter), which only amortizes on graphs too big to
+    // collect. Measured at sf0.1: the loop spent ~5 s of per-round
+    // plan-compile + checkpoint overhead labelling a 256-edge graph the
+    // union-find handles in milliseconds.
+    val undirected = pairs
+      .select(least(col(idA), col(idB)).as("a"),
+        greatest(col(idA), col(idB)).as("b"))
+      .distinct().localCheckpoint()
+    if (undirected.count() <= collectThreshold)
+      return unionFindLabels(undirected)
     // localCheckpoint (not cache) each round: the loop references `labels`
     // three times per iteration, so without LINEAGE truncation the logical
     // plan grows 3^rounds and analysis alone OOMs — the standard iterative-
     // algorithm discipline on Spark
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
-      .distinct().localCheckpoint()
+    val edges = undirected.select(col("a"), col("b"))
+      .unionByName(undirected.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
@@ -302,6 +320,44 @@ object Dedup {
     // would replay the whole iteration); callers own the unpersist, as with
     // minhashLshPairs.
     labels
+  }
+
+  /** Driver-side union-find over a collected (deduped, bounded) edge list
+    * — the small-graph physical plan of [[connectedComponents]]. Union by
+    * MIN root: every union keeps the component's minimum id as the root,
+    * so the final root of any node IS the min reachable id — identical
+    * semantics to the distributed loop, independent of edge order. */
+  private def unionFindLabels(undirected: DataFrame): DataFrame = {
+    val spark = undirected.sparkSession
+    val idType = undirected.schema("a").dataType
+    val es = undirected
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rows = parent.keysIterator.toArray.sorted
+      .map(id => org.apache.spark.sql.Row(id, find(id)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+      .select(col("id").cast(idType).as("id"),
+        col("cluster").cast(idType).as("cluster"))
   }
 
   /** SimHash near-dup pairs, ALL-PAIRS baseline: self-join on bit_count of

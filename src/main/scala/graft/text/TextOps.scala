@@ -88,6 +88,25 @@ object TextOps {
       .distinct()
   }
 
+  /** Non-overlapping m-token chunks as rows: (idCol, chunk_idx,
+    * chunk_hash). The CCNet/RefinedWeb "line dedup" unit generalized to
+    * fixed token blocks (the synthetic corpus has no newlines to split
+    * on). Chunk identity = md5 of the '_'-joined tokens in document order
+    * (oracle-replayable). Built from token rows — ONE tokenization in the
+    * scan stage — and a bounded per-group fold (≤ m tokens per chunk, so
+    * no unbounded aggregation state; the lambda runs over the already
+    * materialized struct array, not the tokenizer). */
+  def chunkRows(docs: DataFrame, idCol: String, textCol: String,
+                m: Int): DataFrame = {
+    require(m > 0, s"chunk size must be positive, got $m")
+    tokenRows(docs, idCol, textCol)
+      .withColumn("chunk_idx", floor(col("pos") / m).cast("long"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), "_")).as("chunk_hash"))
+  }
+
   /** Language ID over token rows (same result as [[langId]], computed with
     * one tokenization + one aggregation instead of 4 embedded tokenizer
     * copies). Output: (idCol, lang_pred). */

@@ -88,4 +88,20 @@ class SimilaritySpec extends SparkSpec {
     assert(banded.subsetOf(allPairs))
     assert(banded.map(p => (p._1, p._2)) == Set((0L, 1L)))
   }
+
+  test("semanticDedup marks higher-id near-dups within a cell, keeps the rest") {
+    // centroids = vectors 0 and 2: cells split on x-vs-y alignment.
+    // v1 lands in v0's cell at cos≈0.994 ≥ 0.9 → duplicate of v0;
+    // v3/v4 sit alone (or below tau) → kept. Cell of v3 (-x): nearest
+    // centroid by cosine is 2 (cos 0 beats -1); v4 ties 0/2 at cos 0 →
+    // lowest cid wins (0).
+    val cent = corpus.filter($"vec_id" isin (0L, 2L))
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        cent, "cid", "cvec", tau = 0.9)
+      .orderBy("vec_id").select("vec_id", "cell", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((0L, 0L, false), (1L, 0L, true), (2L, 2L, false),
+      (3L, 2L, false), (4L, 0L, false)))
+  }
 }

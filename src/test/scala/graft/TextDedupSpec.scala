@@ -133,6 +133,38 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (7L, 7L), (8L, 7L)))
   }
 
+  test("chunkRows emits ordered non-overlapping m-token chunks; identical docs share hashes") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // chunks: a_b_c_d, e_f
+      (2L, "a b c d e f"), // identical → same two hashes
+      (3L, "e f")) // equals doc 1's tail chunk
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkRows(docs, "doc_id", "text", 4)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_hash")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L), (3L, 0L)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    assert(byDoc(1L) == byDoc(2L)) // identical docs, identical chunk hashes
+    assert(byDoc(3L).head == byDoc(1L)(1)) // "e f" == doc 1's second chunk
+    assert(byDoc(1L).distinct.size == 2)
+  }
+
+  test("connectedComponents: distributed loop path (collectThreshold=0) matches union-find") {
+    // reversed/duplicated edge directions must not matter on either path
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 8L), (8L, 7L), (10L, 9L))
+      .toDF("id_a", "id_b")
+    val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (7L, 7L), (8L, 7L), (9L, 9L), (10L, 9L))
+    val viaLoop = Dedup.connectedComponents(pairs, collectThreshold = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val viaUf = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(viaLoop == expected)
+    assert(viaUf == expected)
+  }
+
   test("scrubPii replaces emails, urls, digit runs; URL stops at newline") {
     val out = Seq("mail me at bob@example.com or see https://ex.co/a?id=12345 code 987654")
       .toDF("text").select(TextOps.scrubPii($"text")).as[String].collect().head
