@@ -56,7 +56,10 @@ object CurationQueries {
     // global chunk frequency by distinct-doc count, per-doc duplicate
     // ratio + keep flag. Only md5 hashes shuffle — never chunk text
     "x38_chunk_dedup" -> ((s, d) => {
+      // cache: the chunk frame feeds the global-frequency branch AND the
+      // per-doc join side (caller-managed lifecycle, as in ExtensionQueries)
       val ch = TextOps.chunkRows(t(s, d, "documents"), "doc_id", "text", 4)
+        .cache()
       val freq = ch.groupBy(col("chunk_hash"))
         .agg(countDistinct(col("doc_id")).as("nd"))
       ch.join(freq, Seq("chunk_hash"))

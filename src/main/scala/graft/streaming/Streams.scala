@@ -115,6 +115,21 @@ object Streams {
     }
   }
 
+  /** Watermark-bounded streaming dedup — the built-in, bounded-state
+    * production form of [[streamingFirstSeen]]: duplicates of a key
+    * arriving within the watermark delay collapse to the first; a key's
+    * state is evicted once the watermark passes it, so the store size
+    * tracks the delay window instead of all-time key cardinality. The
+    * right trade for at-least-once sources whose duplicates arrive close
+    * together (the reference's re-delivered REST pages, S7); use
+    * streamingFirstSeen only when duplicates can arrive arbitrarily late
+    * AND the key space is bounded. */
+  def streamingDedupWithinWatermark(stream: DataFrame, tsCol: String,
+                                    watermarkDelay: String,
+                                    keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** foreachBatch upsert sink: idempotent micro-batch loads into a parquet
     * target (reference K1 semantics under streaming). */
   def upsertEachBatch(writer: DataStreamWriter[Row], targetPath: String,

@@ -76,6 +76,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedupWithinWatermark: in-window duplicates collapse to first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "k", "v")
+    val out = Streams.streamingDedupWithinWatermark(df, "ts", "10 minutes", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      // NOTE the contract: ONE survivor per key within the watermark
+      // window — which duplicate survives inside a single micro-batch is
+      // not ordered, so duplicates here arrive in later batches. Times sit
+      // above epoch 0: the initial watermark IS 0, and an event at exactly
+      // 0 would be dropped as late before any state exists.
+      mem.addData((ts(10000), 1L, "a"), (ts(10010), 2L, "b"))
+      q.processAllAvailable()
+      mem.addData((ts(10060), 1L, "a-redeliver")) // same key, still in window
+      q.processAllAvailable()
+      val rows = spark.table("wm_dedup").select($"k", $"v")
+        .orderBy("k").as[(Long, String)].collect().toSeq
+      assert(rows == Seq((1L, "a"), (2L, "b")))
+    } finally q.stop()
+  }
+
   test("streamingSessionize: append mode emits only CLOSED sessions as the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
