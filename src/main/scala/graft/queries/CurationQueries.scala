@@ -90,13 +90,9 @@ object CurationQueries {
     // engines
     "x40_quality_classifier" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val bucket = pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
-        .cast("long"), lit(64L))
-      val weight = pmod(conv(substring(md5(concat(lit("w"), bucket)), 1, 8), 16, 10)
-        .cast("long"), lit(1001L)) - 500L
       val agg = TextOps.tokenRows(docs, "doc_id", "text")
         .filter(col("tok") =!= "")
-        .withColumn("w", weight)
+        .withColumn("w", TextOps.hashedTokenWeight(col("tok")))
         .groupBy(col("doc_id"))
         .agg(sum(col("w")).as("sw"), count(lit(1)).as("n"))
       docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
@@ -104,6 +100,37 @@ object CurationQueries {
           coalesce(col("n"), lit(0L)).as("n_tokens"),
           (col("sw").cast("double") / 500.0 / col("n")).as("score"),
           coalesce(col("sw") > 0, lit(false)).as("keep"))
+    }),
+
+    // ───── composed curation v2 — the round-3 ops chained as one recipe:
+    // chunk-dedup keep ∧ classifier keep ∧ mixture sample → per-source
+    // surviving doc/token counts. ONE tokenization feeds both the chunk
+    // and classifier branches (chunkRowsOfTokens / shared token cache)
+    "x42_curation_v2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // cache: the token frame feeds the chunk branch and the classifier
+      // branch (caller-managed lifecycle, as elsewhere)
+      val tr = TextOps.tokenRows(docs, "doc_id", "text").cache()
+      val ch = TextOps.chunkRowsOfTokens(tr, "doc_id", 4)
+      val freq = ch.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val dedupKeep = ch.join(freq, Seq("chunk_hash"))
+        .groupBy(col("doc_id"))
+        .agg((sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)) < 0.5).as("k_dedup"))
+      val clsKeep = tr.filter(col("tok") =!= "")
+        .withColumn("w", TextOps.hashedTokenWeight(col("tok")))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("w")) > 0).as("k_cls"), count(lit(1)).as("n_tokens"))
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+      val sampled = conv(substring(md5(concat(lit("mix_"), col("doc_id"))), 1, 6), 16, 10)
+        .cast("long") * 100 < (lit(25L) + (srcNum % 16) * 5) * 16777216L
+      docs.select(col("doc_id"), col("source"), sampled.as("k_mix"))
+        .join(dedupKeep, Seq("doc_id"))
+        .join(clsKeep, Seq("doc_id"))
+        .filter(col("k_dedup") && col("k_cls") && col("k_mix"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     }),
 
     // ───── context-window chunking: overlapping training windows (size 32
@@ -181,6 +208,36 @@ object CurationQueries {
            CAST(sw AS DOUBLE) / 500.0 / n AS score,
            COALESCE(sw > 0, FALSE) AS keep
          FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+    "x42_curation_v2" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+         ch AS (SELECT doc_id, unnest(list_transform(
+             range(0, CAST(ceil(len(tk) / 4.0) AS BIGINT)),
+             i -> md5(array_to_string(list_slice(tk, CAST(i * 4 + 1 AS INT),
+               CAST(least((i + 1) * 4, len(tk)) AS INT)), '_')))) AS h
+           FROM toks),
+         f AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h),
+         ded AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) < 0.5 AS k_dedup
+           FROM ch JOIN f USING (h) GROUP BY doc_id),
+         tw AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         w AS (SELECT doc_id,
+             CAST(('0x' || substr(md5('w' ||
+               (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64)), 1, 8))
+               AS BIGINT) % 1001 - 500 AS wt
+           FROM tw WHERE tok <> ''),
+         cls AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) > 0 AS k_cls,
+             COUNT(*) AS n_tokens FROM w GROUP BY doc_id),
+         mix AS (SELECT doc_id, source,
+             CAST(('0x' || substr(md5('mix_' || doc_id), 1, 6)) AS BIGINT) * 100
+               < (25 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 16) * 5)
+                 * 16777216 AS k_mix
+           FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         FROM mix JOIN ded USING (doc_id) JOIN cls USING (doc_id)
+         WHERE k_dedup AND k_cls AND k_mix
+         GROUP BY source""",
     "x41_train_windows" ->
       s"""WITH n AS (SELECT doc_id, len(string_split($normSql, ' ')) AS n_tokens
            FROM documents)

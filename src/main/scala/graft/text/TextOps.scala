@@ -97,14 +97,31 @@ object TextOps {
     * no unbounded aggregation state; the lambda runs over the already
     * materialized struct array, not the tokenizer). */
   def chunkRows(docs: DataFrame, idCol: String, textCol: String,
-                m: Int): DataFrame = {
+                m: Int): DataFrame =
+    chunkRowsOfTokens(tokenRows(docs, idCol, textCol), idCol, m)
+
+  /** [[chunkRows]] over already-materialized token rows — the form
+    * composed pipelines use so tokenization runs once across consumers. */
+  def chunkRowsOfTokens(tr: DataFrame, idCol: String, m: Int): DataFrame = {
     require(m > 0, s"chunk size must be positive, got $m")
-    tokenRows(docs, idCol, textCol)
-      .withColumn("chunk_idx", floor(col("pos") / m).cast("long"))
+    tr.withColumn("chunk_idx", floor(col("pos") / m).cast("long"))
       .groupBy(col(idCol), col("chunk_idx"))
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok")), "_")).as("chunk_hash"))
+  }
+
+  /** Deterministic hashed-feature weight of a token (fastText-shaped
+    * linear-model feature): token → md5 bucket in [0, buckets) →
+    * fixed integer weight in [-span, span], derived from md5 of the
+    * bucket id. Engine-portable (md5 + integer arithmetic only) so a SQL
+    * oracle replays it exactly; sums of these are long-exact. */
+  def hashedTokenWeight(tok: Column, buckets: Int = 64,
+                        span: Int = 500): Column = {
+    val bucket = pmod(conv(substring(md5(tok), 1, 8), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+    pmod(conv(substring(md5(concat(lit("w"), bucket)), 1, 8), 16, 10)
+      .cast("long"), lit(2L * span + 1)) - span.toLong
   }
 
   /** Language ID over token rows (same result as [[langId]], computed with
