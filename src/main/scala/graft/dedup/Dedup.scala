@@ -322,6 +322,42 @@ object Dedup {
     labels
   }
 
+  /** The two bloom probe positions of a string value: md5 sliced into two
+    * independent 32-bit halves, each mod `mBits`. Engine-portable (md5 +
+    * integer arithmetic), so a SQL oracle replays the exact same bits —
+    * false positives and all. */
+  def bloomPositions(g: Column, mBits: Int): Column =
+    array(
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(mBits.toLong)),
+      pmod(conv(substring(md5(g), 9, 8), 16, 10).cast("long"), lit(mBits.toLong)))
+
+  /** Build a bloom bitmap ('0'/'1' string of length `mBits`) from a
+    * column of member strings. Driver-side but BOUNDED: the collect is
+    * the distinct probe-position set, capped at `mBits` values however
+    * large the member set grows — the whole point of shipping a bloom
+    * filter instead of the member set itself. */
+  def bloomBitmap(members: DataFrame, gCol: String, mBits: Int): String = {
+    val pos = members
+      .select(explode(bloomPositions(col(gCol), mBits)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val sb = new StringBuilder("0" * mBits)
+    pos.foreach(p => sb.setCharAt(p.toInt, '1'))
+    sb.toString
+  }
+
+  /** Probe a bloom bitmap column/literal: true iff BOTH probe bits are
+    * set. No join, no shuffle — a pure projection against a broadcast
+    * literal, which is the 100 TB shape for membership tests against a
+    * set too large to broadcast exactly (FP rate ≈ (load)², one-sided:
+    * never misses a real member). */
+  def bloomMightContain(g: Column, bitmap: Column, mBits: Int): Column = {
+    val ps = bloomPositions(g, mBits)
+    (1 to 2).map(i =>
+      call_function("substring", bitmap,
+        element_at(ps, i).cast("int") + 1, lit(1)) === "1")
+      .reduce(_ && _)
+  }
+
   /** Driver-side union-find over a collected (deduped, bounded) edge list
     * — the small-graph physical plan of [[connectedComponents]]. Union by
     * MIN root: every union keeps the component's minimum id as the root,

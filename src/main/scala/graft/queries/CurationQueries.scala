@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.dedup.Dedup
 import graft.similarity.Similarity
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -133,6 +134,29 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     }),
 
+    // ───── x33's broadcast-bloom twin: decontamination when the benchmark
+    // suite is too big to broadcast as an exact set. The bench 4-grams
+    // compress to a 2^18-bit bloom (collect bounded by mBits, NOT by
+    // suite size); corpus grams probe the bitmap literal — a pure
+    // projection, no join on the corpus side. One-sided error: flags ⊇
+    // the exact x33 flags (false positives only), and the oracle replays
+    // the identical bitmap semantics, FPs included
+    "x43_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mBits = 262144
+      val bench = TextOps.shingleRows(docs.filter(col("doc_id") < 20),
+        "doc_id", "text", 4).select(col("g")).distinct()
+      val bm = lit(Dedup.bloomBitmap(bench, "g", mBits))
+      val flagged = TextOps.shingleRows(docs.filter(col("doc_id") >= 20),
+          "doc_id", "text", 4)
+        .filter(Dedup.bloomMightContain(col("g"), bm, mBits))
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") >= 20).select(col("doc_id"))
+        .join(flagged.withColumn("c", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("c"), lit(false)).as("contaminated_bloom"))
+    }),
+
     // ───── context-window chunking: overlapping training windows (size 32
     // tokens, stride 24) per doc — the (doc, window, token-range) contract
     // a tokenize-and-pack stage emits. Pure per-row arithmetic: no token
@@ -208,6 +232,25 @@ object CurationQueries {
            CAST(sw AS DOUBLE) / 500.0 / n AS score,
            COALESCE(sw > 0, FALSE) AS keep
          FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+    "x43_bloom_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(tk) - 4, 0) + 2),
+             i -> array_to_string(list_slice(tk, i, least(i + 3, len(tk))), '_')))) AS g
+           FROM toks),
+         bpos AS (SELECT DISTINCT unnest([
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 262144,
+             CAST(('0x' || substr(md5(g), 9, 8)) AS BIGINT) % 262144]) AS pos
+           FROM (SELECT DISTINCT g FROM sh WHERE doc_id < 20)),
+         fl AS (SELECT DISTINCT doc_id FROM sh
+           WHERE doc_id >= 20
+             AND CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 262144
+               IN (SELECT pos FROM bpos)
+             AND CAST(('0x' || substr(md5(g), 9, 8)) AS BIGINT) % 262144
+               IN (SELECT pos FROM bpos))
+         SELECT d.doc_id, f.doc_id IS NOT NULL AS contaminated_bloom
+         FROM documents d LEFT JOIN fl f ON d.doc_id = f.doc_id
+         WHERE d.doc_id >= 20""",
     "x42_curation_v2" ->
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
          ch AS (SELECT doc_id, unnest(list_transform(

@@ -125,6 +125,16 @@ class TextDedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bloom membership is one-sided: every true member probes positive") {
+    val members = Seq("a_b", "c_d", "e_f").toDF("g")
+    val bm = Dedup.bloomBitmap(members, "g", mBits = 1024)
+    assert(bm.length == 1024 && bm.count(_ == '1') <= 6)
+    val probe = Seq("a_b", "c_d", "e_f", "zz_qq", "x_y").toDF("g")
+    val got = probe.filter(Dedup.bloomMightContain(col("g"), lit(bm), 1024))
+      .as[String].collect().toSet
+    assert(Set("a_b", "c_d", "e_f").subsetOf(got)) // no false negatives
+  }
+
   test("connectedComponents: chain graph collapses to one cluster, islands stay apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
       .toDF("id_a", "id_b")
