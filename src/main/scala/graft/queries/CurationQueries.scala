@@ -157,6 +157,46 @@ object CurationQueries {
           coalesce(col("c"), lit(false)).as("contaminated_bloom"))
     }),
 
+    // ───── count-min-sketch heavy hitters: exact corpus-wide top-20
+    // tokens plus a contract bit asserting the CMS estimate landed inside
+    // its guarantee band (est ≥ exact always — counters only over-count;
+    // est ≤ exact + 2ε·N with ε = 0.001 at confidence 0.99 — asserted at
+    // DOUBLE the eps bound, so the contract holds with huge margin). The
+    // sketch is one partial-aggregated pass (counter-array merge is
+    // commutative → partition-order independent), the probe set is the
+    // bounded top-k list, and the sketch itself is ~100 KB however large
+    // the corpus — the form that still runs when exact per-token counts
+    // don't fit anywhere. Completes the sketch family: HLL (x31), GK
+    // (x28/x29), bloom (x43), CMS (here).
+    "x44_heavy_hitters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tr = TextOps.tokenRows(docs, "doc_id", "text")
+        .filter(col("tok") =!= "").cache()
+      val top = tr.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(20)
+      val sketchBytes = tr
+        .select(expr(
+          "count_min_sketch(tok, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+      val band = (0.002 * cms.totalCount()).toLong
+      val rows = top.collect().map { r =>
+        val tok = r.getString(0)
+        val n = r.getLong(1)
+        val est = cms.estimateCount(tok)
+        org.apache.spark.sql.Row(tok, n, est >= n && est <= n + band)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_exact",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("cms_ok",
+          org.apache.spark.sql.types.BooleanType, nullable = true)))
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+    }),
+
     // ───── context-window chunking: overlapping training windows (size 32
     // tokens, stride 24) per doc — the (doc, window, token-range) contract
     // a tokenize-and-pack stage emits. Pure per-row arithmetic: no token
@@ -232,6 +272,12 @@ object CurationQueries {
            CAST(sw AS DOUBLE) / 500.0 / n AS score,
            COALESCE(sw > 0, FALSE) AS keep
          FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+    "x44_heavy_hitters" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+           FROM documents)
+         SELECT tok, COUNT(*) AS n_exact, TRUE AS cms_ok
+         FROM toks WHERE tok <> ''
+         GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20""",
     "x43_bloom_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -59,6 +59,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkRows: chunk count = ceil(tokens/m); chunks reassemble the token stream") {
+    val docGen = Gen.listOfN(12, for {
+      n <- Gen.choose(1, 17) // straddle multiples of m=4
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield toks.mkString(" "))
+    for (seed <- 1L to 4L) {
+      val texts = sample(docGen, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.text.TextOps.chunkRows(docs, "doc_id", "text", 4)
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val nTok = t.split(" ").length
+        assert(got(i.toLong) == (nTok + 3) / 4, s"seed=$seed doc=$i")
+      }
+      // identical docs produce identical hash sequences (dedup soundness)
+      val dup = Seq((1L, texts.head), (2L, texts.head)).toDF("doc_id", "text")
+      val hs = graft.text.TextOps.chunkRows(dup, "doc_id", "text", 4)
+        .orderBy("doc_id", "chunk_idx")
+        .select("doc_id", "chunk_hash").as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      assert(hs(1L) == hs(2L), s"seed=$seed")
+    }
+  }
+
+  test("hashedTokenWeight stays in [-span, span] for arbitrary tokens") {
+    val tokGen = Gen.listOfN(60, Gen.identifier.map(_.take(12)))
+    for (seed <- 1L to 3L) {
+      val toks = sample(tokGen, seed)
+      val out = toks.toDF("tok")
+        .select(graft.text.TextOps.hashedTokenWeight(col("tok"), 64, 500).as("w"))
+        .as[Long].collect()
+      assert(out.forall(w => w >= -500 && w <= 500), s"seed=$seed")
+    }
+  }
+
+  test("bloom: no false negatives for any member set") {
+    for (seed <- 1L to 3L) {
+      val members = sample(Gen.listOfN(40, Gen.identifier.map(_.take(10))), seed)
+        .distinct
+      val bm = graft.dedup.Dedup.bloomBitmap(
+        members.toDF("g"), "g", mBits = 4096)
+      val survived = members.toDF("g")
+        .filter(graft.dedup.Dedup.bloomMightContain(col("g"), lit(bm), 4096))
+        .count()
+      assert(survived == members.length, s"seed=$seed")
+    }
+  }
+
   test("asof: matched ts is the maximum build ts <= probe ts (or null)") {
     val evGen = Gen.listOfN(25, for {
       k <- Gen.choose(0, 2)
