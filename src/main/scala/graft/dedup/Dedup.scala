@@ -135,9 +135,17 @@ object Dedup {
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
       .cache()
+    // length filter (classic similarity-join prune, e.g. Arasu et al.):
+    // J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so any pair whose
+    // shingle-set sizes differ by more than tau× cannot reach the
+    // threshold — pruning it INSIDE the join condition drops the pair
+    // before it ever reaches the counting aggregation. Output-identical.
+    val lengthOk =
+      col("a.n") >= col("b.n") * tau && col("b.n") >= col("a.n") * tau
     val blockEq = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
-      .foldLeft(col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))(_ && _)
+      .foldLeft(col("a.g") === col("b.g") &&
+        col(s"a.$idCol") < col(s"b.$idCol") && lengthOk)(_ && _)
     inv.as("a").join(inv.as("b"), blockEq)
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
