@@ -87,20 +87,58 @@ object Dedup {
     lshCandidatePairs(signed, idCol, numHashes, rowsPerBand, tau)
   }
 
+  /** (id, band, band-hash) rows of a signature frame — the LSH banding
+    * projection shared by the self-join and between-frames candidate
+    * generators. */
+  private def bandBuckets(signed: DataFrame, idCol: String,
+                          numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("h"))
+    }
+    signed
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.h"))
+  }
+
+  /** LSH candidate pairs BETWEEN two signature frames over disjoint id
+    * spaces (id_a from `signedLeft`, id_b from `signedRight`), with the
+    * estimated Jaccard filter of [[minhashLshPairs]]. The incremental-
+    * ingest shape: the right side is the standing corpus index (at scale,
+    * precomputed and stored — signatures are append-only state), the left
+    * side is the new batch, and the bucket join costs |batch| probes of
+    * the band index instead of a corpus self-join. */
+  def lshPairsBetween(signedLeft: DataFrame, signedRight: DataFrame,
+                      idCol: String, numHashes: Int, rowsPerBand: Int,
+                      tau: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val lb = bandBuckets(signedLeft, idCol, numHashes, rowsPerBand)
+    val rb = bandBuckets(signedRight, idCol, numHashes, rowsPerBand)
+    val cands = lb.as("l")
+      .join(rb.as("r"),
+        col("l.band") === col("r.band") && col("l.h") === col("r.h"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    val sigEq = (0 until numHashes)
+      .map(i => when(col(s"la.sig_$i") === col(s"rb.sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(signedLeft.as("la"), col("id_a") === col(s"la.$idCol"))
+      .join(signedRight.as("rb"), col("id_b") === col(s"rb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        (sigEq.cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= tau)
+  }
+
   /** Banding + estimated-Jaccard filter over an already-computed (cached)
     * signature frame — shared by [[minhashLshPairs]] and
     * [[lshDedupClusters]]. */
   private def lshCandidatePairs(signed: DataFrame, idCol: String,
                                 numHashes: Int, rowsPerBand: Int,
                                 tau: Double): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val bandCols = (0 until numBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("h"))
-    }
-    val buckets = signed
-      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.h"))
+    val buckets = bandBuckets(signed, idCol, numHashes, rowsPerBand)
     val cands = buckets.as("l")
       .join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
@@ -154,6 +192,45 @@ object Dedup {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| — the partial-dup
+    * relation Jaccard misses (a short doc quoted inside a long one has
+    * high containment but low Jaccard, so Jaccard-LSH never surfaces it).
+    * Inverted-index join over shingle rows with the containment length
+    * filter (C(A→B) ≥ t forces |B| ≥ t·|A|, and symmetrically — pairs
+    * outside either bound are pruned INSIDE the join condition), then
+    * exact set counting. Emits both directions plus Jaccard for pairs
+    * where either containment ≥ `minContainment`.
+    *
+    * Scale shape: same inverted-index profile as [[ngramJaccardPairs]] —
+    * quadratic per posting list, so at 100 TB it runs behind blocking
+    * keys or over LSH/band candidates; the length filter alone prunes the
+    * long tail of size-mismatched pairs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, minContainment: Double): DataFrame = {
+    val sh = TextOps.shingleRows(docs, idCol, textCol, k)
+    // cache: the inverted index feeds both sides of the self-join
+    val inv = sh.withColumn("n",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .cache()
+    val lengthOk =
+      col("b.n") >= col("a.n") * minContainment ||
+        col("a.n") >= col("b.n") * minContainment
+    inv.as("a").join(inv.as("b"),
+        col("a.g") === col("b.g") &&
+          col(s"a.$idCol") < col(s"b.$idCol") && lengthOk)
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / col("na")).as("containment_a"),
+        (col("common").cast("double") / col("nb")).as("containment_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .filter(col("containment_a") >= minContainment ||
+        col("containment_b") >= minContainment)
   }
 
   /** Exact Jaccard for a GIVEN candidate pair list — the verification

@@ -197,6 +197,162 @@ object CurationQueries {
       s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
     }),
 
+    // ───── exact substring dedup with REMOVAL (Lee et al. 2022,
+    // arXiv:2107.06499 §4, re-expressed at chunk granularity): the global
+    // first occurrence of every 4-token chunk survives (first = lowest
+    // (doc_id, chunk_idx) — deterministic), later copies are dropped, and
+    // each document is reassembled from its surviving chunks. x38 only
+    // MEASURES duplication; this one rewrites the text. The window
+    // partitions on md5(chunk) so only 32-char keys + chunk text shuffle
+    // once; per-doc reassembly state is bounded by document length (you
+    // cannot rebuild a document without holding its chunks)
+    "x45_chunk_scrub" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ch = TextOps.chunkTextRows(docs, "doc_id", "text", 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("chunk")))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      val kept = ch.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            c => c.getField("chunk")), " ").as("cleaned"),
+          count(lit(1)).as("n_kept"))
+      docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
+
+    // ───── quantized ANN (the memory half of product quantization): int8
+    // scalar codes from a per-dim (min,max) calibration pass, then top-5
+    // neighbors by INTEGER dot product in code space. Codes are 4× smaller
+    // than float32 and the ranking surface is pure integers — no float
+    // rounding anywhere, so the oracle replays it exactly. The dot runs
+    // through the codegen graft_vec_dot on float-cast codes (0..255 and
+    // 64-dim products are exact in double; cast back to long loses
+    // nothing)
+    "x46_quantized_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (lows, highs) = Similarity.dimRanges(emb, "embedding")
+      val coded = emb.select(col("vec_id"),
+        Similarity.quantizeCodes(col("embedding"), lows, highs)
+          .cast("array<float>").as("fcodes"))
+      val q = coded.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("fcodes").as("qcodes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("idot").desc, col("vec_id"))
+      coded.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.dot(col("qcodes"), col("fcodes")).cast("long").as("idot"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    }),
+
+    // ───── vocabulary-coverage filter: top-20 corpus tokens by frequency
+    // (ties broken by token) form the vocabulary; a document's coverage is
+    // the fraction of its tokens inside it. The OOV-rate quality rule:
+    // low coverage ⇒ junk/foreign/encoding-garbage. Vocab is data-derived
+    // and bounded (20 rows) → broadcast; the corpus side is one
+    // tokenization + one aggregation
+    "x47_vocab_coverage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // cache: token rows feed the vocab ranking AND the per-doc coverage
+      // aggregation (caller-managed lifecycle, as elsewhere)
+      val tr = TextOps.tokenRows(docs, "doc_id", "text")
+        .filter(col("tok") =!= "").cache()
+      val vocab = tr.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)
+        .select(col("tok"), lit(true).as("__v"))
+      val agg = tr.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__v"), 1L).otherwise(0L)).as("n_in_vocab"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"))
+        .withColumn("coverage",
+          when(col("n_tokens") === 0, lit(null).cast("double"))
+            .otherwise(col("n_in_vocab").cast("double") / col("n_tokens")))
+        .withColumn("keep", coalesce(col("coverage") >= 0.7, lit(false)))
+    }),
+
+    // ───── ANN recall evaluation: recall@10 of the IVF index (x15's
+    // operator: 16 data-derived centroids, 2 probes) against brute-force
+    // ground truth, per query. The eval harness every approximate index
+    // needs before it replaces an exact scan — and because the IVF path is
+    // fully deterministic, the oracle recomputes BOTH sides and the recall
+    // matches exactly, not just within a band
+    "x48_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        qs, "qid", "qvec", cent, "cid", "cvec", k = 10, probes = 2)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"),
+          lit(true).as("__hit"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        qs, "qid", "qvec", k = 10)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          (col("n_hit").cast("double") / 10).as("recall"),
+          (col("n_hit") >= 3).as("recall_ok"))
+    }),
+
+    // ───── incremental batch-vs-corpus dedup: the continuous-ingest shape
+    // of x27. The "new batch" (doc_id ≡ 0 mod 5 — scale-invariant split)
+    // is checked against the standing corpus (everything else) WITHOUT a
+    // corpus self-join: exact duplicates via a fingerprint lookup, near
+    // duplicates via LSH band probes of the corpus signature index
+    // (Dedup.lshPairsBetween) verified by exact Jaccard on candidates
+    // only. At scale the corpus signatures/bands are precomputed
+    // append-only state — per-batch cost is |batch| band probes, not a
+    // corpus scan. One shingle frame feeds signatures AND verification
+    // (single tokenization; caller-managed cache lifecycle, as elsewhere)
+    "x49_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val isNew = col("doc_id") % 5 === 0
+      val fpAll = docs.select(col("doc_id"),
+        graft.text.TextOps.fingerprint(col("text")).as("fp"))
+      val fpCorpus = fpAll.filter(!isNew).select(col("fp")).distinct()
+        .withColumn("__e", lit(true))
+      val exact = fpAll.filter(isNew)
+        .join(broadcast(fpCorpus), Seq("fp"), "left")
+        .select(col("doc_id"), coalesce(col("__e"), lit(false)).as("exact_dup"))
+      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2).cache()
+      val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cache()
+      val cands = Dedup.lshPairsBetween(
+        signed.filter(isNew), signed.filter(!isNew),
+        "doc_id", numHashes = 12, rowsPerBand = 3, tau = 0.25)
+        .select(col("id_a"), col("id_b"))
+      val near = Dedup.jaccardForShingles(sh, "doc_id", cands)
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id_a").as("doc_id")).distinct()
+        .withColumn("__n", lit(true))
+      exact.join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_dup"),
+          coalesce(col("__n"), lit(false)).as("near_dup"))
+        .withColumn("accept", !col("exact_dup") && !col("near_dup"))
+    }),
+
+    // ───── asymmetric containment (partial-dup / quote detection): the
+    // relation Jaccard-dedup misses — a document mostly CONTAINED in
+    // another (C(A→B) = |A∩B|/|A| ≥ 0.8) scores low Jaccard when sizes
+    // differ. Inverted-index join with the containment length filter
+    // pruning inside the join condition (output-identical — a pruned pair
+    // cannot reach the threshold)
+    "x50_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 3, minContainment = 0.8)),
+
     // ───── context-window chunking: overlapping training windows (size 32
     // tokens, stride 24) per doc — the (doc, window, token-range) contract
     // a tokenize-and-pack stage emits. Pure per-row arithmetic: no token
@@ -327,6 +483,148 @@ object CurationQueries {
          FROM mix JOIN ded USING (doc_id) JOIN cls USING (doc_id)
          WHERE k_dedup AND k_cls AND k_mix
          GROUP BY source""",
+    "x45_chunk_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+         ch AS (SELECT doc_id, i AS pos, array_to_string(list_slice(tk,
+             CAST(i * 4 + 1 AS INT), CAST(least((i + 1) * 4, len(tk)) AS INT)), ' ') AS chunk
+           FROM toks, unnest(range(0, CAST(ceil(len(tk) / 4.0) AS BIGINT))) AS u(i)),
+         r AS (SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+           FROM ch),
+         k AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS cleaned,
+             COUNT(*) AS n_kept
+           FROM r WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(k.cleaned, '') AS cleaned,
+           COALESCE(k.n_kept, 0) AS n_kept
+         FROM documents d LEFT JOIN k USING (doc_id)""",
+    "x46_quantized_ann" ->
+      """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         dims AS (SELECT vec_id, i AS dim, v[i] AS x
+           FROM ev, unnest(range(1, len(v) + 1)) AS u(i)),
+         mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM dims GROUP BY dim),
+         q AS (SELECT d.vec_id, d.dim,
+             CAST(floor((d.x - mm.lo) / (mm.hi - mm.lo) * 255 + 0.5) AS BIGINT) AS code
+           FROM dims d JOIN mm USING (dim)),
+         codes AS (SELECT vec_id, list(code ORDER BY dim) AS codes
+           FROM q GROUP BY vec_id),
+         qs AS (SELECT vec_id AS qid, codes AS qc FROM codes WHERE vec_id < 8),
+         dots AS (SELECT q.qid, c.vec_id,
+             CAST(list_sum(list_transform(range(1, len(qc) + 1),
+               i -> qc[i] * codes[i])) AS BIGINT) AS idot
+           FROM qs q, codes c WHERE c.vec_id <> q.qid),
+         rk AS (SELECT qid, vec_id, idot,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, vec_id) AS rn
+           FROM dots)
+         SELECT qid, vec_id, idot, rn AS rank FROM rk WHERE rn <= 5""",
+    "x47_vocab_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+           FROM documents),
+         t2 AS (SELECT * FROM toks WHERE tok <> ''),
+         vocab AS (SELECT tok FROM t2 GROUP BY tok
+           ORDER BY COUNT(*) DESC, tok LIMIT 20),
+         agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_in_vocab
+           FROM t2 GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+           COALESCE(agg.n_in_vocab, 0) AS n_in_vocab,
+           CASE WHEN COALESCE(agg.n_tokens, 0) = 0 THEN NULL
+             ELSE CAST(agg.n_in_vocab AS DOUBLE) / agg.n_tokens END AS coverage,
+           COALESCE(CAST(agg.n_in_vocab AS DOUBLE) / agg.n_tokens >= 0.7, FALSE)
+             AS keep
+         FROM documents d LEFT JOIN agg USING (doc_id)""",
+    "x48_ann_recall" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+         assign AS (SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+           FROM ev e, cent c),
+         cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+         qs AS (SELECT vec_id AS qid, v AS qv FROM ev WHERE vec_id < 8),
+         probes AS (SELECT q.qid, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid) AS pr
+           FROM qs q, cent c),
+         probe2 AS (SELECT qid, cid FROM probes WHERE pr <= 2),
+         approx AS (SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY ${cosSql("q.qv", "e.v")} DESC, e.vec_id) AS rn
+           FROM qs q JOIN probe2 p ON p.qid = q.qid
+           JOIN cells cl ON cl.cell = p.cid JOIN ev e ON e.vec_id = cl.vec_id
+           WHERE e.vec_id <> q.qid),
+         atop AS (SELECT qid, vec_id FROM approx WHERE rn <= 10),
+         exact AS (SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY ${cosSql("q.qv", "e.v")} DESC, e.vec_id) AS rn
+           FROM qs q, ev e WHERE e.vec_id <> q.qid),
+         etop AS (SELECT qid, vec_id FROM exact WHERE rn <= 10)
+         SELECT e.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.vec_id) AS DOUBLE) / 10 AS recall,
+           COUNT(a.vec_id) >= 3 AS recall_ok
+         FROM etop e LEFT JOIN atop a ON a.qid = e.qid AND a.vec_id = e.vec_id
+         GROUP BY e.qid""",
+    "x49_incremental_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 1, 1) + 1),
+             i -> CASE WHEN i + 1 <= len(t) THEN t[i] || '_' || t[i+1]
+                  ELSE t[i] END))) AS g
+           FROM tk),
+         comps AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || g)) AS sig
+           FROM sh, range(0, 12) r(i) GROUP BY doc_id, i),
+         buckets AS (SELECT doc_id, i // 3 AS band,
+             md5(string_agg(sig, '|' ORDER BY i)) AS h
+           FROM comps GROUP BY doc_id, i // 3),
+         cands AS (SELECT DISTINCT n.doc_id AS id_a, c.doc_id AS id_b
+           FROM buckets n JOIN buckets c ON n.band = c.band AND n.h = c.h
+           WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+         est AS (SELECT id_a, id_b,
+             CAST(SUM(CASE WHEN ca.sig = cb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 12
+               AS ej
+           FROM cands
+           JOIN comps ca ON ca.doc_id = id_a
+           JOIN comps cb ON cb.doc_id = id_b AND ca.i = cb.i
+           GROUP BY id_a, id_b),
+         candf AS (SELECT id_a, id_b FROM est WHERE ej >= 0.25),
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         ver AS (SELECT p.id_a, p.id_b,
+             CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) AS j
+           FROM candf p
+           JOIN sh a ON a.doc_id = p.id_a
+           JOIN sh b ON b.doc_id = p.id_b AND b.g = a.g
+           JOIN sz sa ON sa.doc_id = p.id_a
+           JOIN sz sb ON sb.doc_id = p.id_b
+           GROUP BY p.id_a, p.id_b, sa.n, sb.n),
+         near AS (SELECT DISTINCT id_a AS doc_id FROM ver WHERE j >= 0.2),
+         fpc AS (SELECT DISTINCT md5($normSql) AS fp
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT d.doc_id,
+           md5($normSql) IN (SELECT fp FROM fpc) AS exact_dup,
+           n.doc_id IS NOT NULL AS near_dup,
+           NOT (md5($normSql) IN (SELECT fp FROM fpc))
+             AND n.doc_id IS NULL AS accept
+         FROM documents d LEFT JOIN near n USING (doc_id)
+         WHERE d.doc_id % 5 = 0""",
+    "x50_containment" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(tk) - 3, 0) + 2),
+             i -> array_to_string(list_slice(tk, i, least(i + 2, len(tk))), '_')))) AS g
+           FROM toks),
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         c AS (SELECT id_a, id_b, common, sa.n AS na, sb.n AS nb FROM pairs
+           JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / na AS containment_a,
+           CAST(common AS DOUBLE) / nb AS containment_b,
+           CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+         FROM c
+         WHERE CAST(common AS DOUBLE) / na >= 0.8
+            OR CAST(common AS DOUBLE) / nb >= 0.8""",
     "x41_train_windows" ->
       s"""WITH n AS (SELECT doc_id, len(string_split($normSql, ' ')) AS n_tokens
            FROM documents)

@@ -261,6 +261,42 @@ object Similarity {
         col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Per-dimension (lo, hi) calibration for scalar quantization: one
+    * posexplode + partial-combine min/max pass over the corpus, then a
+    * collect bounded by the DIMENSION count (64–4096 in practice), never
+    * the row count — the same bounded-collect rule as [[collectAnchors]]. */
+  def dimRanges(corpus: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+      .orderBy(col("dim"))
+      .collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Scalar (int8-range) quantization codes: dimension i of the vector is
+    * affinely mapped from [lo_i, hi_i] onto {0..255} with round-half-up
+    * (floor(r*255 + 0.5) — portable: SQL `round` half-up rules differ
+    * between engines, floor(+0.5) doesn't). Unrolled into one expression
+    * per dimension rather than a `transform` lambda: stays in whole-stage
+    * codegen, no interpreted-HOF tax (see SCALE.md round-3 lessons).
+    *
+    * This is the memory half of product quantization: 4× smaller than
+    * float32, and integer dot products over codes are EXACT (every partial
+    * sum < 2^53), so ranking in code space is bit-deterministic — unlike
+    * float cosine, no rounding surface at all. */
+  def quantizeCodes(vec: Column, lows: Seq[Double], highs: Seq[Double]): Column = {
+    require(lows.length == highs.length && lows.nonEmpty)
+    lows.indices.foreach(i => require(highs(i) > lows(i),
+      s"degenerate dim $i: lo=${lows(i)} hi=${highs(i)}"))
+    array(lows.indices.map { i =>
+      floor((element_at(vec, i + 1).cast("double") - lows(i)) /
+        (highs(i) - lows(i)) * 255 + 0.5).cast("long")
+    }: _*)
+  }
+
   /** Embedding near-duplicate pairs, ALL-PAIRS baseline: exact recall,
     * quadratic cost. Kept as the recall reference for
     * [[nearDupPairsBanded]] in tests; never run standalone at scale. */

@@ -111,6 +111,22 @@ object TextOps {
           s => s.getField("tok")), "_")).as("chunk_hash"))
   }
 
+  /** Non-overlapping m-token chunks carrying the chunk TEXT (space-joined
+    * tokens in document order): (idCol, chunk_idx, chunk). The unit for
+    * rewrite-style dedup ([[graft.queries.CurationQueries]] x45), where the
+    * surviving text must be reassembled — [[chunkRowsOfTokens]] only emits
+    * the hash. Same bounded per-group fold (≤ m tokens per chunk). */
+  def chunkTextRows(docs: DataFrame, idCol: String, textCol: String,
+                    m: Int): DataFrame = {
+    require(m > 0, s"chunk size must be positive, got $m")
+    tokenRows(docs, idCol, textCol)
+      .withColumn("chunk_idx", floor(col("pos") / m).cast("long"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("chunk"))
+  }
+
   /** Deterministic hashed-feature weight of a token (fastText-shaped
     * linear-model feature): token → md5 bucket in [0, buckets) →
     * fixed integer weight in [-span, span], derived from md5 of the

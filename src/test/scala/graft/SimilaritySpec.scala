@@ -104,4 +104,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((0L, 0L, false), (1L, 0L, true), (2L, 2L, false),
       (3L, 2L, false), (4L, 0L, false)))
   }
+
+  test("quantizeCodes maps per-dim extremes to 0/255, interior points by round-half-up") {
+    val (lows, highs) = Similarity.dimRanges(corpus, "embedding")
+    // dim 1 spans [-1, 1], dim 2 [0, 1], dim 3 [0, 1]
+    assert(lows == Seq(-1.0, 0.0, 0.0) && highs == Seq(1.0, 1.0, 1.0))
+    val codes = corpus
+      .select($"vec_id", Similarity.quantizeCodes($"embedding", lows, highs).as("c"))
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect().toMap
+    assert(codes(0L) == Seq(255L, 0L, 0L)) // (1,0,0): dim1 max, others min
+    assert(codes(3L) == Seq(0L, 0L, 0L))   // (-1,0,0): dim1 min
+    // v1 = (0.9, 0.1, 0): (0.9+1)/2*255+0.5 = 242.75 → 242; 0.1*255+0.5 = 26
+    assert(codes(1L) == Seq(242L, 26L, 0L))
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+  }
+
+  test("quantized integer dot via graft_vec_dot equals exact BigInt arithmetic") {
+    val (lows, highs) = Similarity.dimRanges(corpus, "embedding")
+    val coded = corpus.select($"vec_id",
+      Similarity.quantizeCodes($"embedding", lows, highs).as("codes"))
+    val local = coded.as[(Long, Seq[Long])].collect().toMap
+    val viaKernel = coded
+      .select($"vec_id", Similarity.dot($"codes".cast("array<float>"),
+        lit(local(1L).map(_.toFloat).toArray)).cast("long").as("idot"))
+      .as[(Long, Long)].collect().toMap
+    local.foreach { case (id, c) =>
+      val exact = c.zip(local(1L)).map { case (a, b) => a * b }.sum
+      assert(viaKernel(id) == exact, s"vec $id")
+    }
+  }
+
+  test("quantizeCodes rejects a degenerate dimension") {
+    intercept[IllegalArgumentException] {
+      Similarity.quantizeCodes(lit(Array(1.0f)), Seq(3.0), Seq(3.0))
+    }
+  }
 }

@@ -175,6 +175,36 @@ class TextDedupSpec extends SparkSpec {
     assert(viaUf == expected)
   }
 
+  test("chunkTextRows chunks reassemble to the normalized text in order") {
+    val docs = Seq((1L, "The quick brown fox, jumps over the lazy dog!"),
+      (2L, "short one")).toDF("doc_id", "text")
+    val rebuilt = TextOps.chunkTextRows(docs, "doc_id", "text", 3)
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"chunk_idx", $"chunk"))),
+        c => c.getField("chunk")), " ").as("r"))
+      .as[(Long, String)].collect().toMap
+    val expected = docs.select($"doc_id", TextOps.normalize($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt == expected)
+  }
+
+  test("lshPairsBetween probes only across frames, never within a side") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // new (0 mod 5)
+      (5L, "alpha beta gamma delta epsilon"), // new dup of 0 — must NOT pair
+      (1L, "alpha beta gamma delta epsilon"), // corpus dup — must pair with 0 and 5
+      (2L, "totally different words here entirely")).toDF("doc_id", "text")
+    val sh = TextOps.shingleRows(docs, "doc_id", "text", 2)
+    val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cache()
+    val isNew = $"doc_id" % 5 === 0
+    val pairs = Dedup.lshPairsBetween(signed.filter(isNew), signed.filter(!isNew),
+        "doc_id", 12, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (5L, 1L)))
+    signed.unpersist()
+  }
+
   test("scrubPii replaces emails, urls, digit runs; URL stops at newline") {
     val out = Seq("mail me at bob@example.com or see https://ex.co/a?id=12345 code 987654")
       .toDF("text").select(TextOps.scrubPii($"text")).as[String].collect().head
