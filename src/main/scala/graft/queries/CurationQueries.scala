@@ -30,6 +30,11 @@ object CurationQueries {
   private def cosSql(a: String, b: String) =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
+  /** [[normSql]] over an arbitrary text expression instead of the `text`
+    * column. */
+  private def normOf(e: String) =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ───── SemDeDup: nearest-centroid cells (centroids = vec_id < 16, the
@@ -146,7 +151,7 @@ object CurationQueries {
       val mBits = 262144
       val bench = TextOps.shingleRows(docs.filter(col("doc_id") < 20),
         "doc_id", "text", 4).select(col("g")).distinct()
-      val bm = lit(Dedup.bloomBitmap(bench, "g", mBits))
+      val bm = typedLit(Dedup.bloomBitmap(bench, "g", mBits))
       val flagged = TextOps.shingleRows(docs.filter(col("doc_id") >= 20),
           "doc_id", "text", 4)
         .filter(Dedup.bloomMightContain(col("g"), bm, mBits))
@@ -352,6 +357,33 @@ object CurationQueries {
     "x50_containment" -> ((s, d) =>
       Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
         k = 3, minContainment = 0.8)),
+
+    // ───── snapshot diff (the CDC/merge primitive): full-outer join of
+    // two corpus snapshots on the natural key, status from fingerprint
+    // comparison — added / removed / modified / unchanged. This is the
+    // change-detection step that turns full-refresh sources into
+    // incremental upserts+deletes (the reference re-downloads whole
+    // sheets; a diff against the prior bronze snapshot is what bounds the
+    // load to actual changes). Snapshots simulated deterministically:
+    // the prior snapshot lacks doc_id ≡ 0 mod 7 and carried an older text
+    // revision for doc_id ≡ 0 mod 3; the current one drops doc_id ≡ 5
+    // mod 11. Shuffle profile: one join on the key; fingerprints (32-char
+    // md5) shuffle, bodies never do
+    "x51_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), TextOps.fingerprint(
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" legacy")))
+            .otherwise(col("text"))).as("old_fp"))
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 5)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("new_fp"))
+      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("old_fp").isNull, lit("added"))
+            .when(col("new_fp").isNull, lit("removed"))
+            .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+            .otherwise(lit("modified")).as("status"))
+    }),
 
     // ───── context-window chunking: overlapping training windows (size 32
     // tokens, stride 24) per doc — the (doc, window, token-range) contract
@@ -625,6 +657,18 @@ object CurationQueries {
          FROM c
          WHERE CAST(common AS DOUBLE) / na >= 0.8
             OR CAST(common AS DOUBLE) / nb >= 0.8""",
+    "x51_snapshot_diff" ->
+      s"""WITH oldsnap AS (SELECT doc_id,
+             md5(${normOf("CASE WHEN doc_id % 3 = 0 THEN text || ' legacy' ELSE text END")}) AS ofp
+           FROM documents WHERE doc_id % 7 <> 0),
+         newsnap AS (SELECT doc_id, md5($normSql) AS nfp
+           FROM documents WHERE doc_id % 11 <> 5)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN ofp = nfp THEN 'unchanged'
+                ELSE 'modified' END AS status
+         FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id""",
     "x41_train_windows" ->
       s"""WITH n AS (SELECT doc_id, len(string_split($normSql, ' ')) AS n_tokens
            FROM documents)

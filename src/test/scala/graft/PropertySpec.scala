@@ -103,7 +103,7 @@ class PropertySpec extends SparkSpec {
       val bm = graft.dedup.Dedup.bloomBitmap(
         members.toDF("g"), "g", mBits = 4096)
       val survived = members.toDF("g")
-        .filter(graft.dedup.Dedup.bloomMightContain(col("g"), lit(bm), 4096))
+        .filter(graft.dedup.Dedup.bloomMightContain(col("g"), typedLit(bm), 4096))
         .count()
       assert(survived == members.length, s"seed=$seed")
     }
