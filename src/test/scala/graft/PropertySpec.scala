@@ -109,6 +109,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantizeCodes: codes in range, reconstruction error ≤ half a step") {
+    val vecGen = Gen.listOfN(20, Gen.listOfN(6,
+      Gen.choose(-1000, 1000).map(_ / 100.0f)))
+    for (seed <- 1L to 3L) {
+      val vecs = sample(vecGen, seed).zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+      val df = vecs.toDF("vec_id", "embedding")
+      val (lows, highs) = graft.similarity.Similarity.dimRanges(df, "embedding")
+      if (lows.indices.forall(i => highs(i) > lows(i))) {
+        val codes = df.select($"vec_id",
+            graft.similarity.Similarity.quantizeCodes($"embedding", lows, highs).as("c"))
+          .as[(Long, Seq[Long])].collect().toMap
+        vecs.foreach { case (id, v) =>
+          v.indices.foreach { i =>
+            val c = codes(id)(i)
+            assert(c >= 0 && c <= 255, s"seed=$seed id=$id dim=$i code=$c")
+            val step = (highs(i) - lows(i)) / 255.0
+            val recon = lows(i) + c * step
+            assert(math.abs(recon - v(i)) <= step / 2 + 1e-9,
+              s"seed=$seed id=$id dim=$i |${recon - v(i)}| > ${step / 2}")
+          }
+        }
+      }
+    }
+  }
+
+  test("lshPairsBetween = the cross-frame restriction of the self-join pairs") {
+    val docGen = Gen.listOfN(14, Gen.listOfN(6,
+      Gen.oneOf("red", "blue", "fox", "dog", "sky", "sea", "sun")))
+    for (seed <- 1L to 3L) {
+      val docs = sample(docGen, seed).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val sh = graft.text.TextOps.shingleRows(docs, "doc_id", "text", 2)
+      val signed = graft.dedup.Dedup.signatureOfShingles(sh, "doc_id", 12).cache()
+      val isNew = $"doc_id" % 3 === 0
+      val between = graft.dedup.Dedup
+        .lshPairsBetween(signed.filter(isNew), signed.filter(!isNew),
+          "doc_id", 12, 3, 0.25)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val selfAll = graft.dedup.Dedup
+        .minhashLshPairs(docs, "doc_id", "text", 2, 12, 3, 0.25)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // self-join emits a<b once; between emits (new, corpus) pairs — the
+      // same unordered pair set once sides are normalized
+      val expected = selfAll.collect {
+        case (a, b) if a % 3 == 0 && b % 3 != 0 => (a, b)
+        case (a, b) if b % 3 == 0 && a % 3 != 0 => (b, a)
+      }
+      assert(between == expected, s"seed=$seed")
+      signed.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("asof: matched ts is the maximum build ts <= probe ts (or null)") {
     val evGen = Gen.listOfN(25, for {
       k <- Gen.choose(0, 2)
