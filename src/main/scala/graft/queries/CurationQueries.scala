@@ -358,6 +358,40 @@ object CurationQueries {
       Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
         k = 3, minContainment = 0.8)),
 
+    // ───── two-stage retrieval: int8 code-space shortlist (top-20 by
+    // integer dot — the cheap scan over 4×-smaller vectors) re-ranked by
+    // full-precision cosine to top-5. THE production ANN architecture:
+    // stage 1 reads only quantized codes (exact integer ranking, x46's
+    // operator), stage 2 touches float vectors for the 20-row shortlist
+    // only. Fully deterministic both stages → exact value oracle
+    "x52_ann_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val (lows, highs) = Similarity.dimRanges(emb, "embedding")
+      val coded = emb.select(col("vec_id"), col("embedding"),
+        Similarity.quantizeCodes(col("embedding"), lows, highs)
+          .cast("array<float>").as("fcodes"))
+        .withColumn("__n", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
+      val q = coded.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("fcodes").as("qcodes"), col("__n").as("__qn"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("idot").desc, col("vec_id"))
+      val shortlist = coded.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .withColumn("idot",
+          Similarity.dot(col("qcodes"), col("fcodes")).cast("long"))
+        .withColumn("__r1", row_number().over(w1))
+        .filter(col("__r1") <= 20)
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      shortlist
+        .withColumn("cos",
+          Similarity.dot(col("qvec"), col("embedding")) / (col("__qn") * col("__n")))
+        .withColumn("rank", row_number().over(w2).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos_sim"))
+    }),
+
     // ───── snapshot diff (the CDC/merge primitive): full-outer join of
     // two corpus snapshots on the natural key, status from fingerprint
     // comparison — added / removed / modified / unchanged. This is the
@@ -657,6 +691,34 @@ object CurationQueries {
          FROM c
          WHERE CAST(common AS DOUBLE) / na >= 0.8
             OR CAST(common AS DOUBLE) / nb >= 0.8""",
+    "x52_ann_rerank" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         dims AS (SELECT vec_id, i AS dim, v[i] AS x
+           FROM ev, unnest(range(1, len(v) + 1)) AS u(i)),
+         mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM dims GROUP BY dim),
+         qz AS (SELECT d.vec_id, d.dim,
+             CAST(floor((d.x - mm.lo) / (mm.hi - mm.lo) * 255 + 0.5) AS BIGINT) AS code
+           FROM dims d JOIN mm USING (dim)),
+         codes AS (SELECT vec_id, list(code ORDER BY dim) AS codes
+           FROM qz GROUP BY vec_id),
+         qs AS (SELECT vec_id AS qid, codes AS qc FROM codes WHERE vec_id < 8),
+         dots AS (SELECT q.qid, c.vec_id,
+             CAST(list_sum(list_transform(range(1, len(qc) + 1),
+               i -> qc[i] * codes[i])) AS BIGINT) AS idot
+           FROM qs q, codes c WHERE c.vec_id <> q.qid),
+         short AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, vec_id) AS rn
+           FROM dots) WHERE rn <= 20),
+         qv AS (SELECT vec_id AS qid, v AS qvec FROM ev WHERE vec_id < 8),
+         rr AS (SELECT s.qid, s.vec_id,
+             ${cosSql("q.qvec", "e.v")} AS cos,
+             ROW_NUMBER() OVER (PARTITION BY s.qid
+               ORDER BY ${cosSql("q.qvec", "e.v")} DESC, s.vec_id) AS rn
+           FROM short s JOIN qv q ON q.qid = s.qid
+           JOIN ev e ON e.vec_id = s.vec_id)
+         SELECT qid, rn AS rank, vec_id AS neighbor_id,
+           round(cos, 4) AS cos_sim
+         FROM rr WHERE rn <= 5""",
     "x51_snapshot_diff" ->
       s"""WITH oldsnap AS (SELECT doc_id,
              md5(${normOf("CASE WHEN doc_id % 3 = 0 THEN text || ' legacy' ELSE text END")}) AS ofp
