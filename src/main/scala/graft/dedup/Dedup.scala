@@ -165,7 +165,30 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, tau: Double,
-                        blockCols: Seq[String] = Nil): DataFrame = {
+                        blockCols: Seq[String] = Nil): DataFrame =
+    // length filter (classic similarity-join prune, e.g. Arasu et al.):
+    // J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so any pair whose
+    // shingle-set sizes differ by more than tau× cannot reach the
+    // threshold — pruning it INSIDE the join condition drops the pair
+    // before it ever reaches the counting aggregation. Output-identical.
+    commonShingleCounts(docs, idCol, textCol, k, blockCols,
+      (na, nb) => na >= nb * tau && nb >= na * tau)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** The shared inverted-index core of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: distinct shingle rows, self-join on the shingle
+    * (+ optional blocking keys + a caller-supplied set-size prune applied
+    * INSIDE the join condition), exact common counting. Output:
+    * (id_a, id_b, na, nb, common) for every pair sharing ≥ 1 shingle that
+    * survives the prune. Quadratic per posting list — at 100 TB this runs
+    * behind blocking keys or LSH/band candidates, never standalone. */
+  private def commonShingleCounts(docs: DataFrame, idCol: String,
+                                  textCol: String, k: Int,
+                                  blockCols: Seq[String],
+                                  lengthOk: (Column, Column) => Column): DataFrame = {
     val sh = TextOps.shingleRows(docs, idCol, textCol, k, blockCols)
     // cache: the inverted index feeds BOTH sides of the self-join — without
     // it the whole tokenize→explode→window→distinct pipeline runs twice
@@ -173,25 +196,15 @@ object Dedup {
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
       .cache()
-    // length filter (classic similarity-join prune, e.g. Arasu et al.):
-    // J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so any pair whose
-    // shingle-set sizes differ by more than tau× cannot reach the
-    // threshold — pruning it INSIDE the join condition drops the pair
-    // before it ever reaches the counting aggregation. Output-identical.
-    val lengthOk =
-      col("a.n") >= col("b.n") * tau && col("b.n") >= col("a.n") * tau
     val blockEq = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.g") === col("b.g") &&
-        col(s"a.$idCol") < col(s"b.$idCol") && lengthOk)(_ && _)
+        col(s"a.$idCol") < col(s"b.$idCol") &&
+        lengthOk(col("a.n"), col("b.n")))(_ && _)
     inv.as("a").join(inv.as("b"), blockEq)
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| — the partial-dup
@@ -199,31 +212,13 @@ object Dedup {
     * high containment but low Jaccard, so Jaccard-LSH never surfaces it).
     * Inverted-index join over shingle rows with the containment length
     * filter (C(A→B) ≥ t forces |B| ≥ t·|A|, and symmetrically — pairs
-    * outside either bound are pruned INSIDE the join condition), then
-    * exact set counting. Emits both directions plus Jaccard for pairs
-    * where either containment ≥ `minContainment`.
-    *
-    * Scale shape: same inverted-index profile as [[ngramJaccardPairs]] —
-    * quadratic per posting list, so at 100 TB it runs behind blocking
-    * keys or over LSH/band candidates; the length filter alone prunes the
-    * long tail of size-mismatched pairs. */
+    * outside either bound are pruned INSIDE the join condition, which is
+    * output-identical), then exact set counting. Emits both directions
+    * plus Jaccard for pairs where either containment ≥ `minContainment`. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int, minContainment: Double): DataFrame = {
-    val sh = TextOps.shingleRows(docs, idCol, textCol, k)
-    // cache: the inverted index feeds both sides of the self-join
-    val inv = sh.withColumn("n",
-      count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
-      .cache()
-    val lengthOk =
-      col("b.n") >= col("a.n") * minContainment ||
-        col("a.n") >= col("b.n") * minContainment
-    inv.as("a").join(inv.as("b"),
-        col("a.g") === col("b.g") &&
-          col(s"a.$idCol") < col(s"b.$idCol") && lengthOk)
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("common"))
+                       k: Int, minContainment: Double): DataFrame =
+    commonShingleCounts(docs, idCol, textCol, k, Nil,
+      (na, nb) => nb >= na * minContainment || na >= nb * minContainment)
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") / col("na")).as("containment_a"),
         (col("common").cast("double") / col("nb")).as("containment_b"),
@@ -231,7 +226,6 @@ object Dedup {
           .as("jaccard"))
       .filter(col("containment_a") >= minContainment ||
         col("containment_b") >= minContainment)
-  }
 
   /** Exact Jaccard for a GIVEN candidate pair list — the verification
     * stage that makes LSH candidates exact. Unlike [[ngramJaccardPairs]]

@@ -21,19 +21,53 @@ object CurationQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  /** DuckDB SQL fragment mirroring TextOps.normalize (same string as
-    * ExtensionQueries.normSql — duplicated privately to keep each query
-    * file self-contained). */
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+  /** DuckDB SQL fragment mirroring TextOps.normalize over an arbitrary
+    * text expression (same normalization as ExtensionQueries.normSql —
+    * duplicated privately to keep each query file self-contained). */
+  private def normOf(e: String) =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private val normSql = normOf("text")
 
   private def cosSql(a: String, b: String) =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
-  /** [[normSql]] over an arbitrary text expression instead of the `text`
-    * column. */
-  private def normOf(e: String) =
-    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+  /** Shared stage-1 of x46/x52: int8 codes for the whole corpus and the
+    * integer dot of every (query, candidate) pair, as a NARROW
+    * (qid, vec_id, idot) frame — whatever ranking window runs downstream
+    * shuffles 24 bytes per candidate, never vectors or code arrays. */
+  private def quantizedDots(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(s)
+    val emb = t(s, d, "embeddings")
+    val (lows, highs) = Similarity.dimRanges(emb, "embedding")
+    val coded = emb.select(col("vec_id"),
+      Similarity.quantizeCodes(col("embedding"), lows, highs)
+        .cast("array<float>").as("fcodes"))
+    val q = coded.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("fcodes").as("qcodes"))
+    coded.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.dot(col("qcodes"), col("fcodes")).cast("long").as("idot"))
+  }
+
+  /** The oracle CTE chain mirroring [[quantizedDots]] (shared by the x46
+    * and x52 oracle SQL so the quantization rule can't drift between
+    * them). Exposes `dots(qid, vec_id, idot)`. */
+  private val qdotsSql =
+    """ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         dims AS (SELECT vec_id, i AS dim, v[i] AS x
+           FROM ev, unnest(range(1, len(v) + 1)) AS u(i)),
+         mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM dims GROUP BY dim),
+         qz AS (SELECT d.vec_id, d.dim,
+             CAST(floor((d.x - mm.lo) / (mm.hi - mm.lo) * 255 + 0.5) AS BIGINT) AS code
+           FROM dims d JOIN mm USING (dim)),
+         codes AS (SELECT vec_id, list(code ORDER BY dim) AS codes
+           FROM qz GROUP BY vec_id),
+         qs AS (SELECT vec_id AS qid, codes AS qc FROM codes WHERE vec_id < 8),
+         dots AS (SELECT q.qid, c.vec_id,
+             CAST(list_sum(list_transform(range(1, len(qc) + 1),
+               i -> qc[i] * codes[i])) AS BIGINT) AS idot
+           FROM qs q, codes c WHERE c.vec_id <> q.qid)"""
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -239,19 +273,10 @@ object CurationQueries {
     // 64-dim products are exact in double; cast back to long loses
     // nothing)
     "x46_quantized_ann" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val (lows, highs) = Similarity.dimRanges(emb, "embedding")
-      val coded = emb.select(col("vec_id"),
-        Similarity.quantizeCodes(col("embedding"), lows, highs)
-          .cast("array<float>").as("fcodes"))
-      val q = coded.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("fcodes").as("qcodes"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid"))
         .orderBy(col("idot").desc, col("vec_id"))
-      coded.join(broadcast(q), col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"),
-          Similarity.dot(col("qcodes"), col("fcodes")).cast("long").as("idot"))
+      quantizedDots(s, d)
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
     }),
@@ -365,25 +390,25 @@ object CurationQueries {
     // operator), stage 2 touches float vectors for the 20-row shortlist
     // only. Fully deterministic both stages → exact value oracle
     "x52_ann_rerank" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val (lows, highs) = Similarity.dimRanges(emb, "embedding")
-      val coded = emb.select(col("vec_id"), col("embedding"),
-        Similarity.quantizeCodes(col("embedding"), lows, highs)
-          .cast("array<float>").as("fcodes"))
-        .withColumn("__n", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
-      val q = coded.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("fcodes").as("qcodes"), col("__n").as("__qn"))
       val w1 = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("idot").desc, col("vec_id"))
-      val shortlist = coded.join(broadcast(q), col("qid") =!= col("vec_id"))
-        .withColumn("idot",
-          Similarity.dot(col("qcodes"), col("fcodes")).cast("long"))
+      val shortIds = quantizedDots(s, d)
         .withColumn("__r1", row_number().over(w1))
         .filter(col("__r1") <= 20)
+        .select(col("qid"), col("vec_id"))
+      // float vectors enter the plan HERE, joined to the ≤20-per-query
+      // shortlist ids only — stage 1's ranking window shuffled nothing
+      // but (qid, vec_id, idot)
+      val vecs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .withColumn("__n", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
+      val qv = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("__n").as("__qn"))
       val w2 = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      shortlist
+      shortIds
+        .join(vecs, Seq("vec_id"))
+        .join(broadcast(qv), Seq("qid"))
         .withColumn("cos",
           Similarity.dot(col("qvec"), col("embedding")) / (col("__qn") * col("__n")))
         .withColumn("rank", row_number().over(w2).cast("long"))
@@ -405,16 +430,22 @@ object CurationQueries {
     // md5) shuffle, bodies never do
     "x51_snapshot_diff" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // presence markers, NOT fingerprint nullity, decide added/removed:
+      // a null-text row (fingerprint null) present in both snapshots must
+      // compare fingerprints (null === null → falls through to
+      // 'modified', matching the oracle's ofp = nfp), never read as absent
       val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
         .select(col("doc_id"), TextOps.fingerprint(
           when(col("doc_id") % 3 === 0, concat(col("text"), lit(" legacy")))
-            .otherwise(col("text"))).as("old_fp"))
+            .otherwise(col("text"))).as("old_fp"),
+          lit(true).as("__in_old"))
       val newSnap = docs.filter(col("doc_id") % 11 =!= 5)
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("new_fp"))
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("new_fp"),
+          lit(true).as("__in_new"))
       oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
-          when(col("old_fp").isNull, lit("added"))
-            .when(col("new_fp").isNull, lit("removed"))
+          when(col("__in_old").isNull, lit("added"))
+            .when(col("__in_new").isNull, lit("removed"))
             .when(col("old_fp") === col("new_fp"), lit("unchanged"))
             .otherwise(lit("modified")).as("status"))
     }),
@@ -564,20 +595,7 @@ object CurationQueries {
            COALESCE(k.n_kept, 0) AS n_kept
          FROM documents d LEFT JOIN k USING (doc_id)""",
     "x46_quantized_ann" ->
-      """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         dims AS (SELECT vec_id, i AS dim, v[i] AS x
-           FROM ev, unnest(range(1, len(v) + 1)) AS u(i)),
-         mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM dims GROUP BY dim),
-         q AS (SELECT d.vec_id, d.dim,
-             CAST(floor((d.x - mm.lo) / (mm.hi - mm.lo) * 255 + 0.5) AS BIGINT) AS code
-           FROM dims d JOIN mm USING (dim)),
-         codes AS (SELECT vec_id, list(code ORDER BY dim) AS codes
-           FROM q GROUP BY vec_id),
-         qs AS (SELECT vec_id AS qid, codes AS qc FROM codes WHERE vec_id < 8),
-         dots AS (SELECT q.qid, c.vec_id,
-             CAST(list_sum(list_transform(range(1, len(qc) + 1),
-               i -> qc[i] * codes[i])) AS BIGINT) AS idot
-           FROM qs q, codes c WHERE c.vec_id <> q.qid),
+      s"""WITH $qdotsSql,
          rk AS (SELECT qid, vec_id, idot,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, vec_id) AS rn
            FROM dots)
@@ -666,9 +684,9 @@ object CurationQueries {
          fpc AS (SELECT DISTINCT md5($normSql) AS fp
            FROM documents WHERE doc_id % 5 <> 0)
          SELECT d.doc_id,
-           md5($normSql) IN (SELECT fp FROM fpc) AS exact_dup,
+           COALESCE(md5($normSql) IN (SELECT fp FROM fpc), FALSE) AS exact_dup,
            n.doc_id IS NOT NULL AS near_dup,
-           NOT (md5($normSql) IN (SELECT fp FROM fpc))
+           NOT COALESCE(md5($normSql) IN (SELECT fp FROM fpc), FALSE)
              AND n.doc_id IS NULL AS accept
          FROM documents d LEFT JOIN near n USING (doc_id)
          WHERE d.doc_id % 5 = 0""",
@@ -692,20 +710,7 @@ object CurationQueries {
          WHERE CAST(common AS DOUBLE) / na >= 0.8
             OR CAST(common AS DOUBLE) / nb >= 0.8""",
     "x52_ann_rerank" ->
-      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         dims AS (SELECT vec_id, i AS dim, v[i] AS x
-           FROM ev, unnest(range(1, len(v) + 1)) AS u(i)),
-         mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM dims GROUP BY dim),
-         qz AS (SELECT d.vec_id, d.dim,
-             CAST(floor((d.x - mm.lo) / (mm.hi - mm.lo) * 255 + 0.5) AS BIGINT) AS code
-           FROM dims d JOIN mm USING (dim)),
-         codes AS (SELECT vec_id, list(code ORDER BY dim) AS codes
-           FROM qz GROUP BY vec_id),
-         qs AS (SELECT vec_id AS qid, codes AS qc FROM codes WHERE vec_id < 8),
-         dots AS (SELECT q.qid, c.vec_id,
-             CAST(list_sum(list_transform(range(1, len(qc) + 1),
-               i -> qc[i] * codes[i])) AS BIGINT) AS idot
-           FROM qs q, codes c WHERE c.vec_id <> q.qid),
+      s"""WITH $qdotsSql,
          short AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, vec_id) AS rn
            FROM dots) WHERE rn <= 20),
