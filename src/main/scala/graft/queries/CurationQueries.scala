@@ -50,6 +50,26 @@ object CurationQueries {
         Similarity.dot(col("qcodes"), col("fcodes")).cast("long").as("idot"))
   }
 
+  /** Adjacent (order-sensitive) token-pair rows: (doc_id, pr) with
+    * pr = tok_i '_' tok_{i+1} — one window pass over token rows, shared by
+    * the x53 merge-step and x54 familiarity queries. */
+  private def adjacentPairRows(docs: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    TextOps.tokenRows(docs, "doc_id", "text")
+      .withColumn("nxt", lead(col("tok"), 1).over(byDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws("_", col("tok"), col("nxt")).as("pr"))
+  }
+
+  /** Oracle CTE mirroring [[adjacentPairRows]] (shared by the x53/x54
+    * SQL). Exposes `pairs(doc_id, pr)`. */
+  private val pairsSql =
+    s"""tk AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+         pairs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || '_' || t[i+1])) AS pr
+           FROM tk)"""
+
   /** The oracle CTE chain mirroring [[quantizedDots]] (shared by the x46
     * and x52 oracle SQL so the quantization rule can't drift between
     * them). Exposes `dots(qid, vec_id, idot)`. */
@@ -417,6 +437,46 @@ object CurationQueries {
           round(col("cos"), 4).as("cos_sim"))
     }),
 
+    // ───── BPE merge-rule selection (the inner step of tokenizer
+    // training, at word granularity): count ADJACENT token pairs by
+    // occurrence — order-sensitive, occurrences not distinct docs, which
+    // is what separates it from x37's shingle doc-frequency — and emit
+    // the top-20 merge candidates. One window pass over token rows (lead
+    // per doc), then partial-combine counting
+    "x53_bpe_merge_step" -> ((s, d) =>
+      adjacentPairRows(t(s, d, "documents"))
+        .groupBy(col("pr")).agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pr")).limit(20)),
+
+    // ───── bigram-familiarity filter (the integer-exact stand-in for the
+    // CCNet/Wikipedia-LM perplexity filter): a document's familiarity is
+    // the mean corpus-wide occurrence count of its adjacent bigrams; keep
+    // docs at or above the corpus-mean familiarity. All internals are
+    // long counts — the only doubles are two final divisions computed
+    // identically in both engines, and the keep threshold is data-derived
+    // (corpus mean), so the split stays meaningful at every scale. The
+    // global scalar is a whole-table aggregate (one pre-aggregated row
+    // per partition reaches the single partition — the q23 shape)
+    "x54_bigram_familiarity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // cache: the pair frame feeds the count table, the per-doc join AND
+      // the global scalar (caller-managed lifecycle, as elsewhere)
+      val pairs = adjacentPairRows(docs).cache()
+      val cnt = pairs.groupBy(col("pr")).agg(count(lit(1)).as("n"))
+      val supported = pairs.join(cnt, Seq("pr"))
+      val perDoc = supported.groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("support"), count(lit(1)).as("n_bigrams"))
+      val global = supported.agg(sum(col("n")).as("gsum"),
+        count(lit(1)).as("gcnt"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .crossJoin(broadcast(global))
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          (col("support").cast("double") / col("n_bigrams")).as("familiarity"),
+          coalesce(col("support").cast("double") / col("n_bigrams") >=
+            col("gsum").cast("double") / col("gcnt"), lit(false)).as("keep"))
+    }),
+
     // ───── snapshot diff (the CDC/merge primitive): full-outer join of
     // two corpus snapshots on the natural key, status from fingerprint
     // comparison — added / removed / modified / unchanged. This is the
@@ -724,6 +784,24 @@ object CurationQueries {
          SELECT qid, rn AS rank, vec_id AS neighbor_id,
            round(cos, 4) AS cos_sim
          FROM rr WHERE rn <= 5""",
+    "x53_bpe_merge_step" ->
+      s"""WITH $pairsSql
+         SELECT pr, CAST(COUNT(*) AS BIGINT) AS n_occ FROM pairs GROUP BY pr
+         ORDER BY n_occ DESC, pr LIMIT 20""",
+    "x54_bigram_familiarity" ->
+      s"""WITH $pairsSql,
+         cnt AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pr),
+         sup AS (SELECT doc_id, n FROM pairs JOIN cnt USING (pr)),
+         perdoc AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS support,
+             COUNT(*) AS n_bigrams
+           FROM sup GROUP BY doc_id),
+         g AS (SELECT CAST(SUM(n) AS BIGINT) AS gsum, COUNT(*) AS gcnt FROM sup)
+         SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           CAST(p.support AS DOUBLE) / p.n_bigrams AS familiarity,
+           COALESCE(CAST(p.support AS DOUBLE) / p.n_bigrams
+             >= CAST(g.gsum AS DOUBLE) / g.gcnt, FALSE) AS keep
+         FROM documents d LEFT JOIN perdoc p USING (doc_id) CROSS JOIN g""",
     "x51_snapshot_diff" ->
       s"""WITH oldsnap AS (SELECT doc_id,
              md5(${normOf("CASE WHEN doc_id % 3 = 0 THEN text || ' legacy' ELSE text END")}) AS ofp

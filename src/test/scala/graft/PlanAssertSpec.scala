@@ -50,12 +50,14 @@ class PlanAssertSpec extends SparkSpec {
 
   test("catalog sweep: no cartesian products anywhere; single-partition exchanges only where documented") {
     // Documented exceptions. q15: the unpartitioned window runs over the
-    // bounded null-id remainder only (Relational.allocateIds). q23/q30: a
-    // whole-table scalar MIN/MAX — the single partition receives one
-    // pre-aggregated row per upstream partition (map-side partial combine),
-    // not data; that is the correct global-aggregate shape at any scale.
+    // bounded null-id remainder only (Relational.allocateIds). q23/q30/x54:
+    // a whole-table scalar aggregate (MIN/MAX, global bigram mean) — the
+    // single partition receives one pre-aggregated row per upstream
+    // partition (map-side partial combine), not data; that is the correct
+    // global-aggregate shape at any scale.
     val singlePartitionOk =
-      Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental")
+      Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
+        "x54_bigram_familiarity")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
