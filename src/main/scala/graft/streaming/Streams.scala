@@ -130,6 +130,28 @@ object Streams {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream inner equi-join bounded by an event-time interval:
+    * a right-side event matches a left-side event with the same key when
+    * its timestamp falls in [leftTs, leftTs + maxDelay] — the
+    * funnel/attribution join (impression ⋈ click within N minutes).
+    *
+    * BOTH sides carry watermarks and the join predicate bounds event time
+    * in both directions, so the state store is bounded: a left row is
+    * discarded once the right watermark passes leftTs + maxDelay, and a
+    * right row once the left watermark passes its timestamp — without the
+    * interval bound, stream-stream join state grows forever. Batch mirror:
+    * q33's interval join (same predicate, same results on a static frame).
+    * Column names must be disjoint across the two sides. */
+  def streamingIntervalJoin(left: DataFrame, leftTs: String, leftKey: String,
+                            right: DataFrame, rightTs: String, rightKey: String,
+                            watermarkDelay: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** foreachBatch upsert sink: idempotent micro-batch loads into a parquet
     * target (reference K1 semantics under streaming). */
   def upsertEachBatch(writer: DataStreamWriter[Row], targetPath: String,

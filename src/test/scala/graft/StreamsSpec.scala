@@ -128,6 +128,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIntervalJoin matches clicks to impressions within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String, Long)]
+    val clicks = MemoryStream[(Timestamp, String, Long)]
+    val out = Streams.streamingIntervalJoin(
+      imps.toDF().toDF("its", "ikey", "imp_id"), "its", "ikey",
+      clicks.toDF().toDF("cts", "ckey", "click_id"), "cts", "ckey",
+      watermarkDelay = "10 minutes", maxDelay = "10 minutes")
+    val q = out.select($"imp_id", $"click_id")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData((ts(1000), "u1", 1L), (ts(1000), "u2", 2L))
+      clicks.addData(
+        (ts(1300), "u1", 10L), // within 10 min of imp 1 → match
+        (ts(2000), "u2", 20L), // 1000s later → outside the window
+        (ts(1100), "u3", 30L)) // no impression for the key
+      q.processAllAvailable()
+      val rows = spark.table("attrib").as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("streamingTumbling produces windowed counts under watermark (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
