@@ -48,6 +48,16 @@ class PlanAssertSpec extends SparkSpec {
       s"all-pairs join crept back into simhash pairing:\n$p")
   }
 
+  test("x52 rerank: stage-1 rank prunes via WindowGroupLimit; vectors join back broadcast-only") {
+    val p = plan("x52_ann_rerank")
+    // the shortlist ranking must keep top-k pruning (WindowGroupLimit) and
+    // the float vectors must re-enter via broadcast joins — a SortMergeJoin
+    // here would mean the full-precision side is being shuffled again
+    assert(p.contains("WindowGroupLimit"), s"rank-20 pruning lost:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"vector join stopped broadcasting:\n$p")
+  }
+
   test("catalog sweep: no cartesian products anywhere; single-partition exchanges only where documented") {
     // Documented exceptions. q15: the unpartitioned window runs over the
     // bounded null-id remainder only (Relational.allocateIds). q23/q30/x54:
