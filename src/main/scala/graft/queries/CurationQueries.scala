@@ -523,6 +523,41 @@ object CurationQueries {
         .select(col("doc_id"), col("win_idx"),
           (col("win_idx") * 24).as("tok_start"),
           least(col("win_idx") * 24 + 32, col("n_tokens")).as("tok_end"))
+    }),
+
+    // ───── per-source cap: keep the k best documents per domain, as a
+    // bounded-state typed Aggregator (ops.TopK) instead of a window sort.
+    // The window form shuffles and sorts EVERY row of every group; the
+    // aggregator ships ≤ k rows per (task, group) map-side — the shape
+    // that survives a hot domain holding 10% of a 100 TB corpus. Oracle =
+    // the window form (identical output by TopKSpec's equivalence law)
+    "x55_topk_per_source" -> ((s, d) => {
+      val top = graft.ops.TopK.topK(5)
+      t(s, d, "documents")
+        .filter(col("n_chars").isNotNull && col("doc_id").isNotNull)
+        .groupBy(col("source"))
+        .agg(top(col("n_chars").cast("long"), col("doc_id").cast("string")).as("tk"))
+        .select(col("source"), posexplode(col("tk.items")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"), col("col.score").as("score"))
+    }),
+
+    // ───── mergeable uniform sample: global bottom-k by a replayable hash
+    // (same Aggregator, score = -hash). Bottom-k hash IS a uniform sample
+    // that merges across partitions/batches — the distributed reservoir.
+    // groupBy() with no keys still combines map-side: each task reduces
+    // its partition to ≤ k rows before the single-partition final merge
+    "x56_bottomk_sample" -> ((s, d) => {
+      val top = graft.ops.TopK.topK(20)
+      val h = conv(substring(md5(concat(lit("smp_"), col("doc_id").cast("string"))),
+        1, 12), 16, 10).cast("long")
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull)
+        .groupBy()
+        .agg(top(-h, col("doc_id").cast("string")).as("tk"))
+        .select(posexplode(col("tk.items")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"), (-col("col.score")).as("h"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -823,5 +858,22 @@ object CurationQueries {
              i -> i * 24)) AS tok_start,
            unnest(list_transform(range(0, (n_tokens - 1) // 24 + 1),
              i -> least(i * 24 + 32, n_tokens))) AS tok_end
-         FROM n""")
+         FROM n""",
+    "x55_topk_per_source" ->
+      """SELECT source, rank, doc_id, score FROM
+        (SELECT source, CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(n_chars AS BIGINT) AS score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR)) AS BIGINT) AS rank
+         FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
+        WHERE rank <= 5""",
+    "x56_bottomk_sample" ->
+      """SELECT rank, doc_id, h FROM
+        (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(('0x' || substr(md5('smp_' || doc_id), 1, 12)) AS BIGINT) AS h,
+           CAST(ROW_NUMBER() OVER (ORDER BY
+             CAST(('0x' || substr(md5('smp_' || doc_id), 1, 12)) AS BIGINT),
+             CAST(doc_id AS VARCHAR)) AS BIGINT) AS rank
+         FROM documents WHERE doc_id IS NOT NULL)
+        WHERE rank <= 20""")
 }

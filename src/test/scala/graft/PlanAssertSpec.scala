@@ -58,16 +58,27 @@ class PlanAssertSpec extends SparkSpec {
       s"vector join stopped broadcasting:\n$p")
   }
 
+  test("x55 group top-k: object-hash aggregate with partial combine, no window sort") {
+    val p = plan("x55_topk_per_source")
+    // the whole point of the Aggregator form: bounded per-group state
+    // combined map-side (ObjectHashAggregate partial_topkbyscore), never a
+    // partition-wide WindowExec sort of every row
+    assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_"), s"map-side partial aggregation lost:\n$p")
+    assert(!p.contains("Window"), s"window sort crept into group top-k:\n$p")
+  }
+
   test("catalog sweep: no cartesian products anywhere; single-partition exchanges only where documented") {
     // Documented exceptions. q15: the unpartitioned window runs over the
     // bounded null-id remainder only (Relational.allocateIds). q23/q30/x54:
     // a whole-table scalar aggregate (MIN/MAX, global bigram mean) — the
     // single partition receives one pre-aggregated row per upstream
     // partition (map-side partial combine), not data; that is the correct
-    // global-aggregate shape at any scale.
+    // global-aggregate shape at any scale. x56: global bottom-k — each
+    // partition pre-reduces to a ≤ k-row buffer before the final merge.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
-        "x54_bigram_familiarity")
+        "x54_bigram_familiarity", "x56_bottomk_sample")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
