@@ -558,6 +558,50 @@ object CurationQueries {
         .select(posexplode(col("tk.items")))
         .select((col("pos") + 1).cast("long").as("rank"),
           col("col.id").as("doc_id"), (-col("col.score")).as("h"))
+    }),
+
+    // ───── temperature-scaled mixture (α = 0.5): per-language sampling
+    // share ∝ √n_lang — the standard multilingual rebalancing step
+    // (upsample the tail, downsample the head). The sampled surface is
+    // INTEGER-exact in both engines: √ and the ×1000 scale are correctly
+    // rounded IEEE ops on identical inputs (so floor is identical), the
+    // share is integer division, and the keep decision is an integer
+    // cross-multiply h·Σs < s_l·2^24 — no float threshold anywhere.
+    // Shuffle profile: one count per language, everything else broadcast
+    "x57_temperature_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+      val scaled = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_l"))
+        .withColumn("s_l", floor(sqrt(col("n_l").cast("double")) * 1000).cast("long"))
+      val tot = scaled.agg(sum(col("s_l")).as("s_tot"))
+      val h24 = conv(substring(md5(concat(lit("tmp_"), col("doc_id").cast("string"))),
+        1, 6), 16, 10).cast("long")
+      docs.join(broadcast(scaled), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"), col("n_l"),
+          expr("(s_l * CAST(1000000 AS BIGINT)) div s_tot").as("share_micros"),
+          (h24 * col("s_tot") < col("s_l") * lit(16777216L)).as("sampled"))
+    }),
+
+    // ───── cluster-survivor redirects: the artifact a dedup pipeline
+    // actually ships — for every near-dup cluster (x27's LSH → verify →
+    // CC labels) keep the best document (max n_chars, min id tiebreak)
+    // and emit dup → survivor redirects. argmax via max_by over a struct
+    // ordering: one hash-agg per cluster, no window sort; quality joins
+    // on the narrow (id, n_chars) projection, never text
+    "x58_cluster_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val labels = Dedup.lshDedupClusters(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 12, rowsPerBand = 3,
+        candTau = 0.25, jaccardTau = 0.2)
+      val quality = docs.select(col("doc_id").as("id"), col("n_chars"))
+      val surv = labels.join(quality, Seq("id"))
+        .groupBy(col("cluster"))
+        .agg(max_by(col("id"), struct(col("n_chars"), -col("id"))).as("survivor"))
+      labels.join(surv, Seq("cluster"))
+        .filter(col("id") =!= col("survivor"))
+        .select(col("id").as("dup_id"), col("survivor"), col("cluster"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -875,5 +919,28 @@ object CurationQueries {
              CAST(('0x' || substr(md5('smp_' || doc_id), 1, 12)) AS BIGINT),
              CAST(doc_id AS VARCHAR)) AS BIGINT) AS rank
          FROM documents WHERE doc_id IS NOT NULL)
-        WHERE rank <= 20""")
+        WHERE rank <= 20""",
+    "x57_temperature_mixture" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents
+           WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+         c AS (SELECT lang, COUNT(*) AS n_l,
+             CAST(floor(sqrt(COUNT(*)) * 1000) AS BIGINT) AS s_l
+           FROM d GROUP BY lang),
+         t AS (SELECT CAST(SUM(s_l) AS BIGINT) AS s_tot FROM c)
+        SELECT doc_id, d.lang, n_l,
+          (s_l * 1000000) // s_tot AS share_micros,
+          CAST(('0x' || substr(md5('tmp_' || doc_id), 1, 6)) AS BIGINT) * s_tot
+            < s_l * 16777216 AS sampled
+        FROM d JOIN c ON d.lang = c.lang CROSS JOIN t""",
+    "x58_cluster_survivors" ->
+      s"""WITH RECURSIVE ${ExtensionQueries.lshClusterCtes},
+         surv AS (SELECT cluster, id AS survivor FROM
+           (SELECT l.cluster, l.id,
+              ROW_NUMBER() OVER (PARTITION BY l.cluster
+                ORDER BY d.n_chars DESC, l.id) AS rn
+            FROM labels l JOIN documents d ON d.doc_id = l.id)
+           WHERE rn = 1)
+         SELECT l.id AS dup_id, s.survivor, l.cluster
+         FROM labels l JOIN surv s USING (cluster)
+         WHERE l.id <> s.survivor""")
 }

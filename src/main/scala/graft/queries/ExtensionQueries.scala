@@ -34,6 +34,49 @@ object ExtensionQueries {
             THEN string_split($normSql, ' ')[i] || '_' || string_split($normSql, ' ')[i+1]
             ELSE string_split($normSql, ' ')[i] END))) AS g FROM documents)"""
 
+  /** DuckDB CTE chain mirroring `Dedup.lshDedupClusters` (the x27
+    * pipeline: 2-shingles → 12-hash MinHash → 3-row bands → candidates at
+    * est-Jaccard ≥ 0.25 → exact-Jaccard verify ≥ 0.2 → connected
+    * components). Ends with `labels(id, cluster)`; callers prepend
+    * `WITH RECURSIVE` and select from `labels` (shared by the x27 and x58
+    * oracles). */
+  private[queries] def lshClusterCtes: String =
+    s"""sh AS ${shingleSql()},
+       comps AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || g)) AS sig
+         FROM sh, range(0, 12) r(i) GROUP BY doc_id, i),
+       buckets AS (SELECT doc_id, i // 3 AS band,
+           md5(string_agg(sig, '|' ORDER BY i)) AS h
+         FROM comps GROUP BY doc_id, i // 3),
+       cand0 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM buckets l JOIN buckets r
+         ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
+       est AS (SELECT id_a, id_b,
+           CAST(SUM(CASE WHEN ca.sig = cb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 12
+             AS ej
+         FROM cand0
+         JOIN comps ca ON ca.doc_id = id_a
+         JOIN comps cb ON cb.doc_id = id_b AND ca.i = cb.i
+         GROUP BY id_a, id_b),
+       cands AS (SELECT id_a, id_b FROM est WHERE ej >= 0.25),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       cmn AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
+         FROM cands c
+         JOIN sh a ON a.doc_id = c.id_a
+         JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
+         GROUP BY c.id_a, c.id_b),
+       ver AS (SELECT cm.id_a, cm.id_b FROM cmn cm
+         JOIN sizes sa ON cm.id_a = sa.doc_id
+         JOIN sizes sb ON cm.id_b = sb.doc_id
+         WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2),
+       sym AS (SELECT id_a AS a, id_b AS b FROM ver
+         UNION ALL SELECT id_b, id_a FROM ver),
+       reach(a, b) AS (
+         SELECT a, b FROM sym
+         UNION
+         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b),
+       labels AS (SELECT a AS id, least(a, MIN(b)) AS cluster
+         FROM reach GROUP BY a)"""
+
   /** DuckDB SQL: double-precision cosine between two DOUBLE[] expressions */
   private def cosSql(a: String, b: String) =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
@@ -760,40 +803,8 @@ object ExtensionQueries {
            CAST(floor((cum_subwords - n_subwords) / 4096.0) AS BIGINT) AS bin
          FROM c""",
     "x27_lsh_dedup_pipeline" ->
-      s"""WITH RECURSIVE sh AS ${shingleSql()},
-         comps AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || g)) AS sig
-           FROM sh, range(0, 12) r(i) GROUP BY doc_id, i),
-         buckets AS (SELECT doc_id, i // 3 AS band,
-             md5(string_agg(sig, '|' ORDER BY i)) AS h
-           FROM comps GROUP BY doc_id, i // 3),
-         cand0 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-           FROM buckets l JOIN buckets r
-           ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
-         est AS (SELECT id_a, id_b,
-             CAST(SUM(CASE WHEN ca.sig = cb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 12
-               AS ej
-           FROM cand0
-           JOIN comps ca ON ca.doc_id = id_a
-           JOIN comps cb ON cb.doc_id = id_b AND ca.i = cb.i
-           GROUP BY id_a, id_b),
-         cands AS (SELECT id_a, id_b FROM est WHERE ej >= 0.25),
-         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         cmn AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
-           FROM cands c
-           JOIN sh a ON a.doc_id = c.id_a
-           JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
-           GROUP BY c.id_a, c.id_b),
-         ver AS (SELECT cm.id_a, cm.id_b FROM cmn cm
-           JOIN sizes sa ON cm.id_a = sa.doc_id
-           JOIN sizes sb ON cm.id_b = sb.doc_id
-           WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.2),
-         sym AS (SELECT id_a AS a, id_b AS b FROM ver
-           UNION ALL SELECT id_b, id_a FROM ver),
-         reach(a, b) AS (
-           SELECT a, b FROM sym
-           UNION
-           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE r.a <> s.b)
-         SELECT a AS id, least(a, MIN(b)) AS cluster FROM reach GROUP BY a""",
+      s"""WITH RECURSIVE $lshClusterCtes
+         SELECT id, cluster FROM labels""",
     "x28_percentiles_approx" ->
       """SELECT source, quantile_disc(n_chars, 0.5) AS p50,
         quantile_disc(n_chars, 0.9) AS p90, quantile_disc(n_chars, 0.99) AS p99,

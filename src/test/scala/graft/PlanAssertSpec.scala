@@ -76,9 +76,10 @@ class PlanAssertSpec extends SparkSpec {
     // partition (map-side partial combine), not data; that is the correct
     // global-aggregate shape at any scale. x56: global bottom-k — each
     // partition pre-reduces to a ≤ k-row buffer before the final merge.
+    // x57: the Σ√n_lang scalar, aggregated from one row per language.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
-        "x54_bigram_familiarity", "x56_bottomk_sample")
+        "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
