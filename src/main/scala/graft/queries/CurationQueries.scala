@@ -602,6 +602,35 @@ object CurationQueries {
       labels.join(surv, Seq("cluster"))
         .filter(col("id") =!= col("survivor"))
         .select(col("id").as("dup_id"), col("survivor"), col("cluster"))
+    }),
+
+    // ───── cube: corpus composition report over (source, lang) with all
+    // subtotal levels in one pass — `cube` + `grouping_id` so each row
+    // self-describes its level. One shuffle; partial aggregation applies
+    // per grouping set exactly as for a flat groupBy
+    "x59_cube_report" -> ((s, d) => {
+      t(s, d, "documents")
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          grouping_id().as("gid"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+          col("gid").cast("long").as("gid"))
+    }),
+
+    // ───── pivot: the wide per-source language matrix (inverse of q12's
+    // unpivot). Values are enumerated explicitly — at scale an open-ended
+    // pivot needs a distinct-values pass first, and pinning the columns
+    // keeps the schema stable under corpus drift
+    "x60_pivot_matrix" -> ((s, d) => {
+      // Spark lowers pivot through a two-level aggregate (PivotFirst), so
+      // a (source, lang) cell with no rows is NULL — even for count.
+      // Zero-fill AFTER the pivot; the coalesce is a pure projection
+      val langs = Seq("en", "es", "de", "fr", "zh")
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -942,5 +971,18 @@ object CurationQueries {
            WHERE rn = 1)
          SELECT l.id AS dup_id, s.survivor, l.cluster
          FROM labels l JOIN surv s USING (cluster)
-         WHERE l.id <> s.survivor""")
+         WHERE l.id <> s.survivor""",
+    "x59_cube_report" ->
+      """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid
+         FROM documents GROUP BY CUBE (source, lang)""",
+    "x60_pivot_matrix" ->
+      """SELECT source,
+           CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+           CAST(COUNT(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+           CAST(COUNT(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+           CAST(COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+           CAST(COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+         FROM documents GROUP BY source""")
 }
