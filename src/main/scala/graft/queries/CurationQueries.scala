@@ -631,6 +631,26 @@ object CurationQueries {
         .pivot("lang", langs)
         .agg(count(lit(1)))
         .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+    }),
+
+    // ───── sufficient statistics: per-source integer moment sums over
+    // (token count, char count) — n, Σx, Σy, Σxy, Σx², Σy². Everything
+    // downstream (mean, variance, covariance, Pearson r, OLS slope) is a
+    // pure projection over these six numbers, so the heavy pass stays
+    // integer-exact and mergeable (partial agg; combining two partitions'
+    // sums IS the algorithm). Doubles never touch the hashed surface —
+    // the classic way to make distributed stats bit-deterministic
+    "x61_moment_stats" -> ((s, d) => {
+      val x = TextOps.tokenCount(col("text")).cast("long")
+      val y = col("n_chars")
+      t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), x.as("x"), y.as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"), sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_xx"),
+          sum(col("y") * col("y")).as("sum_yy"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -984,5 +1004,16 @@ object CurationQueries {
            CAST(COUNT(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
            CAST(COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
            CAST(COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
-         FROM documents GROUP BY source""")
+         FROM documents GROUP BY source""",
+    "x61_moment_stats" ->
+      s"""WITH xy AS (SELECT source,
+           CAST(len(string_split($normSql, ' ')) AS BIGINT) AS x,
+           n_chars AS y
+         FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+          CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+          CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+          CAST(SUM(y * y) AS BIGINT) AS sum_yy
+        FROM xy GROUP BY source""")
 }
