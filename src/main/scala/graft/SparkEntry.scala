@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, CurationQueries, ExtensionQueries}
+import graft.queries.{CoreQueries, CorpusQueries, CurationQueries, ExtensionQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,8 +19,10 @@ object SparkEntry {
     CoreQueries.defs("q29_contestant_stats")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.defs ++ ExtensionQueries.defs ++ CurationQueries.defs
+    CoreQueries.defs ++ ExtensionQueries.defs ++ CurationQueries.defs ++
+      CorpusQueries.defs
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ ExtensionQueries.oracle ++ CurationQueries.oracle
+    CoreQueries.oracle ++ ExtensionQueries.oracle ++ CurationQueries.oracle ++
+      CorpusQueries.oracle
 }

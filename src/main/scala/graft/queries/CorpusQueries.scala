@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 corpus-layout / statistics operators: the steps between a
+  * curated corpus and a training run — deterministic global shuffling into
+  * shards, weighted sampling, sequence-length bucketing for batch packing,
+  * per-document diversity statistics, cross-source contamination reporting,
+  * a link-propagation (PageRank) iteration, and quantile discretization.
+  *
+  * Same oracle conventions as [[ExtensionQueries]] / [[CurationQueries]]:
+  * md5-on-strings for every hash so DuckDB replays it bit-for-bit,
+  * integer-exact sampled/ranked surfaces (integer division + integer
+  * cross-multiplies, never a float threshold), and a total tiebreak on
+  * every window.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private def normOf(e: String) =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private val normSql = normOf("text")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ───── deterministic global shuffle + shard layout: the "shuffle the
+    // corpus before training" step, replayable from the key alone. Shard =
+    // hash mod nShards; offset = dense position within the shard in hash
+    // order. The per-shard window IS the per-shard sort a shard writer
+    // runs anyway, and shard count scales with the corpus, so no single
+    // task ever sees more than one shard
+    "x62_shard_assign" -> ((s, d) => {
+      val h = conv(substring(md5(concat(lit("shf_"), col("doc_id"))), 1, 12), 16, 10)
+        .cast("long")
+      val byShard = Window.partitionBy(col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+        .withColumn("offset", (row_number().over(byShard) - 1).cast("long"))
+        .select(col("doc_id"), col("shard"), col("offset"))
+    }),
+
+    // ───── weighted sample without replacement (exponential-sort /
+    // priority-sample shape, integer-exact): priority = floor(h · 10^6 /
+    // weight) — lower is better, heavier documents draw smaller priorities
+    // in expectation. Bottom-k by priority via the bounded-state TopK
+    // Aggregator (x55/x56's operator): each map task ships ≤ k rows, the
+    // merge is associative — the weighted reservoir that survives AQE
+    // re-execution. Ids are zero-padded so the aggregator's string
+    // tiebreak equals the numeric one
+    "x63_weighted_sample" -> ((s, d) => {
+      val top = graft.ops.TopK.topK(20)
+      val h = conv(substring(md5(concat(lit("ws_"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long")
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), h.as("h"),
+          greatest(col("n_chars"), lit(1L)).as("wt"))
+        .select(col("doc_id"), expr("(h * CAST(1000000 AS BIGINT)) div wt").as("pri"))
+        .groupBy()
+        .agg(top(-col("pri"), lpad(col("doc_id").cast("string"), 8, "0")).as("tk"))
+        .select(posexplode(col("tk.items")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.id").cast("long").as("doc_id"),
+          (-col("col.score")).as("priority"))
+    }),
+
+    // ───── sequence-length bucketing: documents binned to the next power
+    // of two of their token count (the padding buckets a training batcher
+    // uses), with per-bucket doc/token counts, padding waste, and batch
+    // count at a 16384-token batch budget. The bucket boundary is computed
+    // in INTEGER space (1 << bitlength(n-1), via the binary-string length
+    // — no log2 float anywhere), so bucket edges cannot drift between
+    // engines. Pure projection + one partial-combine aggregation
+    "x64_length_buckets" -> ((s, d) => {
+      val nt = TextOps.tokenCount(col("text")).cast("long")
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(nt.as("n_tokens"))
+        .withColumn("bucket",
+          when(col("n_tokens") <= 1, lit(1L))
+            .otherwise(expr(
+              "shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1)))")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("waste", col("bucket") * col("n_docs") - col("sum_tokens"))
+        .withColumn("per_batch",
+          greatest(expr("CAST(16384 AS BIGINT) div bucket"), lit(1L)))
+        .withColumn("n_batches",
+          expr("(n_docs + per_batch - 1) div per_batch"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"), col("waste"),
+          col("n_batches"))
+    }),
+
+    // ───── token-diversity index: per-document repetition statistics on
+    // an INTEGER surface — n tokens, distinct tokens, Σc² over per-token
+    // occurrence counts, and the collision index ("probability two random
+    // token draws collide") as parts-per-million via integer division:
+    // (Σc² − n)·10^6 div (n·(n−1)). The Simpson-diversity form of x35's
+    // repetition rules — one (doc, tok) count pass, one per-doc fold, no
+    // doubles anywhere
+    "x65_token_diversity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val perTok = TextOps.tokenRows(docs, "doc_id", "text")
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val perDoc = perTok.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("sum_c2"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("sum_c2"), lit(0L)).as("sum_c2"))
+        .withColumn("collision_ppm",
+          when(col("n_tokens") > 1, expr(
+            "((sum_c2 - n_tokens) * CAST(1000000 AS BIGINT)) div (n_tokens * (n_tokens - 1))"))
+            .otherwise(lit(0L)))
+    }),
+
+    // ───── cross-source overlap matrix: for every source pair, how many
+    // distinct 4-token chunks they share — the contamination/overlap
+    // report run before mixing corpora (x38's chunk unit, x33's question
+    // at dataset granularity). Only (source, chunk_hash) pairs shuffle —
+    // 32-char keys, never text — and the self-join runs on the DISTINCT
+    // per-source chunk set, so a chunk repeated within one source counts
+    // once. Output is bounded by sources², not documents
+    "x66_source_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val srcChunks = TextOps.chunkRows(docs, "doc_id", "text", 4)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("chunk_hash")).distinct()
+      val a = srcChunks.select(col("source").as("source_a"),
+        col("chunk_hash"))
+      val b = srcChunks.select(col("source").as("source_b"),
+        col("chunk_hash"))
+      a.join(b, Seq("chunk_hash"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // ───── one PageRank iteration over the customer→supplier purchase
+    // graph (orders ⋈ lineitem, distinct edges), integer-scaled: every
+    // node starts at 10^6, a customer with out-degree d contributes
+    // floor(10^6/d) along each edge, and the damped rank is
+    // 0.15·10^6 + 0.85·Σcontrib — computed as (85·Σ) div 100, so the
+    // whole iteration is exact integer arithmetic (the distributed-loop
+    // discipline of x25's CC applies: each further iteration is one more
+    // shuffle on the same edge frame). Edge build shuffles once on
+    // orderkey; degree and rank are partial-combine aggregations
+    "x67_pagerank_step" -> ((s, d) => {
+      val edges = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val deg = edges.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      edges.join(deg, Seq("c"))
+        .select(col("s"), expr("CAST(1000000 AS BIGINT) div d").as("contrib"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n_in"), sum(col("contrib")).as("in_sum"))
+        .select(col("s").as("suppkey"), col("n_in"),
+          expr("CAST(150000 AS BIGINT) + (85 * in_sum) div 100").as("rank_scaled"))
+    }),
+
+    // ───── quantile discretization: per-source quartile thresholds from
+    // the GK sketch (x28's operator — bounded state, exact in the ≤
+    // accuracy regime where the oracle can replay it), broadcast back and
+    // applied as a pure projection. The "bin quality scores into
+    // curriculum tiers" step: threshold pass never buffers values, the
+    // binning pass never shuffles
+    "x68_quantile_bins" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val th = docs.groupBy(col("source"))
+        .agg(expr("approx_percentile(n_chars, array(0.25, 0.5, 0.75), 10000)")
+          .as("th"))
+      docs.join(broadcast(th), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          when(col("n_chars").isNull, lit(null).cast("long"))
+            .when(col("n_chars") <= element_at(col("th"), 1), lit(0L))
+            .when(col("n_chars") <= element_at(col("th"), 2), lit(1L))
+            .when(col("n_chars") <= element_at(col("th"), 3), lit(2L))
+            .otherwise(lit(3L)).as("bin"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "x62_shard_assign" ->
+      """WITH h AS (SELECT doc_id,
+           CAST(('0x' || substr(md5('shf_' || doc_id), 1, 12)) AS BIGINT) AS h
+         FROM documents WHERE doc_id IS NOT NULL),
+         sh AS (SELECT doc_id, h, h % 8 AS shard FROM h)
+         SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+             AS BIGINT) AS "offset"
+         FROM sh""",
+    "x63_weighted_sample" ->
+      """WITH w AS (SELECT doc_id,
+           CAST(('0x' || substr(md5('ws_' || doc_id), 1, 8)) AS BIGINT)
+             * 1000000 // greatest(n_chars, 1) AS pri
+         FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         r AS (SELECT doc_id, pri, ROW_NUMBER() OVER
+             (ORDER BY pri, lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS rank
+           FROM w)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id, pri AS priority
+         FROM r WHERE rank <= 20""",
+    "x64_length_buckets" ->
+      s"""WITH n AS (SELECT len(string_split($normSql, ' ')) AS nt
+           FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT nt, CASE WHEN nt <= 1 THEN 1
+             ELSE CAST(1 AS BIGINT) << length(bin(nt - 1)) END AS bucket
+           FROM n),
+         agg AS (SELECT bucket, COUNT(*) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS sum_tokens
+           FROM b GROUP BY bucket)
+         SELECT bucket, n_docs, sum_tokens,
+           bucket * n_docs - sum_tokens AS waste,
+           (n_docs + greatest(16384 // bucket, 1) - 1)
+             // greatest(16384 // bucket, 1) AS n_batches
+         FROM agg""",
+    "x65_token_diversity" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks
+           WHERE tok <> '' GROUP BY doc_id, tok),
+         per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct, CAST(SUM(c * c) AS BIGINT) AS sum_c2
+           FROM c GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens,
+           COALESCE(per.n_distinct, 0) AS n_distinct,
+           COALESCE(per.sum_c2, 0) AS sum_c2,
+           CASE WHEN COALESCE(per.n_tokens, 0) > 1
+             THEN ((per.sum_c2 - per.n_tokens) * 1000000)
+               // (per.n_tokens * (per.n_tokens - 1))
+             ELSE 0 END AS collision_ppm
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+    "x66_source_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+         ch AS (SELECT doc_id, unnest(list_transform(
+             range(0, CAST(ceil(len(tk) / 4.0) AS BIGINT)),
+             i -> md5(array_to_string(list_slice(tk, CAST(i * 4 + 1 AS INT),
+               CAST(least((i + 1) * 4, len(tk)) AS INT)), '_')))) AS h
+           FROM toks),
+         sc AS (SELECT DISTINCT d.source, ch.h
+           FROM ch JOIN documents d USING (doc_id))
+         SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared
+         FROM sc a JOIN sc b ON a.h = b.h AND a.source < b.source
+         GROUP BY a.source, b.source""",
+    "x67_pagerank_step" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
+         deg AS (SELECT c, COUNT(*) AS d FROM e GROUP BY c),
+         contrib AS (SELECT e.s, 1000000 // deg.d AS contrib
+           FROM e JOIN deg USING (c))
+         SELECT s AS suppkey, COUNT(*) AS n_in,
+           CAST(150000 + (85 * SUM(contrib)) // 100 AS BIGINT) AS rank_scaled
+         FROM contrib GROUP BY s""",
+    "x68_quantile_bins" ->
+      """WITH th AS (SELECT source,
+           quantile_disc(n_chars, [0.25, 0.5, 0.75]) AS th
+         FROM documents GROUP BY source)
+         SELECT d.doc_id, d.source, d.n_chars,
+           CASE WHEN d.n_chars IS NULL THEN NULL
+             WHEN d.n_chars <= th[1] THEN 0
+             WHEN d.n_chars <= th[2] THEN 1
+             WHEN d.n_chars <= th[3] THEN 2
+             ELSE 3 END AS bin
+         FROM documents d JOIN th USING (source)""")
+}

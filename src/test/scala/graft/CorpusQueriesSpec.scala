@@ -1,0 +1,89 @@
+package graft
+
+import graft.queries.CorpusQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-layout operators (x62–x68) on the sf0.001
+  * tables — the value-level check is the DuckDB oracle; these lock the
+  * structural contracts that survive any corpus (dense shard offsets,
+  * power-of-two buckets, bounded collision index, damped-rank floor). */
+class CorpusQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String): DataFrame =
+    CorpusQueries.defs(name)(spark, sf)
+
+  test("x62: shards partition the corpus with dense per-shard offsets") {
+    val rows = q("x62_shard_assign").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id").isNotNull).count()
+    assert(rows.length == docs)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      assert(0 <= shard && shard < 8)
+      val offsets = rs.map(_.getLong(2)).sorted
+      assert(offsets.toSeq == (0L until rs.length).toSeq,
+        s"shard $shard offsets not dense")
+    }
+  }
+
+  test("x63: weighted sample is k rows ranked by nondecreasing priority") {
+    val rows = q("x63_weighted_sample").orderBy("rank").collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    val pris = rows.map(_.getLong(2))
+    assert(pris.zip(pris.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("x64: buckets are powers of two and accounting is consistent") {
+    val rows = q("x64_length_buckets").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bucket, nDocs, sumTok, waste, nBatches) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert((bucket & (bucket - 1)) == 0 && bucket > 0, s"bucket $bucket")
+      assert(waste == bucket * nDocs - sumTok && waste >= 0)
+      assert(nBatches >= 1 && nBatches <= nDocs)
+    }
+  }
+
+  test("x65: diversity stats are internally bounded") {
+    q("x65_token_diversity").collect().foreach { r =>
+      val (n, k, c2, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(k <= n)
+      assert(c2 >= n) // Σc² ≥ Σc
+      assert(c2 <= n * n)
+      assert(0 <= ppm && ppm <= 1000000L)
+    }
+  }
+
+  test("x66: overlap matrix is strict-upper-triangular with positive counts") {
+    q("x66_source_overlap").collect().foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("x67: damped ranks respect the 0.15 floor and mass conservation") {
+    val rows = q("x67_pagerank_step").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(r.getLong(2) >= 150000L) }
+    // total damped in-mass cannot exceed 0.85 × (customers × 10^6) + floor terms
+    val customers = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey")).distinct().count()
+    val totalIn = rows.map(r => r.getLong(2) - 150000L).sum
+    assert(totalIn <= 850000L * customers)
+  }
+
+  test("x68: bins are quartile labels 0..3 and every labeled doc has one") {
+    val rows = q("x68_quantile_bins").collect()
+    assert(rows.nonEmpty)
+    rows.filter(r => !r.isNullAt(2)).foreach { r =>
+      assert(!r.isNullAt(3))
+      val b = r.getLong(3)
+      assert(0 <= b && b <= 3)
+    }
+  }
+}
