@@ -175,6 +175,78 @@ object CorpusQueries {
           expr("CAST(150000 AS BIGINT) + (85 * in_sum) div 100").as("rank_scaled"))
     }),
 
+    // ───── OLS fit from sufficient statistics: the payoff of x61's
+    // integer moment sums — slope/intercept of chars ~ tokens per source
+    // as a PURE PROJECTION over the six mergeable sums. Numerator and
+    // denominator stay exact integers (decimal(38,0) products, so the
+    // form survives 10^12-row groups without long overflow) and ship on
+    // the hashed surface; the one double division runs identically in
+    // both engines. No second pass over the data — this is why the heavy
+    // pass emits moments, not means
+    "x69_ols_fit" -> ((s, d) => {
+      val xc = TextOps.tokenCount(col("text")).cast("long")
+      t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), xc.as("x"), col("n_chars").as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+          sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"))
+        .select(col("source"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("long").as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("long").as("slope_den"))
+        .withColumn("slope",
+          col("slope_num").cast("double") / col("slope_den").cast("double"))
+    }),
+
+    // ───── Heaps-law vocabulary growth: distinct vocabulary size as the
+    // corpus grows, from each token's FIRST-seen document. Bucket width is
+    // data-derived (corpus id range / 20), so the cumulative window runs
+    // over a BOUNDED ~20-row frame at any corpus size — the q23 scalar
+    // shape, not a per-row global window. First-seen is a partial-combine
+    // min; nothing after it touches more than the bucket dimension
+    "x70_vocab_growth" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+      val width = docs.agg(
+        expr("(max(doc_id) + 20) div 20").as("w"))
+      val firstSeen = TextOps.tokenRows(docs, "doc_id", "text")
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      val byBucket = firstSeen.crossJoin(broadcast(width))
+        .select(expr("first_doc div w").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+      val cum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byBucket.withColumn("vocab_size", sum(col("new_types")).over(cum))
+    }),
+
+    // ───── cluster label purity: the clustering-eval counterpart of
+    // x48's ANN recall — per nearest-centroid cell (x15/x30's coarse
+    // quantizer), the majority ground-truth label and its share in parts
+    // per million. Argmax via one max(struct) hash-agg (no window sort);
+    // integer division keeps the purity surface exact
+    "x71_cluster_purity" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("label").isNotNull)
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cells = graft.similarity.Similarity
+        .assignCells(emb, "vec_id", "embedding", cent, "cid", "cvec")
+        .select(col("vec_id"), col("cell"))
+      val perLabel = cells
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n_l"))
+      perLabel.groupBy(col("cell"))
+        .agg(sum(col("n_l")).as("n"),
+          max(struct(col("n_l"), (-col("label")).cast("long").as("neg_label")))
+            .as("m"))
+        .select(col("cell"), col("n"),
+          (-col("m.neg_label")).as("major_label"),
+          col("m.n_l").as("major_n"),
+          expr("(m.n_l * CAST(1000000 AS BIGINT)) div n").as("purity_ppm"))
+    }),
+
     // ───── quantile discretization: per-source quartile thresholds from
     // the GK sketch (x28's operator — bounded state, exact in the ≤
     // accuracy regime where the oracle can replay it), broadcast back and
@@ -268,6 +340,56 @@ object CorpusQueries {
          SELECT s AS suppkey, COUNT(*) AS n_in,
            CAST(150000 + (85 * SUM(contrib)) // 100 AS BIGINT) AS rank_scaled
          FROM contrib GROUP BY s""",
+    "x69_ols_fit" ->
+      s"""WITH f AS (SELECT source, len(string_split($normSql, ' ')) AS x,
+           n_chars AS y
+         FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         a AS (SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           FROM f GROUP BY source),
+         sel AS (SELECT source,
+             CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+           FROM a)
+         SELECT source, slope_num, slope_den,
+           CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE) AS slope
+         FROM sel""",
+    "x70_vocab_growth" ->
+      s"""WITH w AS (SELECT (max(doc_id) + 20) // 20 AS w FROM documents
+           WHERE doc_id IS NOT NULL),
+         toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+           FROM documents WHERE doc_id IS NOT NULL),
+         fs AS (SELECT tok, min(doc_id) AS first_doc FROM toks
+           WHERE tok <> '' GROUP BY tok),
+         bk AS (SELECT first_doc // (SELECT w FROM w) AS bucket,
+             COUNT(*) AS new_types
+           FROM fs GROUP BY 1)
+         SELECT bucket, new_types,
+           CAST(SUM(new_types) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+         FROM bk""",
+    "x71_cluster_purity" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings WHERE label IS NOT NULL),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+         assign AS (SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_inner_product(e.v, c.cv)
+                 / (sqrt(list_inner_product(e.v, e.v))
+                    * sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rn
+           FROM ev e, cent c),
+         cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+         pl AS (SELECT cells.cell, ev.label, COUNT(*) AS n_l
+           FROM cells JOIN ev USING (vec_id) GROUP BY 1, 2),
+         agg AS (SELECT cell, CAST(SUM(n_l) AS BIGINT) AS n FROM pl
+           GROUP BY cell),
+         mj AS (SELECT cell, n_l, label, ROW_NUMBER() OVER
+             (PARTITION BY cell ORDER BY n_l DESC, label ASC) AS rn
+           FROM pl)
+         SELECT a.cell, a.n, CAST(m.label AS BIGINT) AS major_label,
+           m.n_l AS major_n, (m.n_l * 1000000) // a.n AS purity_ppm
+         FROM agg a JOIN mj m ON a.cell = m.cell AND m.rn = 1""",
     "x68_quantile_bins" ->
       """WITH th AS (SELECT source,
            quantile_disc(n_chars, [0.25, 0.5, 0.75]) AS th

@@ -77,6 +77,37 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(totalIn <= 850000L * customers)
   }
 
+  test("x69: OLS surface is exact integers with the one double division") {
+    val rows = q("x69_ols_fit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (num, den, slope) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(den > 0, "token counts must vary within a source")
+      assert(slope == num.toDouble / den.toDouble)
+    }
+  }
+
+  test("x70: vocabulary growth is cumulative and bounded by 20 buckets") {
+    val rows = q("x70_vocab_growth").orderBy("bucket").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sizes = rows.map(_.getLong(2))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a < b || a == b })
+    assert(sizes.last == rows.map(_.getLong(1)).sum)
+  }
+
+  test("x71: purity is a valid majority share per cell") {
+    val rows = q("x71_cluster_purity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, majorN, ppm) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(majorN <= n && majorN >= 1)
+      assert(ppm == majorN * 1000000L / n)
+    }
+    val labeled = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("label").isNotNull).count()
+    assert(rows.map(_.getLong(1)).sum == labeled)
+  }
+
   test("x68: bins are quartile labels 0..3 and every labeled doc has one") {
     val rows = q("x68_quantile_bins").collect()
     assert(rows.nonEmpty)
