@@ -428,12 +428,19 @@ object ExtensionQueries {
     // for a given dataset, so the boolean is stable; the asserted band is
     // 10% = 5 standard deviations at rsd=0.02, so the contract holds with
     // overwhelming margin on any corpus, not just this one. At 10^9
-    // distinct keys per group the sketch is the only form that still runs
+    // distinct keys per group the sketch is the only form that still runs.
+    // Both aggregates run OVER THE DEDUPED (source, tok) frame: HLL is
+    // duplicate-insensitive, so the estimate is bit-identical, while the
+    // naive combined form makes the distinct-agg rewrite allocate a
+    // partial HLL buffer (~4 KB at rsd 0.02) per (source, token) group —
+    // one sketch per TOKEN — where this plan holds one sketch per source
+    // (measured 6.3 → 0.5 s at sf0.1)
     "x31_distinct_approx" -> ((s, d) => {
       val toks = TextOps.tokenRows(t(s, d, "documents"), "doc_id", "text",
         Seq("source"))
-      toks.groupBy(col("source"))
-        .agg(countDistinct(col("tok")).as("n_exact"),
+      toks.select(col("source"), col("tok")).distinct()
+        .groupBy(col("source"))
+        .agg(count(col("tok")).as("n_exact"),
           approx_count_distinct(col("tok"), 0.02).as("n_approx"))
         .select(col("source"), col("n_exact"),
           (abs(col("n_approx").cast("double") - col("n_exact")) <=

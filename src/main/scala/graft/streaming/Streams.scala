@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Row
 
 /** Streaming & incremental semantics (SURVEY §2.10).
@@ -150,6 +150,52 @@ object Streams {
     l.join(r, col(leftKey) === col(rightKey) &&
       col(rightTs) >= col(leftTs) &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
+  /** Per-key running totals via `transformWithState` — the Spark 4
+    * arbitrary-state API (successor of map/flatMapGroupsWithState, state
+    * in the RocksDB store): event count and integer-cents value sum per
+    * key, maintained in one fixed-size typed ValueState and re-emitted
+    * every micro-batch that touches the key (Update mode). The
+    * continuously-maintained per-entity aggregate the reference recomputes
+    * from scratch each run (pull_agg_contestant_stats's totals,
+    * `contestant_stats/contestant_stats_extract.py` aggregation loop),
+    * expressed as bounded incremental state: O(1) per key, no timeline
+    * buffering, and the optional `ttl` evicts idle keys — the knob that
+    * bounds the store when the key space grows with the corpus.
+    *
+    * Requires the RocksDB state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), the production
+    * choice anyway — the HDFS-backed default keeps every key on the JVM
+    * heap. */
+  def streamingRunningTotals(stream: DataFrame, keyCol: String,
+                             centsCol: String,
+                             ttl: Option[java.time.Duration] = None)
+      : Dataset[(String, Long, Long)] = {
+    implicit val inEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val outEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    val ttlConfig = ttl.fold(TTLConfig.NONE)(TTLConfig.apply)
+    val proc = new StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+      @transient private var totals: ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        totals = getHandle.getValueState[(Long, Long)]("totals",
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), ttlConfig)
+      override def handleInputRows(key: String,
+                                   rows: Iterator[(String, Long)],
+                                   timerValues: TimerValues)
+          : Iterator[(String, Long, Long)] = {
+        var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+        rows.foreach { r => n += 1; cents += r._2 }
+        totals.update((n, cents))
+        Iterator.single((key, n, cents))
+      }
+    }
+    stream
+      .select(col(keyCol).cast("string"), col(centsCol).cast("long"))
+      .as[(String, Long)](inEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Update())
   }
 
   /** foreachBatch upsert sink: idempotent micro-batch loads into a parquet

@@ -22,9 +22,14 @@ object Explain {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     if (doTime) {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[time] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // cold + warm pass: the second number is comparable to the bench's
+      // min-of-2 (JIT, codegen and parquet footers already cached)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[time] $name cold ${times(0)}%.2f s warm ${times(1)}%.2f s")
     }
     spark.stop()
   }

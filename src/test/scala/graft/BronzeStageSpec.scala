@@ -87,6 +87,25 @@ class BronzeStageSpec extends SparkSpec {
     assert(BronzeStage.parseRef("AA2") == (1L, 26L))
   }
 
+  test("graft-xlsx DSv2 source matches xlsxCells and prunes columns in the reader") {
+    val dir = Files.createTempDirectory("graft_dsv2_xlsx").toString
+    Files.write(Paths.get(s"$dir/wb.xlsx"), sampleXlsx)
+    Files.write(Paths.get(s"$dir/ignored.txt"), "noise".getBytes)
+    val v2 = spark.read.format("graft-xlsx").load(dir)
+    val viaFlatMap = BronzeStage.xlsxCells(spark, s"$dir/wb.xlsx")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("sheet", "row", "col", "value")
+        .as[(String, Long, Long, String)].collect().sortBy(identity).toSeq
+    assert(key(v2) == key(viaFlatMap) && key(v2).nonEmpty)
+    assert(v2.select("path").distinct().as[String].collect()
+      .forall(_.endsWith("wb.xlsx")))
+    // pruning reaches the reader: the scan's description carries the
+    // pruned schema, not the full 5-column one
+    val pruned = v2.select("row", "col", "value")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: row,col,value"), plan)
+  }
+
   test("xlsx bronze feeds the grid walk end-to-end: gaps stop headers and rows") {
     val dir = Files.createTempDirectory("graft_bronze").toString
     Files.write(Paths.get(s"$dir/wb.xlsx"), sampleXlsx)

@@ -77,9 +77,14 @@ class PlanAssertSpec extends SparkSpec {
     // global-aggregate shape at any scale. x56: global bottom-k — each
     // partition pre-reduces to a ≤ k-row buffer before the final merge.
     // x57: the Σ√n_lang scalar, aggregated from one row per language.
+    // x63: global bottom-k by weighted priority — the same ≤ k-row
+    // pre-reduced merge as x56. x70: the cumulative window runs over the
+    // ~20-row bucket dimension (data-derived width), plus the max(doc_id)
+    // scalar — both bounded whatever the corpus size.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
-        "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture")
+        "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
+        "x63_weighted_sample", "x70_vocab_growth")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

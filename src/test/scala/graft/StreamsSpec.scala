@@ -151,6 +151,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRunningTotals: transformWithState keeps per-key totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider to this query (read at stream start, so restoring after
+    // start() leaves the other tests on the default provider)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long)]
+    val out = Streams.streamingRunningTotals(
+      mem.toDF().toDF("k", "cents"), "k", "cents")
+    val q = out.toDF("k", "n", "cents")
+      .writeStream.format("memory").queryName("tws_totals")
+      .outputMode("update").start()
+    try {
+      prior.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+      mem.addData(("a", 100L), ("a", 50L), ("b", 10L))
+      q.processAllAvailable()
+      mem.addData(("a", 25L)) // state must carry 150 over from batch 1
+      q.processAllAvailable()
+      val latest = spark.table("tws_totals")
+        .groupBy($"k").agg(max(struct($"n", $"cents")).as("m"))
+        .select($"k", $"m.n", $"m.cents").orderBy("k")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(latest == Seq(("a", 3L, 175L), ("b", 1L, 10L)))
+    } finally q.stop()
+  }
+
   test("streamingTumbling produces windowed counts under watermark (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
