@@ -247,6 +247,80 @@ object CorpusQueries {
           expr("(m.n_l * CAST(1000000 AS BIGINT)) div n").as("purity_ppm"))
     }),
 
+    // ───── behavioral daily rollup + trailing 7-day window: per-user
+    // per-day event count and cents sum, with the moving totals as a
+    // RANGE frame over the integer day number (so gap days weigh zero
+    // without materializing them). The window shuffles once on user_id —
+    // entity-keyed, cardinality ≫ cores at any scale; cents stay integer
+    // end to end
+    "x72_daily_activity" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"),
+          coalesce(floor(col("value") * 100 + 0.5).cast("long"), lit(0L))
+            .as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      val w7 = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("ma7_n", sum(col("n_events")).over(w7))
+        .withColumn("ma7_cents", sum(col("cents")).over(w7))
+    }),
+
+    // ───── ordered funnel: signup → first later click → first later
+    // purchase, per user, with reached-stage attribution. Each stage is a
+    // conditional min over the user's events AFTER the previous stage —
+    // three user-keyed joins+aggregations, no window over raw events,
+    // timestamps on the hashed surface as epoch millis. Stage frames are
+    // one row per user, so they are NOT force-broadcast (users scale with
+    // the corpus); all joins share the user_id partitioning, and AQE
+    // broadcasts them when they actually fit
+    "x73_funnel_stages" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t_signup"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ms") > col("t_signup"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t_click"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ms") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t_purchase"))
+      ev.select(col("user_id")).distinct()
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup"), col("t_click"),
+          col("t_purchase"),
+          when(col("t_purchase").isNotNull, lit(3L))
+            .when(col("t_click").isNotNull, lit(2L))
+            .when(col("t_signup").isNotNull, lit(1L))
+            .otherwise(lit(0L)).as("stage"))
+    }),
+
+    // ───── retention cohorts: users grouped by first-seen week, counted
+    // on each later activity week as an offset from their cohort — the
+    // (cohort, offset) retention triangle. Distinct (user, week) activity
+    // first, then one small aggregation; offsets are integer week
+    // arithmetic on epoch days
+    "x74_retention_cohorts" -> ((s, d) => {
+      val uw = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 604800000").as("week"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // ───── quantile discretization: per-source quartile thresholds from
     // the GK sketch (x28's operator — bounded state, exact in the ≤
     // accuracy regime where the oracle can replay it), broadcast back and
@@ -340,6 +414,47 @@ object CorpusQueries {
          SELECT s AS suppkey, COUNT(*) AS n_in,
            CAST(150000 + (85 * SUM(contrib)) // 100 AS BIGINT) AS rank_scaled
          FROM contrib GROUP BY s""",
+    "x72_daily_activity" ->
+      """WITH daily AS (SELECT user_id,
+           CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(COALESCE(CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
+             AS BIGINT) AS cents
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         GROUP BY 1, 2)
+         SELECT user_id, day, n_events, cents,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS ma7_n,
+           CAST(SUM(cents) OVER w AS BIGINT) AS ma7_cents
+         FROM daily
+         WINDOW w AS (PARTITION BY user_id ORDER BY day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "x73_funnel_stages" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           CAST(epoch_ms(ts) AS BIGINT) AS ms
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         s1 AS (SELECT user_id, min(ms) AS t_signup FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT ev.user_id, min(ms) AS t_click FROM ev
+           JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ms > t_signup GROUP BY ev.user_id),
+         s3 AS (SELECT ev.user_id, min(ms) AS t_purchase FROM ev
+           JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ms > t_click GROUP BY ev.user_id)
+         SELECT u.user_id, t_signup, t_click, t_purchase,
+           CASE WHEN t_purchase IS NOT NULL THEN 3
+             WHEN t_click IS NOT NULL THEN 2
+             WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS stage
+         FROM (SELECT DISTINCT user_id FROM ev) u
+         LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)""",
+    "x74_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+           CAST(epoch_ms(ts) AS BIGINT) // 604800000 AS week
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+         SELECT cohort, week - cohort AS "offset", COUNT(*) AS n_users
+         FROM uw JOIN c USING (user_id)
+         GROUP BY 1, 2""",
     "x69_ols_fit" ->
       s"""WITH f AS (SELECT source, len(string_split($normSql, ' ')) AS x,
            n_chars AS y

@@ -108,6 +108,42 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == labeled)
   }
 
+  test("x72: trailing window sums dominate the day's own totals") {
+    val rows = q("x72_daily_activity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(2)) // ma7_n ≥ n_events
+      assert(r.getLong(5) >= r.getLong(3)) // ma7_cents ≥ cents (cents ≥ 0)
+    }
+  }
+
+  test("x73: stages are ordered and timestamps strictly increase along the funnel") {
+    val rows = q("x73_funnel_stages").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stage = r.getLong(4)
+      val present = Seq(1, 2, 3).map(i => !r.isNullAt(i))
+      assert(present.count(identity) == stage)
+      // prefix property: a reached stage implies all earlier ones
+      assert(present.zip(present.tail).forall { case (a, b) => a || !b })
+      if (stage == 3)
+        assert(r.getLong(1) < r.getLong(2) && r.getLong(2) < r.getLong(3))
+    }
+  }
+
+  test("x74: cohort week 0 holds every cohort member and offsets are nonnegative") {
+    val rows = q("x74_retention_cohorts").collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (_, rs) =>
+      val at0 = rs.find(_.getLong(1) == 0L)
+      assert(at0.isDefined, "every cohort has an offset-0 row")
+      assert(rs.forall(_.getLong(1) >= 0))
+      assert(rs.forall(_.getLong(2) <= at0.get.getLong(2)),
+        "no later offset can exceed the cohort's own size")
+    }
+  }
+
   test("x68: bins are quartile labels 0..3 and every labeled doc has one") {
     val rows = q("x68_quantile_bins").collect()
     assert(rows.nonEmpty)
