@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.text.TextOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,7 +27,129 @@ object CorpusQueries {
 
   private val normSql = normOf("text")
 
+  /** Shared per-document cascade frame for x75/x76: five independent
+    * keep signals over ONE tokenization —
+    *   bit 0  length: 10 ≤ n_tokens ≤ 2000
+    *   bit 1  diversity: collision index < 0.2 (x65's statistic)
+    *   bit 2  classifier: hashed-feature weight sum > 0 (x40's scorer)
+    *   bit 3  vocabulary: top-20-vocab coverage ≥ 0.7 (x47's rule)
+    *   bit 4  mixture: the per-source md5 sampling rule (x39)
+    * plus the bitmask, the and-of-all keep, and first-fail attribution
+    * (the lowest failed stage, -1 when all pass) — what a production
+    * cascade ships so every dropped document is explainable. Token rows
+    * feed four aggregations and are cached (caller-managed lifecycle, as
+    * elsewhere); everything shuffles on doc_id or tok hashes, never text.
+    */
+  private def cascadeFrame(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val tr = TextOps.tokenRows(docs, "doc_id", "text")
+      .filter(col("tok") =!= "").cache()
+    val stats = tr
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("sum_c2"))
+    val cls = tr.withColumn("w", TextOps.hashedTokenWeight(col("tok")))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("sw"))
+    val vocab = tr.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20)
+      .select(col("tok"), lit(true).as("__v"))
+    val cov = tr.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"),
+        sum(when(col("__v"), 1L).otherwise(0L)).as("nv"))
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    val kMix = conv(substring(md5(concat(lit("mix_"), col("doc_id"))), 1, 6), 16, 10)
+      .cast("long") * 100 < (lit(25L) + (srcNum % 16) * 5) * 16777216L
+    val joined = docs.select(col("doc_id"), col("source"), kMix.as("k_mix"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(cls, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+    val k0 = coalesce(col("n_tokens").between(10, 2000), lit(false))
+    // collision < 0.2 by integer cross-multiply: 5·(Σc²−n) < n·(n−1)
+    val k1 = coalesce(col("n_tokens") > 1 &&
+      (col("sum_c2") - col("n_tokens")) * 5 <
+        col("n_tokens") * (col("n_tokens") - 1), lit(false))
+    val k2 = coalesce(col("sw") > 0, lit(false))
+    // coverage ≥ 0.7 as integers: 10·nv ≥ 7·nt
+    val k3 = coalesce(col("nv") * 10 >= col("nt") * 7, lit(false))
+    val bits = Seq(k0, k1, k2, k3, col("k_mix"))
+    val mask = bits.zipWithIndex
+      .map { case (b, i) => when(b, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val firstFail = bits.zipWithIndex.foldRight(lit(-1L): Column) {
+      case ((b, i), rest) => when(!b, lit(i.toLong)).otherwise(rest)
+    }
+    joined.select(col("doc_id"), col("source"),
+      k0.as("k_len"), k1.as("k_div"), k2.as("k_cls"), k3.as("k_vocab"),
+      col("k_mix"), mask.as("bitmask"),
+      bits.reduce(_ && _).as("keep"), firstFail.as("first_fail"))
+  }
+
+  /** Oracle CTE chain mirroring [[cascadeFrame]]; exposes
+    * `casc(doc_id, source, k_len, k_div, k_cls, k_vocab, k_mix, bitmask,
+    * keep, first_fail)`. */
+  private val cascadeSql =
+    s"""toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+           FROM documents),
+         t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+         cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
+         stats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2 FROM cnt GROUP BY doc_id),
+         cls AS (SELECT doc_id, CAST(SUM(
+             CAST(('0x' || substr(md5('w' ||
+               (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64)), 1, 8))
+               AS BIGINT) % 1001 - 500) AS BIGINT) AS sw
+           FROM t2 GROUP BY doc_id),
+         vocab AS (SELECT tok FROM t2 GROUP BY tok
+           ORDER BY COUNT(*) DESC, tok LIMIT 20),
+         cov AS (SELECT doc_id, COUNT(*) AS nt,
+             CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab)
+               THEN 1 ELSE 0 END) AS BIGINT) AS nv
+           FROM t2 GROUP BY doc_id),
+         k AS (SELECT d.doc_id, d.source,
+             COALESCE(stats.n_tokens BETWEEN 10 AND 2000, FALSE) AS k_len,
+             COALESCE(stats.n_tokens > 1 AND
+               (stats.sum_c2 - stats.n_tokens) * 5 <
+                 stats.n_tokens * (stats.n_tokens - 1), FALSE) AS k_div,
+             COALESCE(cls.sw > 0, FALSE) AS k_cls,
+             COALESCE(cov.nv * 10 >= cov.nt * 7, FALSE) AS k_vocab,
+             CAST(('0x' || substr(md5('mix_' || d.doc_id), 1, 6)) AS BIGINT)
+               * 100 < (25 + (CAST(regexp_extract(d.source, '(\\d+)', 1)
+                 AS BIGINT) % 16) * 5) * 16777216 AS k_mix
+           FROM documents d
+           LEFT JOIN stats ON d.doc_id = stats.doc_id
+           LEFT JOIN cls ON d.doc_id = cls.doc_id
+           LEFT JOIN cov ON d.doc_id = cov.doc_id),
+         casc AS (SELECT doc_id, source, k_len, k_div, k_cls, k_vocab, k_mix,
+             CASE WHEN k_len THEN 1 ELSE 0 END
+               + CASE WHEN k_div THEN 2 ELSE 0 END
+               + CASE WHEN k_cls THEN 4 ELSE 0 END
+               + CASE WHEN k_vocab THEN 8 ELSE 0 END
+               + CASE WHEN k_mix THEN 16 ELSE 0 END AS bitmask,
+             k_len AND k_div AND k_cls AND k_vocab AND k_mix AS keep,
+             CASE WHEN NOT k_len THEN 0 WHEN NOT k_div THEN 1
+               WHEN NOT k_cls THEN 2 WHEN NOT k_vocab THEN 3
+               WHEN NOT k_mix THEN 4 ELSE -1 END AS first_fail
+           FROM k)"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ───── filter cascade with attribution (curation v3): five
+    // independent keep rules over one tokenization, a passed-stage
+    // bitmask, and first-fail attribution per document — the artifact
+    // that makes every dropped document explainable (and the dashboard
+    // input for x76). See [[cascadeFrame]] for the stage definitions
+    "x75_filter_cascade" -> ((s, d) => cascadeFrame(s, d)),
+
+    // ───── cascade composition report: per (source, first_fail) counts —
+    // which rule kills how much of which source, the go/no-go dashboard
+    // for a filter rollout. Same cascade, one extra partial-combine
+    // aggregation
+    "x76_cascade_report" -> ((s, d) =>
+      cascadeFrame(s, d)
+        .groupBy(col("source"), col("first_fail"))
+        .agg(count(lit(1)).as("n_docs"))),
 
     // ───── deterministic global shuffle + shard layout: the "shuffle the
     // corpus before training" step, replayable from the key alone. Shard =
@@ -321,6 +443,25 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // ───── vocabulary encoding: text → (doc_id, pos, token_id) rows via
+    // a data-derived vocabulary (top-63 tokens by count, ranked with a
+    // total tiebreak; id 0 = OOV) — the encode step between curation and
+    // packing (x22/x41 consume exactly this shape). The vocab is bounded
+    // and broadcast; the corpus side is one tokenization + one broadcast
+    // hash join, so nothing shuffles but the scan
+    "x77_vocab_encode" -> ((s, d) => {
+      val tr = TextOps.tokenRows(t(s, d, "documents"), "doc_id", "text")
+        .filter(col("tok") =!= "").cache()
+      val w = Window.orderBy(col("n").desc, col("tok"))
+      val vocab = tr.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(63)
+        .withColumn("token_id", row_number().over(w).cast("long"))
+        .select(col("tok"), col("token_id"))
+      tr.join(broadcast(vocab), Seq("tok"), "left")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          coalesce(col("token_id"), lit(0L)).as("token_id"))
+    }),
+
     // ───── quantile discretization: per-source quartile thresholds from
     // the GK sketch (x28's operator — bounded state, exact in the ≤
     // accuracy regime where the oracle can replay it), broadcast back and
@@ -342,6 +483,13 @@ object CorpusQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "x75_filter_cascade" ->
+      s"""WITH $cascadeSql
+         SELECT * FROM casc""",
+    "x76_cascade_report" ->
+      s"""WITH $cascadeSql
+         SELECT source, first_fail, COUNT(*) AS n_docs
+         FROM casc GROUP BY 1, 2""",
     "x62_shard_assign" ->
       """WITH h AS (SELECT doc_id,
            CAST(('0x' || substr(md5('shf_' || doc_id), 1, 12)) AS BIGINT) AS h
@@ -455,6 +603,17 @@ object CorpusQueries {
          SELECT cohort, week - cohort AS "offset", COUNT(*) AS n_users
          FROM uw JOIN c USING (user_id)
          GROUP BY 1, 2""",
+    "x77_vocab_encode" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS t
+           FROM documents),
+         toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+           FROM tk, unnest(range(1, len(t) + 1)) AS u(i)),
+         t2 AS (SELECT * FROM toks WHERE tok <> ''),
+         vocab AS (SELECT tok, ROW_NUMBER() OVER
+             (ORDER BY COUNT(*) DESC, tok) AS token_id
+           FROM t2 GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 63)
+         SELECT t2.doc_id, t2.pos, COALESCE(v.token_id, 0) AS token_id
+         FROM t2 LEFT JOIN vocab v USING (tok)""",
     "x69_ols_fit" ->
       s"""WITH f AS (SELECT source, len(string_split($normSql, ' ')) AS x,
            n_chars AS y

@@ -144,6 +144,38 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x75: bitmask, keep and first-fail agree with the stage flags") {
+    val rows = q("x75_filter_cascade").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = (2 to 6).map(i => r.getBoolean(i))
+      val mask = flags.zipWithIndex.map { case (b, i) => if (b) 1L << i else 0L }.sum
+      assert(r.getLong(7) == mask)
+      assert(r.getBoolean(8) == flags.forall(identity))
+      val expectedFirstFail = flags.indexWhere(!_) match {
+        case -1 => -1L
+        case i => i.toLong
+      }
+      assert(r.getLong(9) == expectedFirstFail)
+    }
+  }
+
+  test("x76: report counts partition the corpus") {
+    val total = q("x76_cascade_report").collect().map(_.getLong(2)).sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == docs)
+  }
+
+  test("x77: encoding covers every token with ids in [0, 63]") {
+    val rows = q("x77_vocab_encode").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 63))
+    assert(rows.exists(_.getLong(2) == 1L)) // the top token is id 1
+    // (doc, pos) is a key: one id per token occurrence
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      rows.length)
+  }
+
   test("x68: bins are quartile labels 0..3 and every labeled doc has one") {
     val rows = q("x68_quantile_bins").collect()
     assert(rows.nonEmpty)

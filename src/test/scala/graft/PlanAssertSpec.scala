@@ -81,10 +81,11 @@ class PlanAssertSpec extends SparkSpec {
     // pre-reduced merge as x56. x70: the cumulative window runs over the
     // ~20-row bucket dimension (data-derived width), plus the max(doc_id)
     // scalar — both bounded whatever the corpus size.
+    // x77: the ranking window runs over the ≤ 63-row limited vocab frame.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
-        "x63_weighted_sample", "x70_vocab_growth")
+        "x63_weighted_sample", "x70_vocab_growth", "x77_vocab_encode")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

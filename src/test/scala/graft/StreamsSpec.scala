@@ -180,6 +180,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TopK aggregator runs as a streaming aggregation with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val top = graft.ops.TopK.topK(2)
+    val agg = mem.toDF().toDF("grp", "score", "id")
+      .groupBy($"grp").agg(top($"score", $"id").as("tk"))
+      .select($"grp", $"tk.items")
+    val q = agg.writeStream.format("memory").queryName("tws_topk")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("g", 5L, "a"), ("g", 3L, "b"), ("g", 9L, "c"))
+      q.processAllAvailable()
+      mem.addData(("g", 7L, "d")) // displaces b from the top-2
+      q.processAllAvailable()
+      val items = spark.table("tws_topk")
+        .selectExpr("transform(items, x -> x.id) AS ids")
+        .as[Seq[String]].collect().head
+      assert(items == Seq("c", "d"))
+    } finally q.stop()
+  }
+
   test("streamingTumbling produces windowed counts under watermark (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
