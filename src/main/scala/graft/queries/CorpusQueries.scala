@@ -462,6 +462,78 @@ object CorpusQueries {
           coalesce(col("token_id"), lit(0L)).as("token_id"))
     }),
 
+    // ───── span-corruption mask plan (T5-style denoising prep): ~5% of
+    // each document's tokens masked as length-3 spans at deterministic
+    // hash-derived offsets — one span per 20 tokens, start_j =
+    // md5(doc, j) mod (n−3). Emitting the PLAN (doc, span_idx, start,
+    // len) instead of rewritten text keeps the heavy pass a pure
+    // projection + bounded explode; spans may overlap (the consumer
+    // resolves, as in masking pipelines). Replayable from keys alone
+    "x78_span_mask" -> ((s, d) => {
+      val nt = TextOps.tokenCount(col("text")).cast("long")
+      t(s, d, "documents")
+        .filter(col("text").isNotNull && col("doc_id").isNotNull)
+        .select(col("doc_id"), nt.as("n_tokens"))
+        .filter(col("n_tokens") >= 23)
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(0L), expr("n_tokens div 20 - 1"))).as("span_idx"))
+        .select(col("doc_id"), col("span_idx"),
+          pmod(conv(substring(md5(concat(lit("msk_"), col("doc_id"),
+            lit("_"), col("span_idx"))), 1, 8), 16, 10).cast("long"),
+            col("n_tokens") - 3).as("start"),
+          lit(3L).as("len"))
+    }),
+
+    // ───── contrastive negative sampling: four deterministic negatives
+    // per query document from a hash ring over the corpus id space —
+    // n = corpus count (one broadcast scalar), neg = h mod n, bumped by
+    // one (mod n) when it lands on the query itself. Pure projection +
+    // bounded explode; replayable, so train/eval splits can regenerate
+    // pairs instead of storing them
+    "x79_negative_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+      val n = docs.agg(count(lit(1)).as("n"))
+      docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("qid"))
+        .crossJoin(broadcast(n))
+        .select(col("qid"), col("n"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+        .select(col("qid"), col("j"),
+          pmod(conv(substring(md5(concat(lit("neg_"), col("qid"),
+            lit("_"), col("j"))), 1, 8), 16, 10).cast("long"), col("n"))
+            .as("raw"), col("n"))
+        .select(col("qid"), col("j"),
+          when(col("raw") === col("qid"), pmod(col("raw") + 1, col("n")))
+            .otherwise(col("raw")).as("neg_id"))
+    }),
+
+    // ───── source-fair interleave order: the deterministic training
+    // order that round-robins sources — docs ranked within their source
+    // by a replayable hash (a per-source window: entity-keyed, scales),
+    // then position = (rank−1)·n_sources + source_index with the source
+    // index from a broadcast ~20-row dimension. No global window, yet
+    // the output is a total order with every source appearing once per
+    // cycle while it lasts
+    "x80_interleave_order" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull)
+      val srcIdx = docs.select(col("source")).distinct()
+        .withColumn("src_idx",
+          (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+      val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+      val h = conv(substring(md5(concat(lit("ord_"), col("doc_id"))), 1, 12),
+        16, 10).cast("long")
+      val bySource = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      docs.select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("rank_in_src", row_number().over(bySource).cast("long"))
+        .join(broadcast(srcIdx), Seq("source"))
+        .crossJoin(broadcast(nSrc))
+        .select(col("doc_id"), col("source"),
+          ((col("rank_in_src") - 1) * col("n_src") + col("src_idx"))
+            .as("position"))
+    }),
+
     // ───── quantile discretization: per-source quartile thresholds from
     // the GK sketch (x28's operator — bounded state, exact in the ≤
     // accuracy regime where the oracle can replay it), broadcast back and
@@ -603,6 +675,48 @@ object CorpusQueries {
          SELECT cohort, week - cohort AS "offset", COUNT(*) AS n_users
          FROM uw JOIN c USING (user_id)
          GROUP BY 1, 2""",
+    "x78_span_mask" ->
+      s"""WITH n AS (SELECT doc_id, len(string_split($normSql, ' ')) AS n_tokens
+           FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         k AS (SELECT doc_id, n_tokens FROM n WHERE n_tokens >= 23),
+         sp AS (SELECT doc_id, n_tokens, unnest(range(0, n_tokens // 20))
+             AS span_idx
+           FROM k)
+         SELECT doc_id, span_idx,
+           CAST(('0x' || substr(md5('msk_' || doc_id || '_' || span_idx), 1, 8))
+             AS BIGINT) % (n_tokens - 3) AS start,
+           CAST(3 AS BIGINT) AS len
+         FROM sp""",
+    "x79_negative_pairs" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents
+           WHERE doc_id IS NOT NULL),
+         q AS (SELECT doc_id AS qid FROM documents
+           WHERE doc_id IS NOT NULL AND doc_id < 50),
+         e AS (SELECT qid, unnest(range(0, 4)) AS j FROM q),
+         r AS (SELECT qid, j,
+             CAST(('0x' || substr(md5('neg_' || qid || '_' || j), 1, 8))
+               AS BIGINT) % (SELECT n FROM n) AS raw
+           FROM e)
+         SELECT qid, j,
+           CASE WHEN raw = qid THEN (raw + 1) % (SELECT n FROM n)
+             ELSE raw END AS neg_id
+         FROM r""",
+    "x80_interleave_order" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(('0x' || substr(md5('ord_' || doc_id), 1, 12)) AS BIGINT) AS h
+         FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+         si AS (SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
+           FROM (SELECT DISTINCT source FROM d)),
+         ns AS (SELECT COUNT(*) AS n_src FROM si),
+         rk AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS rank_in_src
+           FROM d)
+         SELECT rk.doc_id, rk.source,
+           CAST((rank_in_src - 1) * (SELECT n_src FROM ns) + si.src_idx
+             AS BIGINT) AS position
+         FROM rk JOIN si USING (source)""",
     "x77_vocab_encode" ->
       s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS t
            FROM documents),

@@ -176,6 +176,37 @@ class CorpusQueriesSpec extends SparkSpec {
       rows.length)
   }
 
+  test("x78: mask spans sit inside their documents at ~5% token budget") {
+    val rows = q("x78_span_mask").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0)
+      assert(r.getLong(3) == 3L)
+    }
+    // one span per 20 tokens: spans per doc ≥ 1
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.nonEmpty))
+  }
+
+  test("x79: four distinct-j negatives per query, none equal to the query") {
+    val rows = q("x79_negative_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+      rs.foreach(r => assert(r.getLong(2) != qid))
+    }
+  }
+
+  test("x80: interleave positions are a total order cycling through sources") {
+    val rows = q("x80_interleave_order").collect()
+    assert(rows.nonEmpty)
+    val positions = rows.map(_.getLong(2))
+    assert(positions.distinct.length == positions.length)
+    // within any full leading cycle, all sources are distinct
+    val nSrc = rows.map(_.getString(1)).distinct.length
+    val firstCycle = rows.filter(_.getLong(2) < nSrc)
+    assert(firstCycle.map(_.getString(1)).distinct.length == firstCycle.length)
+  }
+
   test("x68: bins are quartile labels 0..3 and every labeled doc has one") {
     val rows = q("x68_quantile_bins").collect()
     assert(rows.nonEmpty)

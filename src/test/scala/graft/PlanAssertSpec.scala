@@ -82,10 +82,14 @@ class PlanAssertSpec extends SparkSpec {
     // ~20-row bucket dimension (data-derived width), plus the max(doc_id)
     // scalar — both bounded whatever the corpus size.
     // x77: the ranking window runs over the ≤ 63-row limited vocab frame.
+    // x79: the corpus-count scalar (one pre-aggregated row per partition).
+    // x80: the source-index window + n_sources scalar run over the ~20-row
+    // source dimension; the per-document ranking window is source-keyed.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
-        "x63_weighted_sample", "x70_vocab_growth", "x77_vocab_encode")
+        "x63_weighted_sample", "x70_vocab_growth", "x77_vocab_encode",
+        "x79_negative_pairs", "x80_interleave_order")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
