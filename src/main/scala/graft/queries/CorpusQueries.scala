@@ -534,6 +534,63 @@ object CorpusQueries {
             .as("position"))
     }),
 
+    // ───── metadata-filtered ANN: top-5 by cosine among candidates
+    // passing a structured predicate (label of the opposite parity —
+    // ~half the corpus). THE production retrieval shape x52's pure
+    // vector path doesn't cover: the filter applies BEFORE ranking
+    // (post-filtering a fixed-k list under-returns), and because it is
+    // a plain Catalyst predicate it prunes ahead of the scored join —
+    // at scale it also prunes IVF cells/partitions. Same exact-cosine
+    // ranking and tiebreaks as x05
+    "x81_filtered_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .filter(col("label").isNotNull)
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val cand = emb.select(col("vec_id"), col("embedding"), col("label"))
+      val scored = cand
+        .join(broadcast(qs), col("vec_id") =!= col("qid") &&
+          pmod(col("label"), lit(2)) =!= pmod(col("qlabel"), lit(2)))
+        .select(col("qid"), col("vec_id"),
+          (graft.similarity.Similarity.dot(col("qvec"), col("embedding")) /
+            (sqrt(graft.similarity.Similarity.dot(col("qvec"), col("qvec"))) *
+              sqrt(graft.similarity.Similarity.dot(col("embedding"), col("embedding")))))
+            .as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cos"), 4).as("cos_sim"))
+    }),
+
+    // ───── Z-order layout keys: Morton-interleave two 8-bit bucket ids
+    // (length bucket × language index) into one locality-preserving sort
+    // key — the write-layout primitive behind multi-dimensional data
+    // skipping (sort/partition by z, and range pruning works on BOTH
+    // dimensions at once). Pure bit arithmetic unrolled over 8 bit
+    // positions, identical in both engines; buckets are data-derived
+    // (n_chars div 64 capped at 255, language index from a broadcast
+    // ~5-row dimension)
+    "x82_zorder_layout" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+      val langIdx = docs.select(col("lang")).distinct()
+        .withColumn("yb",
+          (row_number().over(Window.orderBy(col("lang"))) - 1).cast("long"))
+      val xb = least(expr("n_chars div 64"), lit(255L)).as("xb")
+      val withBuckets = docs.join(broadcast(langIdx), Seq("lang"))
+        .select(col("doc_id"), col("lang"), xb, col("yb"))
+      val z = (0 until 8).map { i =>
+        expr(s"shiftleft((xb div ${1L << i}) % 2, ${2 * i}) + " +
+          s"shiftleft((yb div ${1L << i}) % 2, ${2 * i + 1})")
+      }.reduce(_ + _)
+      withBuckets.select(col("doc_id"), col("xb"), col("yb"),
+        z.cast("long").as("z"))
+    }),
+
     // ───── quantile discretization: per-source quartile thresholds from
     // the GK sketch (x28's operator — bounded state, exact in the ≤
     // accuracy regime where the oracle can replay it), broadcast back and
@@ -675,6 +732,40 @@ object CorpusQueries {
          SELECT cohort, week - cohort AS "offset", COUNT(*) AS n_users
          FROM uw JOIN c USING (user_id)
          GROUP BY 1, 2""",
+    "x82_zorder_layout" -> {
+      val zExpr = (0 until 8).map { i =>
+        s"(((xb // ${1L << i}) % 2) << ${2 * i}) + (((yb // ${1L << i}) % 2) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, lang, n_chars FROM documents
+           WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+             AND n_chars IS NOT NULL),
+         li AS (SELECT lang,
+             CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS BIGINT) AS yb
+           FROM (SELECT DISTINCT lang FROM d)),
+         b AS (SELECT d.doc_id, least(d.n_chars // 64, 255) AS xb, li.yb
+           FROM d JOIN li USING (lang))
+         SELECT doc_id, CAST(xb AS BIGINT) AS xb, yb,
+           CAST($zExpr AS BIGINT) AS z
+         FROM b"""
+    },
+    "x81_filtered_ann" ->
+      """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings WHERE label IS NOT NULL),
+         qs AS (SELECT vec_id AS qid, v AS qv, label AS qlabel
+           FROM ev WHERE vec_id < 8),
+         sc AS (SELECT q.qid, e.vec_id,
+             list_inner_product(q.qv, e.v)
+               / (sqrt(list_inner_product(q.qv, q.qv))
+                  * sqrt(list_inner_product(e.v, e.v))) AS cos
+           FROM qs q JOIN ev e
+             ON e.vec_id <> q.qid AND e.label % 2 <> q.qlabel % 2),
+         rk AS (SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos DESC, vec_id) AS rank
+           FROM sc)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+           round(cos, 4) AS cos_sim
+         FROM rk WHERE rank <= 5""",
     "x78_span_mask" ->
       s"""WITH n AS (SELECT doc_id, len(string_split($normSql, ' ')) AS n_tokens
            FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Row
 
 /** Streaming & incremental semantics (SURVEY §2.10).
@@ -196,6 +196,52 @@ object Streams {
       .as[(String, Long)](inEnc)
       .groupByKey(_._1)(Encoders.STRING)
       .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[streamingRunningTotals]] bootstrapped from a batch snapshot — the
+    * backfill-then-stream migration path: `initial` carries one
+    * (key, n, cents) row per key (e.g. the batch aggregate of the
+    * historical corpus), seeded into the state store before the first
+    * micro-batch, after which the stream continues the same totals.
+    * This is how a reference-style full-recompute pipeline moves to
+    * incremental without a discontinuity in its outputs. */
+  def streamingRunningTotalsFrom(stream: DataFrame, keyCol: String,
+                                 centsCol: String,
+                                 initial: DataFrame): Dataset[(String, Long, Long)] = {
+    implicit val inEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val outEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val initEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val proc = new StatefulProcessorWithInitialState[
+        String, (String, Long), (String, Long, Long), (Long, Long)] {
+      @transient private var totals: ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        totals = getHandle.getValueState[(Long, Long)]("totals",
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      override def handleInitialState(key: String, state: (Long, Long),
+                                      timerValues: TimerValues): Unit =
+        totals.update(state)
+      override def handleInputRows(key: String,
+                                   rows: Iterator[(String, Long)],
+                                   timerValues: TimerValues)
+          : Iterator[(String, Long, Long)] = {
+        var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+        rows.foreach { r => n += 1; cents += r._2 }
+        totals.update((n, cents))
+        Iterator.single((key, n, cents))
+      }
+    }
+    val initKeyed = initial
+      .select(col(initial.columns(0)).cast("string"),
+        col(initial.columns(1)).cast("long"), col(initial.columns(2)).cast("long"))
+      .as[(String, Long, Long)](outEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapValues(r => (r._2, r._3))(initEnc)
+    stream
+      .select(col(keyCol).cast("string"), col(centsCol).cast("long"))
+      .as[(String, Long)](inEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Update(), initKeyed)
   }
 
   /** foreachBatch upsert sink: idempotent micro-batch loads into a parquet

@@ -207,6 +207,34 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(firstCycle.map(_.getString(1)).distinct.length == firstCycle.length)
   }
 
+  test("x81: filtered ANN returns only opposite-parity neighbors, ranked") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q("x81_filtered_ann").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      assert(emb(nid) % 2 != emb(qid) % 2)
+      assert(nid != qid)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length))
+    }
+  }
+
+  test("x82: z keys interleave the bucket bits reversibly") {
+    val rows = q("x82_zorder_layout").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xb, yb, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // de-interleave and compare (8 bits per dimension)
+      val x2 = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val y2 = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(x2 == xb && y2 == yb, s"z=$z xb=$xb yb=$yb")
+    }
+  }
+
   test("x68: bins are quartile labels 0..3 and every labeled doc has one") {
     val rows = q("x68_quantile_bins").collect()
     assert(rows.nonEmpty)

@@ -89,7 +89,7 @@ class PlanAssertSpec extends SparkSpec {
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
         "x63_weighted_sample", "x70_vocab_growth", "x77_vocab_encode",
-        "x79_negative_pairs", "x80_interleave_order")
+        "x79_negative_pairs", "x80_interleave_order", "x82_zorder_layout")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

@@ -180,6 +180,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRunningTotalsFrom seeds batch state, stream continues it") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long)]
+    // historical backfill: a batch aggregate of the pre-stream corpus
+    val initial = Seq(("a", 10L, 1000L), ("b", 2L, 40L))
+      .toDF("k", "n", "cents")
+    val out = Streams.streamingRunningTotalsFrom(
+      mem.toDF().toDF("k", "cents"), "k", "cents", initial)
+    val q = out.toDF("k", "n", "cents")
+      .writeStream.format("memory").queryName("tws_init")
+      .outputMode("update").start()
+    try {
+      prior.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+      mem.addData(("a", 5L), ("c", 7L)) // a continues backfill; c is fresh
+      q.processAllAvailable()
+      val latest = spark.table("tws_init")
+        .groupBy($"k").agg(max(struct($"n", $"cents")).as("m"))
+        .select($"k", $"m.n", $"m.cents").orderBy("k")
+        .as[(String, Long, Long)].collect().toSeq
+      // b got no stream rows → no emission; a = 10+1 events, 1000+5 cents
+      assert(latest == Seq(("a", 11L, 1005L), ("c", 1L, 7L)))
+    } finally q.stop()
+  }
+
   test("TopK aggregator runs as a streaming aggregation with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, String)]
