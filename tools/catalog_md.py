@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Generate QUERIES.md — the per-query catalog index: oracle row count at
+sf0.01 plus measured Spark (graft.Bench, min-of-2 warm) and DuckDB
+(tools/bench_duckdb.py, identical oracle SQL) seconds at sf0.1.
+
+Usage: python3 tools/catalog_md.py <verify_outdir> <bench_json> <duckdb_json>
+Writes QUERIES.md in the repo root.
+"""
+import glob
+import json
+import os
+import sys
+
+outdir, bench_path, duck_path = sys.argv[1], sys.argv[2], sys.argv[3]
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+line = open(bench_path).read()
+bench = json.loads(line[line.index("{"):])["queries"]
+duck = json.loads(open(duck_path).read())["queries"]
+
+import duckdb
+con = duckdb.connect()
+rows = {}
+for name in sorted(os.listdir(outdir)):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if files:
+        rows[name] = con.execute(
+            f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+
+names = sorted(rows)
+groups = [
+    ("Reference operators (SURVEY §2, q01–q38)", lambda n: n.startswith("q")),
+    ("Training-data extensions (x01–x35)",
+     lambda n: n.startswith("x") and n[1:3] <= "35"),
+    ("Curation operators (x36–x61)",
+     lambda n: n.startswith("x") and "36" <= n[1:3] <= "61"),
+    ("Corpus layout / analytics (x62+)",
+     lambda n: n.startswith("x") and n[1:3] >= "62"),
+]
+
+out = ["# QUERIES — the oracle-checked catalog",
+       "",
+       "One row per `SparkEntry.queries` entry. Every query has a full DuckDB",
+       "value oracle (`SparkEntry.oracleSql`); `rows` is the sf0.01 oracle",
+       "output size, timings are sf0.1 on the same 32-core box (Spark:",
+       "`graft.Bench` min-of-2 warm through the noop sink; DuckDB: identical",
+       "oracle SQL via `tools/bench_duckdb.py`).",
+       ""]
+tot_s = tot_d = 0.0
+for title, pred in groups:
+    members = [n for n in names if pred(n)]
+    if not members:
+        continue
+    out += [f"## {title}", "",
+            "| query | sf0.01 rows | spark s | duckdb s | ratio |",
+            "|---|---|---|---|---|"]
+    for n in members:
+        s, dd = bench.get(n), duck.get(n)
+        ratio = f"{dd / s:.1f}×" if s and dd and s > 0 else "—"
+        out.append(f"| {n} | {rows[n]} | "
+                   f"{s:.2f} | {dd:.2f} | {ratio} |")
+        if s and s > 0:
+            tot_s += s
+        if dd:
+            tot_d += dd
+    out.append("")
+out += [f"**Totals:** {len(names)} queries; Spark {tot_s:.1f} s vs DuckDB "
+        f"{tot_d:.1f} s on the identical workload "
+        f"({tot_d / tot_s:.1f}× overall).", ""]
+open(os.path.join(repo, "QUERIES.md"), "w").write("\n".join(out))
+print(f"QUERIES.md: {len(names)} queries, spark {tot_s:.1f}s duckdb {tot_d:.1f}s")
