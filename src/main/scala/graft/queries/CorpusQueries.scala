@@ -591,6 +591,103 @@ object CorpusQueries {
         z.cast("long").as("z"))
     }),
 
+    // ───── SCD2 history build: three deterministic snapshot versions of
+    // the corpus (text revisions keyed off doc_id arithmetic, presence
+    // windows for late-added/early-removed docs) → one validity-interval
+    // row per (doc_id, consecutive run of equal fingerprints):
+    // valid_from = first version of the run, valid_to = last (3 = still
+    // current). The slowly-changing-dimension bookkeeping the reference
+    // approximates with updated/created columns, as one window pass over
+    // (doc, version) fingerprints — change detection via lag, run close
+    // via lead on the change rows only. Shuffles fingerprints on doc_id;
+    // text never moves
+    "x83_scd2_history" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+      def snap(v: Int): DataFrame = {
+        val rev =
+          if (v == 1) when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" r1"))).otherwise(col("text"))
+          else if (v == 2) when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" r2"))).otherwise(col("text"))
+          else col("text")
+        // presence: v1 lacks docs ≡ 1 (mod 13); v3 drops docs ≡ 2 (mod 17)
+        val present =
+          if (v == 1) col("doc_id") % 13 =!= 1
+          else if (v == 3) col("doc_id") % 17 =!= 2
+          else lit(true)
+        docs.filter(present)
+          .select(col("doc_id"), lit(v.toLong).as("version"),
+            TextOps.fingerprint(rev).as("fp"))
+      }
+      val versions = snap(1).unionByName(snap(2)).unionByName(snap(3))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("version"))
+      // gaps-and-islands: a run starts at the first version, after a
+      // fingerprint change, or after a presence gap; runs close at their
+      // last PRESENT version (valid_to = 3 ⇔ still current)
+      val runs = versions
+        .withColumn("prev_fp", lag(col("fp"), 1).over(byDoc))
+        .withColumn("prev_v", lag(col("version"), 1).over(byDoc))
+        .withColumn("new_run",
+          (col("prev_fp").isNull || col("prev_fp") =!= col("fp") ||
+            col("prev_v") =!= col("version") - 1).cast("long"))
+        .withColumn("run_id", sum(col("new_run")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.groupBy(col("doc_id"), col("run_id"))
+        .agg(min(col("fp")).as("fp"),
+          min(col("version")).as("valid_from"),
+          max(col("version")).as("valid_to"))
+        .select(col("doc_id"), col("fp"), col("valid_from"), col("valid_to"))
+    }),
+
+    // ───── perceptual-hash near-dup over binary payloads (the image-dedup
+    // shape on the multimodal columns): 64-bit aHash — bit_i = byte_i ≥
+    // mean of the first 64 payload bytes, compared by integer
+    // cross-multiply (byte·64 ≥ Σ) so no division — banded into 4×16-bit
+    // exact-match bands (pigeonhole: any pair at Hamming ≤ 6 shares an
+    // untouched band, so recall is EXACT at the verify threshold 3), then
+    // Hamming-verified via bit_count(xor). One hex projection per asset
+    // before the explode (the byte loop is exploded rows, never a lambda
+    // over the payload); only 16-bit bands and ids shuffle
+    "x84_phash_neardup" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id").as("asset_id"),
+          substring(hex(col("text").cast("binary")), 1, 128).as("hx"),
+          length(col("text").cast("binary")).as("n"))
+        .filter(col("n") >= 64)
+      val bytes = base
+        .select(col("asset_id"), col("hx"),
+          explode(sequence(lit(0L), lit(63L))).as("i"))
+        .select(col("asset_id"), col("i"),
+          expr("CAST(conv(substring(hx, CAST(i * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)")
+            .as("byte"))
+      val sums = bytes.groupBy(col("asset_id")).agg(sum(col("byte")).as("s"))
+      val bands = bytes.join(sums, Seq("asset_id"))
+        .select(col("asset_id"), expr("i div 16").as("j"),
+          expr("shiftleft(CAST(CASE WHEN byte * 64 >= s THEN 1 ELSE 0 END AS BIGINT), " +
+            "CAST(i % 16 AS INT))").as("term"))
+        .groupBy(col("asset_id"), col("j")).agg(sum(col("term")).as("band"))
+        .cache()
+      val wide = bands.groupBy(col("asset_id"))
+        .agg(max(when(col("j") === 0, col("band"))).as("b0"),
+          max(when(col("j") === 1, col("band"))).as("b1"),
+          max(when(col("j") === 2, col("band"))).as("b2"),
+          max(when(col("j") === 3, col("band"))).as("b3"))
+      val cand = bands.select(col("asset_id").as("id_a"), col("j"), col("band"))
+        .join(bands.select(col("asset_id").as("id_b"), col("j"), col("band")),
+          Seq("j", "band"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      cand
+        .join(wide.toDF("id_a", "a0", "a1", "a2", "a3"), Seq("id_a"))
+        .join(wide.toDF("id_b", "c0", "c1", "c2", "c3"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
+
     // ───── quantile discretization: per-source quartile thresholds from
     // the GK sketch (x28's operator — bounded state, exact in the ≤
     // accuracy regime where the oracle can replay it), broadcast back and
@@ -732,6 +829,62 @@ object CorpusQueries {
          SELECT cohort, week - cohort AS "offset", COUNT(*) AS n_users
          FROM uw JOIN c USING (user_id)
          GROUP BY 1, 2""",
+    "x84_phash_neardup" ->
+      """WITH b AS (SELECT doc_id AS asset_id,
+           substr(hex(encode(text)), 1, 128) AS hx
+         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+           AND octet_length(encode(text)) >= 64),
+         byt AS (SELECT asset_id, i,
+             CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)
+               AS byte
+           FROM b, unnest(range(0, 64)) AS u(i)),
+         sm AS (SELECT asset_id, CAST(SUM(byte) AS BIGINT) AS s FROM byt
+           GROUP BY asset_id),
+         bands AS (SELECT asset_id, i // 16 AS j,
+             CAST(SUM(CAST(CASE WHEN byte * 64 >= s THEN 1 ELSE 0 END
+               AS BIGINT) << CAST(i % 16 AS INT)) AS BIGINT) AS band
+           FROM byt JOIN sm USING (asset_id) GROUP BY 1, 2),
+         wide AS (SELECT asset_id,
+             max(CASE WHEN j = 0 THEN band END) AS b0,
+             max(CASE WHEN j = 1 THEN band END) AS b1,
+             max(CASE WHEN j = 2 THEN band END) AS b2,
+             max(CASE WHEN j = 3 THEN band END) AS b3
+           FROM bands GROUP BY asset_id),
+         cand AS (SELECT DISTINCT a.asset_id AS id_a, c.asset_id AS id_b
+           FROM bands a JOIN bands c ON a.j = c.j AND a.band = c.band
+             AND a.asset_id < c.asset_id)
+         SELECT cand.id_a, cand.id_b,
+           CAST(bit_count(xor(wa.b0, wc.b0)) + bit_count(xor(wa.b1, wc.b1))
+             + bit_count(xor(wa.b2, wc.b2)) + bit_count(xor(wa.b3, wc.b3))
+             AS BIGINT) AS hamming
+         FROM cand
+         JOIN wide wa ON wa.asset_id = cand.id_a
+         JOIN wide wc ON wc.asset_id = cand.id_b
+         WHERE bit_count(xor(wa.b0, wc.b0)) + bit_count(xor(wa.b1, wc.b1))
+             + bit_count(xor(wa.b2, wc.b2)) + bit_count(xor(wa.b3, wc.b3)) <= 3""",
+    "x83_scd2_history" ->
+      s"""WITH s1 AS (SELECT doc_id, 1 AS version,
+             md5(${normOf("CASE WHEN doc_id % 3 = 0 THEN text || ' r1' ELSE text END")}) AS fp
+           FROM documents WHERE doc_id IS NOT NULL AND doc_id % 13 <> 1),
+         s2 AS (SELECT doc_id, 2 AS version,
+             md5(${normOf("CASE WHEN doc_id % 2 = 0 THEN text || ' r2' ELSE text END")}) AS fp
+           FROM documents WHERE doc_id IS NOT NULL),
+         s3 AS (SELECT doc_id, 3 AS version, md5($normSql) AS fp
+           FROM documents WHERE doc_id IS NOT NULL AND doc_id % 17 <> 2),
+         v AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           UNION ALL SELECT * FROM s3),
+         r AS (SELECT doc_id, version, fp,
+             CASE WHEN lag(fp) OVER w IS NULL OR lag(fp) OVER w <> fp
+               OR lag(version) OVER w <> version - 1 THEN 1 ELSE 0 END AS new_run
+           FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+         ri AS (SELECT doc_id, version, fp,
+             SUM(new_run) OVER (PARTITION BY doc_id ORDER BY version
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+           FROM r)
+         SELECT doc_id, min(fp) AS fp,
+           CAST(min(version) AS BIGINT) AS valid_from,
+           CAST(max(version) AS BIGINT) AS valid_to
+         FROM ri GROUP BY doc_id, run_id""",
     "x82_zorder_layout" -> {
       val zExpr = (0 until 8).map { i =>
         s"(((xb // ${1L << i}) % 2) << ${2 * i}) + (((yb // ${1L << i}) % 2) << ${2 * i + 1})"

@@ -235,6 +235,47 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x83: SCD2 intervals are disjoint, ordered, and split on every revision") {
+    val rows = q("x83_scd2_history").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(3) &&
+        r.getLong(3) <= 3)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val iv = rs.map(r => (r.getLong(2), r.getLong(3))).sorted
+      iv.zip(iv.tail).foreach { case ((_, t1), (f2, _)) => assert(t1 < f2) }
+    }
+    // doc 6: revised at v1 (÷3) and v2 (÷2), present everywhere → 3 runs
+    assert(rows.count(_.getLong(0) == 6L) == 3)
+  }
+
+  test("x84: banded aHash pairs equal the brute-force Hamming-3 ground truth") {
+    def aHash(text: String): Option[Array[Long]] = {
+      val bytes = text.getBytes("UTF-8")
+      if (bytes.length < 64) None
+      else {
+        val b = bytes.take(64).map(x => (x & 0xff).toLong)
+        val s = b.sum
+        val bits = b.map(x => if (x * 64 >= s) 1L else 0L)
+        Some((0 until 4).map(j =>
+          (0 until 16).map(i => bits(j * 16 + i) << i).sum).toArray)
+      }
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .flatMap(r => aHash(r.getString(1)).map(r.getLong(0) -> _)).toMap
+    val expected = (for {
+      (a, ha) <- docs.toSeq; (b, hb) <- docs.toSeq if a < b
+      ham = (0 until 4).map(j => java.lang.Long.bitCount(ha(j) ^ hb(j))).sum
+      if ham <= 3
+    } yield (a, b, ham.toLong)).sorted
+    val got = q("x84_phash_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == expected, s"got ${got.length} vs expected ${expected.length}")
+  }
+
   test("x68: bins are quartile labels 0..3 and every labeled doc has one") {
     val rows = q("x68_quantile_bins").collect()
     assert(rows.nonEmpty)
