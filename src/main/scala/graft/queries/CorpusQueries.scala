@@ -6,11 +6,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-3 corpus-layout / statistics operators: the steps between a
-  * curated corpus and a training run — deterministic global shuffling into
-  * shards, weighted sampling, sequence-length bucketing for batch packing,
-  * per-document diversity statistics, cross-source contamination reporting,
-  * a link-propagation (PageRank) iteration, and quantile discretization.
+/** Round-3 corpus-layout / analytics operators (x62–x84): the steps
+  * between a curated corpus and a training run — shard layout, weighted /
+  * interleaved / negative sampling, length bucketing, vocab encoding,
+  * span-mask planning, Z-order layout keys — plus corpus statistics
+  * (diversity, OLS-from-moments, vocabulary growth, cluster purity,
+  * cross-source overlap, PageRank step), the filter-cascade attribution
+  * reports, behavioral analytics over events (trailing windows, funnels,
+  * retention cohorts), SCD2 history building, and perceptual-hash
+  * near-dup over binary payloads.
   *
   * Same oracle conventions as [[ExtensionQueries]] / [[CurationQueries]]:
   * md5-on-strings for every hash so DuckDB replays it bit-for-bit,

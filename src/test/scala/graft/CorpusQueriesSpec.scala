@@ -4,10 +4,11 @@ import graft.queries.CorpusQueries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Invariants for the corpus-layout operators (x62–x68) on the sf0.001
+/** Invariants for the corpus-layout operators (x62–x84) on the sf0.001
   * tables — the value-level check is the DuckDB oracle; these lock the
   * structural contracts that survive any corpus (dense shard offsets,
-  * power-of-two buckets, bounded collision index, damped-rank floor). */
+  * power-of-two buckets, bounded collision index, damped-rank floor,
+  * banded-aHash recall vs the brute-force ground truth). */
 class CorpusQueriesSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
