@@ -62,9 +62,14 @@ object CorpusQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nt"),
         sum(when(col("__v"), 1L).otherwise(0L)).as("nv"))
-    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
-    val kMix = conv(substring(md5(concat(lit("mix_"), col("doc_id"))), 1, 6), 16, 10)
-      .cast("long") * 100 < (lit(25L) + (srcNum % 16) * 5) * 16777216L
+    // try_cast: a digit-less or null source must yield k_mix = false (not
+    // an ANSI cast error / a null that desynchronizes bitmask vs
+    // first_fail), like every other coalesced stage flag
+    val srcNum = expr("try_cast(regexp_extract(source, '(\\\\d+)', 1) AS BIGINT)")
+    val kMix = coalesce(
+      conv(substring(md5(concat(lit("mix_"), col("doc_id"))), 1, 6), 16, 10)
+        .cast("long") * 100 < (lit(25L) + (srcNum % 16) * 5) * 16777216L,
+      lit(false))
     val joined = docs.select(col("doc_id"), col("source"), kMix.as("k_mix"))
       .join(stats, Seq("doc_id"), "left")
       .join(cls, Seq("doc_id"), "left")
@@ -118,9 +123,10 @@ object CorpusQueries {
                  stats.n_tokens * (stats.n_tokens - 1), FALSE) AS k_div,
              COALESCE(cls.sw > 0, FALSE) AS k_cls,
              COALESCE(cov.nv * 10 >= cov.nt * 7, FALSE) AS k_vocab,
-             CAST(('0x' || substr(md5('mix_' || d.doc_id), 1, 6)) AS BIGINT)
-               * 100 < (25 + (CAST(regexp_extract(d.source, '(\\d+)', 1)
-                 AS BIGINT) % 16) * 5) * 16777216 AS k_mix
+             COALESCE(CAST(('0x' || substr(md5('mix_' || d.doc_id), 1, 6))
+                 AS BIGINT)
+               * 100 < (25 + (TRY_CAST(regexp_extract(d.source, '(\\d+)', 1)
+                 AS BIGINT) % 16) * 5) * 16777216, FALSE) AS k_mix
            FROM documents d
            LEFT JOIN stats ON d.doc_id = stats.doc_id
            LEFT JOIN cls ON d.doc_id = cls.doc_id
@@ -192,7 +198,7 @@ object CorpusQueries {
           greatest(col("n_chars"), lit(1L)).as("wt"))
         .select(col("doc_id"), expr("(h * CAST(1000000 AS BIGINT)) div wt").as("pri"))
         .groupBy()
-        .agg(top(-col("pri"), lpad(col("doc_id").cast("string"), 8, "0")).as("tk"))
+        .agg(top(-col("pri"), lpad(col("doc_id").cast("string"), 19, "0")).as("tk"))
         .select(posexplode(col("tk.items")))
         .select((col("pos") + 1).cast("long").as("rank"),
           col("col.id").cast("long").as("doc_id"),
@@ -303,12 +309,15 @@ object CorpusQueries {
 
     // ───── OLS fit from sufficient statistics: the payoff of x61's
     // integer moment sums — slope/intercept of chars ~ tokens per source
-    // as a PURE PROJECTION over the six mergeable sums. Numerator and
-    // denominator stay exact integers (decimal(38,0) products, so the
-    // form survives 10^12-row groups without long overflow) and ship on
-    // the hashed surface; the one double division runs identically in
-    // both engines. No second pass over the data — this is why the heavy
-    // pass emits moments, not means
+    // as a PURE PROJECTION over the six mergeable sums. The cross-moment
+    // products run in decimal(38,0) (exact), and the long surfaces are
+    // exact-or-loud: under ANSI both the in-sum accumulation and the
+    // final long casts THROW on overflow rather than wrap — the contract
+    // holds while moments and num/den fit int64 (≈10^8 rows/source at
+    // these magnitudes); beyond that, move the decimal cast inside the
+    // sums and emit decimal columns. The one double division runs
+    // identically in both engines. No second pass over the data — this
+    // is why the heavy pass emits moments, not means
     "x69_ols_fit" -> ((s, d) => {
       val xc = TextOps.tokenCount(col("text")).cast("long")
       t(s, d, "documents")
@@ -555,7 +564,9 @@ object CorpusQueries {
       val cand = emb.select(col("vec_id"), col("embedding"), col("label"))
       val scored = cand
         .join(broadcast(qs), col("vec_id") =!= col("qid") &&
-          pmod(col("label"), lit(2)) =!= pmod(col("qlabel"), lit(2)))
+          // % (dividend-signed), not pmod: matches the oracle's % for
+          // negative labels
+          col("label") % 2 =!= col("qlabel") % 2)
         .select(col("qid"), col("vec_id"),
           (graft.similarity.Similarity.dot(col("qvec"), col("embedding")) /
             (sqrt(graft.similarity.Similarity.dot(col("qvec"), col("qvec"))) *
@@ -647,8 +658,9 @@ object CorpusQueries {
     // shape on the multimodal columns): 64-bit aHash — bit_i = byte_i ≥
     // mean of the first 64 payload bytes, compared by integer
     // cross-multiply (byte·64 ≥ Σ) so no division — banded into 4×16-bit
-    // exact-match bands (pigeonhole: any pair at Hamming ≤ 6 shares an
-    // untouched band, so recall is EXACT at the verify threshold 3), then
+    // exact-match bands (pigeonhole: any pair at Hamming ≤ 3 = bands − 1
+    // shares an untouched band, so recall is EXACT at the verify
+    // threshold 3; a higher threshold needs more/narrower bands), then
     // Hamming-verified via bit_count(xor). One hex projection per asset
     // before the explode (the byte loop is exploded rows, never a lambda
     // over the payload); only 16-bit bands and ids shuffle
@@ -735,7 +747,7 @@ object CorpusQueries {
              * 1000000 // greatest(n_chars, 1) AS pri
          FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
          r AS (SELECT doc_id, pri, ROW_NUMBER() OVER
-             (ORDER BY pri, lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS rank
+             (ORDER BY pri, lpad(CAST(doc_id AS VARCHAR), 19, '0')) AS rank
            FROM w)
          SELECT CAST(rank AS BIGINT) AS rank, doc_id, pri AS priority
          FROM r WHERE rank <= 20""",

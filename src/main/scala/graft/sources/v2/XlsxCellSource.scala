@@ -2,8 +2,7 @@ package graft.sources.v2
 
 import graft.sources.BronzeStage
 import java.util.{Map => JMap}
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -42,8 +41,15 @@ class XlsxCellSource extends TableProvider with DataSourceRegister {
     XlsxCellSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new XlsxCellTable(Option(properties.get("path")).toSeq)
+                        properties: JMap[String, String]): Table = {
+    // fail loudly rather than scanning nothing: multi-path load() fills
+    // "paths" (a JSON array) instead of "path"
+    require(properties.get("paths") == null,
+      "graft-xlsx supports a single load path; pass one directory or glob")
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-xlsx requires a load path"))
+    new XlsxCellTable(Seq(path))
+  }
 }
 
 object XlsxCellSource {
@@ -74,6 +80,11 @@ private[v2] class XlsxScanBuilder(paths: Seq[String])
 
 private[v2] class XlsxScan(paths: Seq[String], required: StructType)
     extends Scan with Batch {
+  // the session's Hadoop conf (spark.hadoop.* — credentials, filesystems),
+  // captured on the driver and shipped serialized to the readers
+  private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-xlsx ReadSchema: ${required.map(_.name).mkString(",")}"
@@ -81,10 +92,9 @@ private[v2] class XlsxScan(paths: Seq[String], required: StructType)
 
   // driver-side listing only — bytes are read inside each partition
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
     paths.flatMap { p =>
       val path = new Path(p)
-      val fs = path.getFileSystem(conf)
+      val fs = path.getFileSystem(hadoopConf.value)
       val it = fs.listFiles(path, true)
       val files = Seq.newBuilder[String]
       while (it.hasNext) {
@@ -97,12 +107,14 @@ private[v2] class XlsxScan(paths: Seq[String], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(required.map(_.name).toArray)
+    new XlsxReaderFactory(required.map(_.name).toArray, hadoopConf)
 }
 
 private[v2] case class XlsxFilePartition(file: String) extends InputPartition
 
-private[v2] class XlsxReaderFactory(columns: Array[String])
+private[v2] class XlsxReaderFactory(
+    columns: Array[String],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[XlsxFilePartition].file
@@ -110,7 +122,7 @@ private[v2] class XlsxReaderFactory(columns: Array[String])
       private val pathUtf8 = UTF8String.fromString(file)
       private val cells: Iterator[BronzeStage.Cell] = {
         val p = new Path(file)
-        val in = p.getFileSystem(new Configuration()).open(p)
+        val in = p.getFileSystem(hadoopConf.value).open(p)
         val bytes =
           try in.readAllBytes()
           finally in.close()

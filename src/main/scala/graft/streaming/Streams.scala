@@ -162,7 +162,11 @@ object Streams {
     * `contestant_stats/contestant_stats_extract.py` aggregation loop),
     * expressed as bounded incremental state: O(1) per key, no timeline
     * buffering, and the optional `ttl` evicts idle keys — the knob that
-    * bounds the store when the key space grows with the corpus.
+    * bounds the store when the key space grows with the corpus. A TTL
+    * switches the query to processing-time mode (Spark rejects TTL state
+    * under TimeMode.None), which schedules continuous eviction batches —
+    * expected for a long-running job; tests must poll the sink rather
+    * than wait for processAllAvailable to settle.
     *
     * Requires the RocksDB state-store provider
     * (`spark.sql.streaming.stateStore.providerClass`), the production
@@ -176,6 +180,9 @@ object Streams {
     implicit val outEnc =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
     val ttlConfig = ttl.fold(TTLConfig.NONE)(TTLConfig.apply)
+    // TTL state requires the processing-time mode — Spark rejects a TTL
+    // config under TimeMode.None at stream start
+    val timeMode = ttl.fold(TimeMode.None())(_ => TimeMode.ProcessingTime())
     val proc = new StatefulProcessor[String, (String, Long), (String, Long, Long)] {
       @transient private var totals: ValueState[(Long, Long)] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -195,7 +202,7 @@ object Streams {
       .select(col(keyCol).cast("string"), col(centsCol).cast("long"))
       .as[(String, Long)](inEnc)
       .groupByKey(_._1)(Encoders.STRING)
-      .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+      .transformWithState(proc, timeMode, OutputMode.Update())
   }
 
   /** [[streamingRunningTotals]] bootstrapped from a batch snapshot — the

@@ -180,6 +180,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRunningTotals with a TTL starts and accumulates (processing-time mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long)]
+    val out = Streams.streamingRunningTotals(
+      mem.toDF().toDF("k", "cents"), "k", "cents",
+      ttl = Some(java.time.Duration.ofHours(1)))
+    val q = out.toDF("k", "n", "cents")
+      .writeStream.format("memory").queryName("tws_ttl")
+      .outputMode("update").start()
+    // NOTE: processing-time mode schedules continuous batches for TTL
+    // eviction, so processAllAvailable never settles — poll the sink with
+    // a deadline instead
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 90000
+      while (spark.table("tws_ttl").count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(spark.table("tws_ttl").count() >= n, s"timed out waiting for $n rows")
+    }
+    try {
+      prior.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+      mem.addData(("a", 5L))
+      awaitRows(1)
+      mem.addData(("a", 7L)) // well inside the TTL → state persists
+      awaitRows(2)
+      val latest = spark.table("tws_ttl")
+        .groupBy($"k").agg(max(struct($"n", $"cents")).as("m"))
+        .select($"k", $"m.n", $"m.cents")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(latest == Seq(("a", 2L, 12L)))
+    } finally q.stop()
+  }
+
   test("streamingRunningTotalsFrom seeds batch state, stream continues it") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"

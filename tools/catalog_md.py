@@ -57,15 +57,16 @@ for title, pred in groups:
     for n in members:
         s, dd = bench.get(n), duck.get(n)
         ratio = f"{dd / s:.1f}×" if s and dd and s > 0 else "—"
-        out.append(f"| {n} | {rows[n]} | "
-                   f"{s:.2f} | {dd:.2f} | {ratio} |")
+        s_txt = f"{s:.2f}" if s is not None else "—"
+        d_txt = f"{dd:.2f}" if dd is not None else "—"
+        out.append(f"| {n} | {rows[n]} | {s_txt} | {d_txt} | {ratio} |")
         if s and s > 0:
             tot_s += s
         if dd:
             tot_d += dd
     out.append("")
+overall = f"{tot_d / tot_s:.1f}× overall" if tot_s > 0 else "n/a"
 out += [f"**Totals:** {len(names)} queries; Spark {tot_s:.1f} s vs DuckDB "
-        f"{tot_d:.1f} s on the identical workload "
-        f"({tot_d / tot_s:.1f}× overall).", ""]
+        f"{tot_d:.1f} s on the identical workload ({overall}).", ""]
 open(os.path.join(repo, "QUERIES.md"), "w").write("\n".join(out))
 print(f"QUERIES.md: {len(names)} queries, spark {tot_s:.1f}s duckdb {tot_d:.1f}s")
