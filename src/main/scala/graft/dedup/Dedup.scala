@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.ops.Skew
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -70,8 +71,9 @@ object Dedup {
     * components of any band land in the same bucket → candidate pair.
     *
     * Shuffle profile: one shuffle of (band-hash, id) pairs [tiny], a
-    * self-join per bucket [bounded by bucket size — salt/limit buckets at
-    * real scale], one distinct on (a,b). Estimated-Jaccard filter ≥ tau.
+    * self-join per bucket with hot buckets triangle-decomposed into
+    * bounded blocks ([[graft.ops.Skew.boundedSelfPairs]]), one distinct
+    * on (a,b). Estimated-Jaccard filter ≥ tau.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 12,
@@ -116,11 +118,11 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val lb = bandBuckets(signedLeft, idCol, numHashes, rowsPerBand)
     val rb = bandBuckets(signedRight, idCol, numHashes, rowsPerBand)
-    val cands = lb.as("l")
-      .join(rb.as("r"),
-        col("l.band") === col("r.band") && col("l.h") === col("r.h"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-      .distinct()
+    // hot-band guard on the standing-index side: corpus buckets over the
+    // threshold decompose into hash-blocks the batch side fans over
+    // (Skew.boundedPairsBetween) — identical candidate set
+    val cands = Skew.boundedPairsBetween(
+      lb, rb, Seq("band", "h"), idCol)
     val sigEq = (0 until numHashes)
       .map(i => when(col(s"la.sig_$i") === col(s"rb.sig_$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -139,12 +141,11 @@ object Dedup {
                                 numHashes: Int, rowsPerBand: Int,
                                 tau: Double): DataFrame = {
     val buckets = bandBuckets(signed, idCol, numHashes, rowsPerBand)
-    val cands = buckets.as("l")
-      .join(buckets.as("r"),
-        col("l.band") === col("r.band") && col("l.h") === col("r.h") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-      .distinct()
+    // hot-band guard: a boilerplate flood (one text shared by 100k docs)
+    // makes one (band, h) bucket quadratic in a single task under a plain
+    // self-join; the triangle decomposition bounds per-task work at
+    // ~blockSize² with identical pair output (Skew.boundedSelfPairs)
+    val cands = Skew.boundedSelfPairs(buckets, Seq("band", "h"), idCol)
     val sigEq = (0 until numHashes)
       .map(i => when(col(s"la.sig_$i") === col(s"rb.sig_$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -508,10 +509,11 @@ object Dedup {
     * `maxHamming` bands — with maxHamming < numBands, at least one band is
     * untouched and matches exactly (pigeonhole). So the output is
     * IDENTICAL to [[simhashPairs]] (same oracle), while the join shuffles
-    * only (band, band-bits, id, sh) rows and each bucket's self-join is
-    * bounded by bucket population, not corpus size. At 100 TB: ~corpus/2^bandBits
-    * docs per bucket on average; widen bands (more bits per band) to thin
-    * buckets, or salt pathological buckets.
+    * only (band, band-bits, id) rows and hot buckets are triangle-
+    * decomposed into bounded blocks ([[graft.ops.Skew.boundedSelfPairs]]).
+    * At 100 TB: ~corpus/2^bandBits docs per bucket on average; widen bands
+    * (more bits per band) to thin buckets — pathological buckets are
+    * bounded by the guard regardless.
     */
   def simhashPairsBanded(docs: DataFrame, idCol: String, textCol: String,
                          bits: Int = 16, maxHamming: Int = 2,
@@ -529,20 +531,19 @@ object Dedup {
     val bandCols = (0 until numBands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("bb")))
-    // carry sh through the join: the Hamming verify then needs no second
-    // pass over the signature frame. Verify BEFORE dedup: the per-row
-    // xor+popcount is far cheaper than shuffling every duplicate
-    // candidate through distinct — the distinct runs on the (tiny)
-    // verified survivor set instead of the full candidate stream
-    val buckets = h.select(col(idCol), col("sh"),
+    // hot-bucket guard: flat simhash values (short/templated docs) pile
+    // into one (band, bb) bucket; the triangle decomposition bounds
+    // per-task work with an identical pair set (Skew.boundedSelfPairs).
+    // The Hamming verify joins the distinct candidates back to the cached
+    // signature frame — sh stays out of the banding shuffle entirely
+    val buckets = h.select(col(idCol),
         explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("sh"), col("bk.band"), col("bk.bb"))
-    buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .select(col(idCol), col("bk.band"), col("bk.bb"))
+    Skew.boundedSelfPairs(buckets, Seq("band", "bb"), idCol)
+      .join(h.select(col(idCol).as("id_a"), col("sh").as("__sa")), "id_a")
+      .join(h.select(col(idCol).as("id_b"), col("sh").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 }

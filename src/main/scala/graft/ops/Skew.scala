@@ -39,6 +39,97 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** All unordered candidate pairs `(id_a < id_b)` within buckets of
+    * `rows` keyed by `keyCols`, with per-task work bounded even when one
+    * bucket holds a large fraction of all rows — the LSH hot-band hazard
+    * (boilerplate floods in MinHash bands, flat/black frames in perceptual-
+    * hash bands: many rows sharing one band value).
+    *
+    * A naive self-join on the bucket key lands a bucket of population n in
+    * ONE task doing n²/2 comparisons. Here each bucket is decomposed into
+    * `nblk = ceil(n / blockSize)` hash-blocks and the self-join runs on
+    * `(key, blockL, blockR)` with `blockL ≤ blockR` — the triangle
+    * decomposition of a self-join (each row replicates to its row of the
+    * block-pair triangle). Per-task work is ≤ ~blockSize² and the OUTPUT IS
+    * IDENTICAL to the naive join: a cross-block pair appears in exactly one
+    * block-pair task, a same-block pair in both orientations, and the final
+    * distinct collapses orientation duplicates (the callers' downstream
+    * distinct over bands needs the same pass anyway).
+    *
+    * Buckets at or below `hotThreshold` take `nblk = 1`, so the plan
+    * degenerates to the plain bucket self-join; the only added cost in the
+    * skew-free case is one map-side-combined count over the (small) bucket
+    * frame and the broadcast of an empty hot-bucket list. AQE skew-join
+    * splitting still applies on top for mid-sized buckets.
+    *
+    * `rows` must hold one row per (bucket, id) — ids unique within a
+    * bucket — with non-null key columns, the shape every banded-LSH
+    * bucket frame here has. Columns other than `keyCols` + `idCol` are
+    * dropped. Output: `(id_a, id_b)` distinct, `id_a < id_b`.
+    */
+  def boundedSelfPairs(rows: DataFrame, keyCols: Seq[String], idCol: String,
+                       hotThreshold: Int = 4096,
+                       blockSize: Int = 2048): DataFrame = {
+    require(keyCols.nonEmpty, "at least one bucket key column")
+    require(hotThreshold > 0 && blockSize > 0)
+    val keys = keyCols.map(col)
+    val slim = rows.select((keys :+ col(idCol)): _*)
+    // hot-bucket census: tiny by definition (only buckets over threshold);
+    // broadcast-joined back so the skew-free path stays a plain self-join
+    val hot = slim.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+    val blocked = slim.join(broadcast(hot), keyCols, "left")
+      .withColumn("__nblk", coalesce(
+        ceil(col("__n") / blockSize).cast("int"), lit(1)))
+      .withColumn("__blk",
+        pmod(xxhash64(col(idCol)), col("__nblk")).cast("int"))
+    // triangle replication: a row in block p serves as the LEFT side of
+    // block pairs (p, p..nblk-1) and the RIGHT side of (0..p, p)
+    val left = blocked
+      .withColumn("__br", explode(sequence(col("__blk"), col("__nblk") - 1)))
+      .select((keys ++ Seq(col("__blk").as("__bl"), col("__br"),
+        col(idCol).as("__ida"))): _*)
+    val right = blocked
+      .withColumn("__bl", explode(sequence(lit(0), col("__blk"))))
+      .select((keys ++ Seq(col("__bl"), col("__blk").as("__br"),
+        col(idCol).as("__idb"))): _*)
+    left.join(right, keyCols ++ Seq("__bl", "__br"))
+      .filter(col("__ida") =!= col("__idb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs BETWEEN two bucket frames over disjoint id spaces —
+    * the incremental-dedup shape (`left` = new batch, `right` = standing
+    * corpus band index) with the right side's hot buckets decomposed as in
+    * [[boundedSelfPairs]]: right rows hash into `nblk` blocks, left rows
+    * replicate across them, the join key gains the block column. Per-task
+    * work ≤ ~(batch-per-bucket × blockSize); output identical to the plain
+    * bucket join: distinct `(id_a, id_b)` = (left id, right id). */
+  def boundedPairsBetween(left: DataFrame, right: DataFrame,
+                          keyCols: Seq[String], idCol: String,
+                          hotThreshold: Int = 4096,
+                          blockSize: Int = 2048): DataFrame = {
+    require(keyCols.nonEmpty, "at least one bucket key column")
+    require(hotThreshold > 0 && blockSize > 0)
+    val keys = keyCols.map(col)
+    val r = right.select((keys :+ col(idCol)): _*)
+    val l = left.select((keys :+ col(idCol)): _*)
+    val hot = r.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+    val nblk = coalesce(ceil(col("__n") / blockSize).cast("int"), lit(1))
+    val rb = r.join(broadcast(hot), keyCols, "left")
+      .withColumn("__b", pmod(xxhash64(col(idCol)), nblk).cast("int"))
+      .select((keys ++ Seq(col("__b"), col(idCol).as("__idb"))): _*)
+    val lb = l.join(broadcast(hot), keyCols, "left")
+      .withColumn("__b", explode(sequence(lit(0), nblk - 1)))
+      .select((keys ++ Seq(col("__b"), col(idCol).as("__ida"))): _*)
+    lb.join(rb, keyCols :+ "__b")
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
+      .distinct()
+  }
+
   /** Aggregate-then-join skew pattern: two-phase aggregation where the
     * first phase groups on (key, salt) — spreading a hot key's partial
     * aggregation over `saltBuckets` tasks — and the second phase merges the

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Skew
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -689,11 +690,12 @@ object CorpusQueries {
           max(when(col("j") === 1, col("band"))).as("b1"),
           max(when(col("j") === 2, col("band"))).as("b2"),
           max(when(col("j") === 3, col("band"))).as("b3"))
-      val cand = bands.select(col("asset_id").as("id_a"), col("j"), col("band"))
-        .join(bands.select(col("asset_id").as("id_b"), col("j"), col("band")),
-          Seq("j", "band"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      // hot-bucket guard: aHash bands over real image corpora are heavily
+      // non-uniform (flat/black frames collapse onto a few band values) —
+      // a plain (j, band) self-join turns quadratic inside one task on a
+      // hot band; the triangle decomposition bounds per-task work with an
+      // identical pair set (Skew.boundedSelfPairs)
+      val cand = Skew.boundedSelfPairs(bands, Seq("j", "band"), "asset_id")
       cand
         .join(wide.toDF("id_a", "a0", "a1", "a2", "a3"), Seq("id_a"))
         .join(wide.toDF("id_b", "c0", "c1", "c2", "c3"), Seq("id_b"))

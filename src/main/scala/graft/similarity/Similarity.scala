@@ -1,6 +1,7 @@
 package graft.similarity
 
 import graft.expressions.GraftFunctions
+import graft.ops.Skew
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -320,8 +321,9 @@ object Similarity {
     * verified by exact cosine ≥ tau.
     *
     * Candidate generation shuffles only (table, table-code, id) triples
-    * and each bucket's self-join is bounded by bucket population — the
-    * vectors themselves are only touched in the per-candidate verify join.
+    * and hot buckets are triangle-decomposed into bounded blocks
+    * ([[graft.ops.Skew.boundedSelfPairs]]) — the vectors themselves are
+    * only touched in the per-candidate verify join.
     * Recall < 1 by construction (a near-dup pair disagreeing on ≥1 bit of
     * every table is missed); per-table match probability for angle θ is
     * (1 − θ/π)^bitsPerTable and any-of-L tables compounds it. Fully
@@ -353,11 +355,10 @@ object Similarity {
         substring(col("__code"), tb * bitsPerTable + 1, bitsPerTable).as("tc")))
     val buckets = coded.select(col(idCol), explode(array(tableCols: _*)).as("k"))
       .select(col(idCol), col("k.tb"), col("k.tc"))
-    val cands = buckets.as("a").join(buckets.as("b"),
-        col("a.tb") === col("b.tb") && col("a.tc") === col("b.tc") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+    // hot-bucket guard: near-identical embedding floods put many vectors
+    // into one (table, code) bucket; the triangle decomposition bounds
+    // per-task work with identical candidate output (Skew.boundedSelfPairs)
+    val cands = Skew.boundedSelfPairs(buckets, Seq("tb", "tc"), idCol)
     cands
       .join(v.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
         col("__n").as("__na")), "id_a")

@@ -17,6 +17,60 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("boundedSelfPairs equals the naive bucket self-join on a degenerate hot band") {
+    // one bucket holds 300 of 340 rows (a boilerplate flood / flat-image
+    // band); the rest spread over small buckets below the threshold
+    val rows = ((1 to 300).map(i => (f"d$i%04d", 0L, "HOT")) ++
+      (1 to 40).map(i => (f"e$i%04d", 1L, s"c${i % 8}")))
+      .toDF("id", "band", "h")
+    val naive = rows.as("l").join(rows.as("r"),
+        $"l.band" === $"r.band" && $"l.h" === $"r.h" && $"l.id" < $"r.id")
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+      .as[(String, String)].collect().toSet
+    val bounded = Skew.boundedSelfPairs(rows, Seq("band", "h"), "id",
+        hotThreshold = 16, blockSize = 16)
+      .as[(String, String)].collect().toSet
+    assert(bounded == naive)
+    // hot bucket: C(300,2); small buckets: 8 buckets of 5 rows → 8·C(5,2)
+    assert(naive.size == 300 * 299 / 2 + 8 * 10)
+    assert(naive.count(_._1.startsWith("e")) == 8 * 10)
+  }
+
+  test("boundedSelfPairs per-task work stays bounded under the degenerate band") {
+    // reproduce the helper's block assignment and assert no (bucket, block)
+    // cell exceeds a small multiple of blockSize — per-task join work is
+    // then ≤ (c·blockSize)² instead of the naive n²
+    val n = 1000
+    val blockSize = 16
+    val rows = (1 to n).map(i => (f"d$i%05d", 0L, "HOT")).toDF("id", "band", "h")
+    val nblk = math.ceil(n.toDouble / blockSize).toInt
+    val cells = rows
+      .withColumn("blk", pmod(xxhash64($"id"), lit(nblk)))
+      .groupBy($"blk").agg(count(lit(1)).as("c"))
+      .agg(max($"c")).as[Long].head()
+    assert(cells <= 4L * blockSize,
+      s"hash-block imbalance: max cell $cells > ${4 * blockSize}")
+    // and the decomposed join really produces the full pair set
+    val got = Skew.boundedSelfPairs(rows, Seq("band", "h"), "id",
+      hotThreshold = 16, blockSize = blockSize).count()
+    assert(got == n.toLong * (n - 1) / 2)
+  }
+
+  test("boundedPairsBetween equals the plain bucket join (hot standing index)") {
+    val corpus = ((1 to 200).map(i => (f"c$i%04d", 0L, "HOT")) ++
+      (1 to 30).map(i => (f"c9$i%03d", 1L, s"k${i % 6}"))).toDF("id", "band", "h")
+    val batch = ((1 to 9).map(i => (f"b$i%03d", 0L, "HOT")) ++
+      Seq(("b990", 1L, "k2"), ("b991", 1L, "k9"))).toDF("id", "band", "h")
+    val plain = batch.as("l").join(corpus.as("r"),
+        $"l.band" === $"r.band" && $"l.h" === $"r.h")
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+      .distinct().as[(String, String)].collect().toSet
+    val bounded = Skew.boundedPairsBetween(batch, corpus, Seq("band", "h"),
+        "id", hotThreshold = 16, blockSize = 16)
+      .as[(String, String)].collect().toSet
+    assert(bounded == plain && plain.size == 9 * 200 + 5)
+  }
+
   test("saltedAgg two-phase equals direct aggregation") {
     val df = (1 to 500).map(i => (if (i % 5 == 0) 1L else i.toLong, i.toLong))
       .toDF("k", "v")
