@@ -92,22 +92,68 @@ object Upsert {
     }
   }
 
-  /** The reference's upsert statement (`load_helpers.py:21-35`): insert the
-    * whole staging table, updates win on key conflict. Pure function so the
-    * generated SQL is directly testable. */
-  def upsertStatement(table: String, tempTable: String,
-                      cols: Seq[String], keys: Seq[String]): String = {
-    require(keys.nonEmpty, "upsert needs at least one key column")
-    require(keys.forall(cols.contains),
-      s"keys ${keys.filterNot(cols.contains).mkString(",")} not in columns")
-    val collist = cols.mkString(", ")
-    val updates = cols.filterNot(keys.contains)
-    val action =
-      if (updates.isEmpty) "DO NOTHING" // key-only table: conflict = no-op
-      else "DO UPDATE SET " + updates.map(c => s"$c = EXCLUDED.$c").mkString(", ")
-    s"INSERT INTO $table ($collist) SELECT $collist FROM $tempTable " +
-      s"ON CONFLICT (${keys.mkString(", ")}) $action"
+  /** SQL-dialect seam for the one driver-side upsert statement: the same
+    * staged-batch semantics render as `ON CONFLICT` on PostgreSQL (the
+    * reference's target) or ANSI `MERGE` on Derby/DB2/SQL Server/Oracle.
+    * Pure statement generators — testable without a database, and the
+    * Derby face is exercised against a live embedded database in
+    * DerbyUpsertSpec. */
+  trait UpsertDialect {
+    def statement(table: String, tempTable: String,
+                  cols: Seq[String], keys: Seq[String]): String
+    protected def validate(cols: Seq[String], keys: Seq[String]): Unit = {
+      require(keys.nonEmpty, "upsert needs at least one key column")
+      require(keys.forall(cols.contains),
+        s"keys ${keys.filterNot(cols.contains).mkString(",")} not in columns")
+    }
   }
+
+  /** The reference's statement (`load_helpers.py:21-35`): insert the whole
+    * staging table, updates win on key conflict. Identifiers pass through
+    * unquoted (the reference's tables are lower-case unquoted). */
+  object PostgresOnConflict extends UpsertDialect {
+    def statement(table: String, tempTable: String,
+                  cols: Seq[String], keys: Seq[String]): String = {
+      validate(cols, keys)
+      val collist = cols.mkString(", ")
+      val updates = cols.filterNot(keys.contains)
+      val action =
+        if (updates.isEmpty) "DO NOTHING" // key-only table: conflict = no-op
+        else "DO UPDATE SET " + updates.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      s"INSERT INTO $table ($collist) SELECT $collist FROM $tempTable " +
+        s"ON CONFLICT (${keys.mkString(", ")}) $action"
+    }
+  }
+
+  /** ANSI `MERGE INTO` — the form embedded Derby (and DB2/SQL Server/
+    * Oracle) runs. COLUMN names are double-quoted to match Spark's JDBC
+    * writer (JdbcDialect.quoteIdentifier quotes the case-preserved name
+    * when it stages the temp table); TABLE names pass through as given
+    * (Spark's writer embeds them unquoted, so unquoted lower-case names
+    * fold to the same table on case-folding engines). A key-only table
+    * renders with only the NOT MATCHED insert arm — conflict = no-op,
+    * same as DO NOTHING. */
+  object AnsiMerge extends UpsertDialect {
+    private def q(c: String) = "\"" + c + "\""
+    def statement(table: String, tempTable: String,
+                  cols: Seq[String], keys: Seq[String]): String = {
+      validate(cols, keys)
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val updates = cols.filterNot(keys.contains)
+      val matched =
+        if (updates.isEmpty) ""
+        else "WHEN MATCHED THEN UPDATE SET " +
+          updates.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + " "
+      s"MERGE INTO $table t USING $tempTable s ON ($on) " + matched +
+        s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
+        s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+    }
+  }
+
+  /** Back-compat face of [[PostgresOnConflict]]. */
+  def upsertStatement(table: String, tempTable: String,
+                      cols: Seq[String], keys: Seq[String]): String =
+    PostgresOnConflict.statement(table, tempTable, cols, keys)
 
   /** Temp-table upsert through a sink: ONE bulk stage + ONE set-based
     * statement. The batch is key-deduped before staging ([[dedupLatest]]) —
@@ -117,10 +163,11 @@ object Upsert {
     * same batch re-applies identical updates). Returns the generated SQL
     * (for logging/audit). */
   def viaTempTable(updates: DataFrame, sink: UpsertSink, table: String,
-                   keys: Seq[String], updateTiebreak: Seq[Column] = Nil): String = {
+                   keys: Seq[String], updateTiebreak: Seq[Column] = Nil,
+                   dialect: UpsertDialect = PostgresOnConflict): String = {
     val tempTable = table + "_staging"
     sink.stage(dedupLatest(updates, keys, updateTiebreak), tempTable)
-    val sql = upsertStatement(table, tempTable, updates.columns.toSeq, keys)
+    val sql = dialect.statement(table, tempTable, updates.columns.toSeq, keys)
     sink.execute(sql)
     sql
   }
