@@ -42,7 +42,15 @@ object BronzeStage {
     * `xl/worksheets/`. Handles shared (`t="s"`), inline (`t="inlineStr"`) and
     * literal value cells; empty cells simply don't appear (the cell-matrix
     * contract — gaps carry meaning for the grid walk). */
-  def parseXlsx(bytes: Array[Byte]): Seq[Cell] = {
+  def parseXlsx(bytes: Array[Byte]): Seq[Cell] =
+    parseXlsx(bytes, _ => true, _ => true)
+
+  /** [[parseXlsx]] with scan-time pruning hooks (the graft-xlsx filter
+    * pushdown): sheet parts failing `sheetKeep` are never XML-parsed at
+    * all; cells failing `cellKeep` are never materialized. Both default
+    * to keep-everything in the plain face. */
+  def parseXlsx(bytes: Array[Byte], sheetKeep: String => Boolean,
+                cellKeep: Cell => Boolean): Seq[Cell] = {
     val entries = zipEntries(bytes)
     val shared: IndexedSeq[String] = entries.get("xl/sharedStrings.xml")
       .map(b => collectTagText(b, "si")).getOrElse(IndexedSeq.empty)
@@ -53,7 +61,8 @@ object BronzeStage {
       .sortBy(_._1)
       .flatMap { case (name, b) =>
         val sheet = name.stripPrefix("xl/worksheets/").stripSuffix(".xml")
-        parseSheet(sheet, b, shared)
+        if (sheetKeep(sheet)) parseSheet(sheet, b, shared, cellKeep)
+        else Seq.empty
       }
   }
 
@@ -122,7 +131,8 @@ object BronzeStage {
     * next column), which streaming xlsx writers rely on. Shared-string
     * cells dereference the workbook table. */
   private def parseSheet(sheet: String, bytes: Array[Byte],
-                         shared: IndexedSeq[String]): Seq[Cell] = {
+                         shared: IndexedSeq[String],
+                         cellKeep: Cell => Boolean = _ => true): Seq[Cell] = {
     val r = newReader(bytes)
     val out = Seq.newBuilder[Cell]
     var curRow = -1L // last materialized row index
@@ -133,7 +143,8 @@ object BronzeStage {
     def flush(): Unit = if (sb.nonEmpty) {
       val raw = sb.toString
       val value = if (cellType == "s") shared(raw.trim.toInt) else raw
-      out += Cell(sheet, cellRow, cellCol, value)
+      val c = Cell(sheet, cellRow, cellCol, value)
+      if (cellKeep(c)) out += c
     }
     while (r.hasNext) {
       r.next() match {

@@ -123,6 +123,77 @@ class BronzeStageSpec extends SparkSpec {
     // header gap excluded F2's "Skip"; row gap excluded B7's "dan"
   }
 
+  test("graft-xlsx filter pushdown: sheet/row predicates prune cells inside the reader") {
+    val dir = Files.createTempDirectory("graft_dsv2_push").toString
+    Files.write(Paths.get(s"$dir/wb.xlsx"), sampleXlsx)
+    val v2 = spark.read.format("graft-xlsx").load(dir)
+    val q = v2.filter($"sheet" === "sheet1" && $"row" >= 1 && $"row" <= 2)
+      .select("row", "col", "value").as[(Long, Long, String)]
+    val got = q.collect().toSet
+    val all = BronzeStage.parseXlsx(sampleXlsx)
+    val expected = all.filter(c => c.sheet == "sheet1" && c.row >= 1 && c.row <= 2)
+      .map(c => (c.row, c.col, c.value)).toSet
+    assert(got == expected && got.nonEmpty && got.size < all.size)
+    // the predicates reach the scan...
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(sheet,sheet1)"),
+      plan)
+    // ...and cells outside them are never EMITTED: the scan's own output
+    // row count equals the matching cells, not the workbook's cell count
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanRows = finalPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    assert(scanRows == expected.size.toLong,
+      s"scan emitted $scanRows rows for ${expected.size} matching cells")
+    // unsupported predicates stay Spark-side (residual filter, correct result)
+    val mixed = v2.filter($"value" === "alice" && $"row" >= 0)
+    assert(mixed.count() == all.count(c => c.value == "alice" && c.row >= 0))
+  }
+
+  test("graft-xlsx accepts a glob path (globStatus expansion before listing)") {
+    val dir = Files.createTempDirectory("graft_dsv2_glob").toString
+    Files.write(Paths.get(s"$dir/wb.xlsx"), sampleXlsx)
+    Files.write(Paths.get(s"$dir/skip.xlsx.bak"), "noise".getBytes)
+    val got = spark.read.format("graft-xlsx").load(s"$dir/*.xlsx")
+      .select("sheet").distinct().as[String].collect().toSeq
+    assert(got == Seq("sheet1"))
+    val missing = intercept[Exception] {
+      spark.read.format("graft-xlsx").load(s"$dir/nope/*.xlsx")
+        .collect()
+    }
+    assert(missing.getMessage.contains("no files match") ||
+      Option(missing.getCause).exists(_.getMessage.contains("no files match")))
+  }
+
+  test("graft-docx DSv2 source matches docxLines, prunes columns, and runs q35's pipeline") {
+    val dir = Files.createTempDirectory("graft_dsv2_docx").toString
+    Files.write(Paths.get(s"$dir/ep.docx"), sampleDocx)
+    Files.write(Paths.get(s"$dir/noise.txt"), "x".getBytes)
+    val v2 = spark.read.format("graft-docx").load(dir)
+    val viaFlatMap = BronzeStage.docxLines(spark, s"$dir/ep.docx")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("line_no", "line").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+    assert(key(v2) == key(viaFlatMap) && key(v2).nonEmpty)
+    // pruning reaches the reader, as with graft-xlsx
+    val plan = v2.select("line").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: line"), plan)
+    // q35's confessional pipeline over the DSv2 face: identical output to
+    // the flatMap face the query suite oracles
+    val out = graft.domain.Pipelines.parseConfessionalLines(
+        v2.withColumnRenamed("path", "doc_id"))
+      .select("day", "speaker", "n_from_player", "n_in_episode", "content")
+      .as[(Int, String, Int, Int, String)].collect().toSet
+    assert(out == Set(
+      (1, "Alice", 1, 1, "I trust bob"),
+      (1, "Bob", 1, 2, "vote alice"),
+      (2, "Alice", 2, 3, "blindside")))
+  }
+
   test("docx bronze feeds the confessional parser end-to-end") {
     val dir = Files.createTempDirectory("graft_bronze_docx").toString
     Files.write(Paths.get(s"$dir/ep.docx"), sampleDocx)
