@@ -599,12 +599,11 @@ object CorpusQueries {
       val xb = least(expr("n_chars div 64"), lit(255L)).as("xb")
       val withBuckets = docs.join(broadcast(langIdx), Seq("lang"))
         .select(col("doc_id"), col("lang"), xb, col("yb"))
-      val z = (0 until 8).map { i =>
-        expr(s"shiftleft((xb div ${1L << i}) % 2, ${2 * i}) + " +
-          s"shiftleft((yb div ${1L << i}) % 2, ${2 * i + 1})")
-      }.reduce(_ + _)
+      // the canonical Morton key (graft.ops.ZOrder.zKey — shiftright ==
+      // div for these non-negative buckets); ZOrder.writeZOrdered turns
+      // it into an actual skipping layout, measured in ZOrderSpec
       withBuckets.select(col("doc_id"), col("xb"), col("yb"),
-        z.cast("long").as("z"))
+        graft.ops.ZOrder.zKey(col("xb"), col("yb")).as("z"))
     }),
 
     // ───── SCD2 history build: three deterministic snapshot versions of
