@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: images/audio/video as opaque `binary`
   * payloads with typed metadata, processed per-partition in batches.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic stub ([[fakeDecode]]).
-  * Everything around it — schema contract, batch iteration, partition
-  * sizing, output shape — is the real Spark plumbing a decode stage needs,
-  * and is what the tests cover.
+  * The decode step ([[decode]]) reads REAL formats where a dependency-free
+  * parser can: BMP (24-bit) and PPM (P6/P3) payloads yield actual
+  * dimensions and pixel statistics ([[ImageCodecs]], fixture images under
+  * data/fixtures). Formats whose codecs are not in this environment
+  * (JPEG/PNG/audio/video) fall back to a clearly-marked deterministic
+  * stub ([[fakeDecode]]); everything around the seam — schema contract,
+  * batch iteration, partition sizing, output shape — is the real Spark
+  * plumbing a decode stage needs, and is what the tests cover.
   *
   * Scale notes: media processing is CPU-bound per row and must never
   * shuffle payloads. [[decodeFeatures]] is a mapPartitions over the scan —
@@ -52,10 +55,27 @@ object Multimodal {
                            width: Int, height: Int, n_frames: Int,
                            feature_norm: Double)
 
-  /** STUB DECODER — stands in for e.g. JPEG decode + resize + embed.
-    * Deterministic in the payload bytes. Replace with a real codec bridge
-    * (JNI/FFI or vectorized Python via Arrow) in production; the signature
-    * (bytes → features) and the batching around it are the contract. */
+  /** Decode one asset: REAL formats first — BMP/PPM parse to actual
+    * dimensions and Rec.709 mean luminance from actual pixels
+    * ([[ImageCodecs]]) — then the deterministic byte-fold stub
+    * ([[fakeDecode]]) for everything else (text-backed synthetic assets,
+    * formats whose codecs aren't in this environment). The strict header
+    * validation in ImageCodecs is what makes the sniff safe on arbitrary
+    * payloads. */
+  def decode(id: Long, mediaType: String, payload: Array[Byte]): AssetFeatures =
+    ImageCodecs.decode(payload) match {
+      case Some(img) =>
+        AssetFeatures(id, mediaType, img.width, img.height,
+          n_frames = 1, feature_norm = img.meanLuma)
+      case None => fakeDecode(id, mediaType, payload)
+    }
+
+  /** STUB DECODER — stands in for codecs not present in this environment
+    * (JPEG decode + resize + embed). Deterministic in the payload bytes;
+    * [[decode]] routes real BMP/PPM payloads to [[ImageCodecs]] instead.
+    * Replace with a codec bridge (JNI/FFI or vectorized Python via Arrow)
+    * in production; the signature (bytes → features) and the batching
+    * around it are the contract. */
   def fakeDecode(id: Long, mediaType: String, payload: Array[Byte]): AssetFeatures = {
     val n = payload.length
     val sum = payload.foldLeft(0L)((a, b) => a + (b & 0xff))
@@ -76,7 +96,7 @@ object Multimodal {
     assets.select("asset_id", "media_type", "payload")
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
-          fakeDecode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
         }
       }
   }

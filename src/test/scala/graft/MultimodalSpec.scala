@@ -1,6 +1,6 @@
 package graft
 
-import graft.mm.Multimodal
+import graft.mm.{ImageCodecs, Multimodal}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -40,5 +40,58 @@ class MultimodalSpec extends SparkSpec {
     val sum = payload.map(_ & 0xff).sum.toLong
     assert(f.width == (sum % 640).toInt + 1)
     assert(f.n_frames == (payload.length % 24) + 1)
+  }
+
+  // ───── real decoders (ImageCodecs) over checked-in fixture images;
+  // expected channel sums are closed-form from tools/make_fixtures.py
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"data/fixtures/$name"))
+
+  test("BMP decode: exact dims and channel sums; padding bytes never counted") {
+    val img = ImageCodecs.decode(fixture("gradient.bmp")).get
+    assert(img.format == "bmp" && img.width == 6 && img.height == 4)
+    // padding bytes are 0xEE: counting them would inflate the sums
+    assert((img.sumR, img.sumG, img.sumB) == ((636L, 1500L, 4392L)))
+    assert(img.meanLuma > 0 && img.meanLuma < 1)
+  }
+
+  test("top-down BMP (negative height) decodes to the same stats") {
+    val up = ImageCodecs.decode(fixture("gradient.bmp")).get
+    val down = ImageCodecs.decode(fixture("gradient_td.bmp")).get
+    assert(down.width == up.width && down.height == up.height &&
+      (down.sumR, down.sumG, down.sumB) == ((up.sumR, up.sumG, up.sumB)))
+  }
+
+  test("PPM decode: P6 binary and P3 ASCII agree, comments skipped") {
+    val p6 = ImageCodecs.decode(fixture("stripes.ppm")).get
+    val p3 = ImageCodecs.decode(fixture("stripes_p3.ppm")).get
+    assert(p6.width == 5 && p6.height == 3)
+    assert((p6.sumR, p6.sumG, p6.sumB) == ((300L, 510L, 210L)))
+    assert((p3.width, p3.height, p3.sumR, p3.sumG, p3.sumB) ==
+      ((p6.width, p6.height, p6.sumR, p6.sumG, p6.sumB)))
+  }
+
+  test("corrupt or non-image payloads are rejected, decode falls back to the stub") {
+    val bmp = fixture("gradient.bmp")
+    assert(ImageCodecs.decode(bmp.take(40)).isEmpty) // truncated header
+    assert(ImageCodecs.decode(bmp.take(60)).isEmpty) // truncated pixels
+    assert(ImageCodecs.decode("BMnot really a bitmap".getBytes).isEmpty)
+    assert(ImageCodecs.decode("plain text".getBytes).isEmpty)
+    val f = Multimodal.decode(9L, "text", "plain text".getBytes)
+    assert(f == Multimodal.fakeDecode(9L, "text", "plain text".getBytes))
+  }
+
+  test("decodeFeatures surfaces real dimensions for image payloads end-to-end") {
+    val assets = Seq(
+      (1L, "image", fixture("gradient.bmp")),
+      (2L, "image", fixture("stripes.ppm")),
+      (3L, "text", "not an image".getBytes))
+      .toDF("asset_id", "media_type", "payload")
+    val out = Multimodal.decodeFeatures(assets)
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(out(1L).width == 6 && out(1L).height == 4)
+    assert(out(2L).width == 5 && out(2L).height == 3)
+    // the text payload takes the stub path, bounded as before
+    assert(out(3L).width >= 1 && out(3L).width <= 640)
   }
 }
