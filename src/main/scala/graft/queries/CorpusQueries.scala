@@ -388,7 +388,10 @@ object CorpusQueries {
     // RANGE frame over the integer day number (so gap days weigh zero
     // without materializing them). The window shuffles once on user_id —
     // entity-keyed, cardinality ≫ cores at any scale; cents stay integer
-    // end to end
+    // end to end. Day-number semantics measured cross-engine: Spark `div`
+    // and DuckDB `//` BOTH truncate toward zero on integers (-7/2 → -3 in
+    // each, verified on DuckDB 1.x), so pre-1970 timestamps produce
+    // identical day/week numbers in both engines — no epoch guard needed
     "x72_daily_activity" -> ((s, d) => {
       val daily = t(s, d, "events")
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
@@ -713,8 +716,19 @@ object CorpusQueries {
     // binning pass never shuffles
     "x68_quantile_bins" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // exactness guard: the GK sketch behind approx_percentile is exact
+      // only while a group's non-null count stays within `accuracy`, and
+      // the DuckDB oracle replays EXACT quantiles — so accuracy scales
+      // with the largest source (one bounded scalar aggregate) instead of
+      // trusting the tested SFs to stay under a constant. Costs one
+      // map-side-combined count pass; keeps parity at any SF
+      val maxRow = docs.filter(col("n_chars").isNotNull)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head()
+      val accuracy =
+        if (maxRow.isNullAt(0)) 10000L else math.max(10000L, maxRow.getLong(0))
       val th = docs.groupBy(col("source"))
-        .agg(expr("approx_percentile(n_chars, array(0.25, 0.5, 0.75), 10000)")
+        .agg(expr(s"approx_percentile(n_chars, array(0.25, 0.5, 0.75), $accuracy)")
           .as("th"))
       docs.join(broadcast(th), Seq("source"))
         .select(col("doc_id"), col("source"), col("n_chars"),

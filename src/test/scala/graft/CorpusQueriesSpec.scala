@@ -15,6 +15,40 @@ class CorpusQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     CorpusQueries.defs(name)(spark, sf)
 
+  test("div truncates toward zero on negatives, matching DuckDB // (x72/x74 day numbers)") {
+    import spark.implicits._
+    // DuckDB 1.x verified: -7 // 2 = -3 (truncation, not floor). The same
+    // values here lock the cross-engine day/week-number parity for
+    // pre-epoch timestamps
+    val got = Seq(-7L, 7L, -86400001L, 86400001L).toDF("x")
+      .selectExpr("x div CASE WHEN abs(x) < 100 THEN 2 ELSE 86400000 END")
+      .as[Long].collect().toSeq
+    assert(got == Seq(-3L, 3L, -1L, 1L))
+  }
+
+  test("x68: approx_percentile accuracy tracks the largest source (exactness regime)") {
+    // the guard computes accuracy = max(10000, largest per-source count);
+    // at this SF the constant floor applies, and the produced bins match
+    // EXACT quantiles computed independently
+    val rows = q("x68_quantile_bins").collect()
+    val bySource = rows.filter(!_.isNullAt(2)).groupBy(_.getString(1))
+    bySource.foreach { case (_, rs) =>
+      val chars = rs.map(_.getLong(2)).sorted
+      def quart(p: Double): Long = {
+        // quantile_disc semantics: smallest value with cume_dist >= p
+        val idx = math.ceil(p * chars.length).toInt - 1
+        chars(math.max(idx, 0))
+      }
+      rs.foreach { r =>
+        val (c, bin) = (r.getLong(2), r.getLong(3))
+        val expect =
+          if (c <= quart(0.25)) 0L else if (c <= quart(0.5)) 1L
+          else if (c <= quart(0.75)) 2L else 3L
+        assert(bin == expect, s"n_chars=$c bin=$bin expect=$expect")
+      }
+    }
+  }
+
   test("x62: shards partition the corpus with dense per-shard offsets") {
     val rows = q("x62_shard_assign").collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -28,6 +28,23 @@ for name in sorted(os.listdir(outdir)):
             f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
 
 names = sorted(rows)
+
+# Exact-baseline queries and their production-scale twins. These ship as
+# oracle-checked CATALOG entries because they are the recall/correctness
+# references the scale paths are tested against — they are NOT the form
+# to run on a large corpus, and the note says what to run instead.
+BASELINE_NOTES = {
+    "x02_dedup_jaccard":
+        "**exact baseline** (quadratic inverted-index self-join) — production: "
+        "x27 LSH candidates → exact-Jaccard verify (~linear in candidates)",
+    "x05_ann_bruteforce":
+        "**exact baseline** (all-pairs cosine) — production: x06 bucketed "
+        "sign-LSH top-k (shuffles codes, not vectors)",
+    "x07_embed_neardup":
+        "**exact baseline** (all-pairs) — production: banded sign-LSH "
+        "(`Similarity.nearDupPairsBanded`, feeds x25 clustering)",
+}
+
 groups = [
     ("Reference operators (SURVEY §2, q01–q38)", lambda n: n.startswith("q")),
     ("Training-data extensions (x01–x35)",
@@ -52,14 +69,15 @@ for title, pred in groups:
     if not members:
         continue
     out += [f"## {title}", "",
-            "| query | sf0.01 rows | spark s | duckdb s | ratio |",
-            "|---|---|---|---|---|"]
+            "| query | sf0.01 rows | spark s | duckdb s | ratio | notes |",
+            "|---|---|---|---|---|---|"]
     for n in members:
         s, dd = bench.get(n), duck.get(n)
         ratio = f"{dd / s:.1f}×" if s and dd and s > 0 else "—"
         s_txt = f"{s:.2f}" if s is not None else "—"
         d_txt = f"{dd:.2f}" if dd is not None else "—"
-        out.append(f"| {n} | {rows[n]} | {s_txt} | {d_txt} | {ratio} |")
+        note = BASELINE_NOTES.get(n, "")
+        out.append(f"| {n} | {rows[n]} | {s_txt} | {d_txt} | {ratio} | {note} |")
         if s and s > 0:
             tot_s += s
         if dd:
