@@ -54,7 +54,35 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+
+    // Hot-key stress section (SkewStress): three operators on a skewed
+    // corpus vs a uniform twin of the same size. Reported separately —
+    // synthetic corpora, no DuckDB counterpart, excluded from the total.
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    val stress = SkewStress.queries(spark, nDocs)
+    stress.foreach { case (_, fn) =>
+      try fn().write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    def stressPass(): Map[String, Double] = stress.map { case (name, fn) =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn().write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }.toMap
+    spark.catalog.clearCache()
+    val sp1 = stressPass()
+    val skewResults = stressPass().map { case (k, v) =>
+      k -> (if (v < 0 || sp1(k) < 0) -1.0 else math.min(v, sp1(k)))
+    }
+    val sk = skewResults.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew":$sk,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

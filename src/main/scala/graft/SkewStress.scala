@@ -1,0 +1,104 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ops.Skew
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hot-key stress fixtures: deterministic synthetic corpora with the key
+  * distributions that kill banded/keyed operators at scale — a
+  * boilerplate flood (20% of documents share one template), a dominant
+  * chunk, a degenerate perceptual-hash band — benched against UNIFORM
+  * twins of identical size and near-identical output volume. The bench
+  * emits both timings ("skew" section of the JSON line); the hot/uniform
+  * ratio is the number that says whether the bounded-pair guards
+  * ([[graft.ops.Skew.boundedSelfPairs]]) hold under degenerate data.
+  *
+  * Stress paths run the REAL operators (minhashLshPairs, the x38 chunk
+  * pipeline, the x84 band-join shape) with lowered guard thresholds so
+  * the decomposition actually engages at bench scale; flood sizes are
+  * capped so candidate volume stays comparable to the uniform twin's
+  * total work (the criterion is a bounded ratio, not matched plans).
+  */
+object SkewStress {
+
+  /** 16-token documents; in the skewed variant every 5th doc (20%) shares
+    * an 8-token boilerplate prefix (≈ 0.27 Jaccard between flood docs —
+    * candidates flood the band buckets, most pairs fail the tau=0.5
+    * verify, mirroring template boilerplate in a real corpus). */
+  def textCorpus(spark: SparkSession, n: Long, skewed: Boolean): DataFrame = {
+    val flood = col("id") % 5 === 0
+    val toks = (0 until 16).map { t =>
+      if (skewed && t < 8)
+        when(flood, lit(s"boiler$t"))
+          .otherwise(concat(lit(s"u${t}_"), col("id")))
+      else concat(lit(s"u${t}_"), col("id"))
+    }
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", toks: _*).as("text"))
+  }
+
+  /** The x84 band shape, synthetically: 4×16-bit bands per asset. Skewed:
+    * a capped flood shares bands 0–1 exactly (two hot buckets) while
+    * bands 2–3 stay hash-random, so nearly all candidate pairs fail the
+    * Hamming ≤ 3 verify — hot candidate generation, tiny output, like a
+    * run of flat frames that are not actually near-dups. */
+  def bandWide(spark: SparkSession, n: Long, skewed: Boolean,
+               floodCap: Long): DataFrame = {
+    val flood = col("id") % 5 === 0 && col("id") < lit(floodCap * 5)
+    def b(j: Int) = {
+      val rand = pmod(xxhash64(lit(j), col("id")), lit(65536L))
+      if (skewed && j < 2) when(flood, lit(48879L + j)).otherwise(rand) else rand
+    }
+    spark.range(n).select(col("id").as("asset_id"),
+      b(0).as("b0"), b(1).as("b1"), b(2).as("b2"), b(3).as("b3"))
+  }
+
+  /** Banded near-dup pairs over a wide band frame — the x84 join shape on
+    * explicit bands, guard thresholds exposed. */
+  def bandPairs(wide: DataFrame, hotThreshold: Int, blockSize: Int): DataFrame = {
+    val bands = wide.select(col("asset_id"), explode(array((0 to 3).map(j =>
+        struct(lit(j).as("j"), col(s"b$j").as("band"))): _*)).as("k"))
+      .select(col("asset_id"), col("k.j"), col("k.band"))
+    Skew.boundedSelfPairs(bands, Seq("j", "band"), "asset_id",
+        hotThreshold, blockSize)
+      .join(wide.toDF("id_a", "a0", "a1", "a2", "a3"), Seq("id_a"))
+      .join(wide.toDF("id_b", "c0", "c1", "c2", "c3"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  /** The x38 chunk-dedup pipeline body over an arbitrary corpus. */
+  def chunkDedup(docs: DataFrame): DataFrame = {
+    val ch = TextOps.chunkRows(docs, "doc_id", "text", 4).cache()
+    val freq = ch.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val out = ch.join(freq, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    out
+  }
+
+  /** The six stress runs (three operators × {hot, uniform}), sized from
+    * the corpus row count of the SF under bench. */
+  def queries(spark: SparkSession, n: Long): Seq[(String, () => DataFrame)] = {
+    val floodCap = math.min(n / 5, 2500L) // keep candidate volume bounded
+    Seq(
+      "skew_x27_hot" -> (() => Dedup.minhashLshPairs(
+        textCorpus(spark, n, skewed = true), "doc_id", "text",
+        hotThreshold = 512, blockSize = 512)),
+      "skew_x27_uni" -> (() => Dedup.minhashLshPairs(
+        textCorpus(spark, n, skewed = false), "doc_id", "text",
+        hotThreshold = 512, blockSize = 512)),
+      "skew_x38_hot" -> (() => chunkDedup(textCorpus(spark, n, skewed = true))),
+      "skew_x38_uni" -> (() => chunkDedup(textCorpus(spark, n, skewed = false))),
+      "skew_x84_hot" -> (() => bandPairs(
+        bandWide(spark, n, skewed = true, floodCap), 512, 512)),
+      "skew_x84_uni" -> (() => bandPairs(
+        bandWide(spark, n, skewed = false, floodCap), 512, 512)))
+  }
+}

@@ -77,7 +77,8 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 12,
-                      rowsPerBand: Int = 3, tau: Double = 0.5): DataFrame = {
+                      rowsPerBand: Int = 3, tau: Double = 0.5,
+                      hotThreshold: Int = 4096, blockSize: Int = 2048): DataFrame = {
     // NOTE cache lifecycle: the signature frame feeds three plan branches
     // (banding + both verification sides); the cache entry lives until the
     // caller's session drops it (spark.catalog.clearCache() / unpersist) —
@@ -86,7 +87,8 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
         "trailing signature components would be silently excluded from banding")
     val signed = withSignature(docs, idCol, textCol, shingleK, numHashes).cache()
-    lshCandidatePairs(signed, idCol, numHashes, rowsPerBand, tau)
+    lshCandidatePairs(signed, idCol, numHashes, rowsPerBand, tau,
+      hotThreshold, blockSize)
   }
 
   /** (id, band, band-hash) rows of a signature frame — the LSH banding
@@ -139,13 +141,15 @@ object Dedup {
     * [[lshDedupClusters]]. */
   private def lshCandidatePairs(signed: DataFrame, idCol: String,
                                 numHashes: Int, rowsPerBand: Int,
-                                tau: Double): DataFrame = {
+                                tau: Double, hotThreshold: Int = 4096,
+                                blockSize: Int = 2048): DataFrame = {
     val buckets = bandBuckets(signed, idCol, numHashes, rowsPerBand)
     // hot-band guard: a boilerplate flood (one text shared by 100k docs)
     // makes one (band, h) bucket quadratic in a single task under a plain
     // self-join; the triangle decomposition bounds per-task work at
     // ~blockSize² with identical pair output (Skew.boundedSelfPairs)
-    val cands = Skew.boundedSelfPairs(buckets, Seq("band", "h"), idCol)
+    val cands = Skew.boundedSelfPairs(buckets, Seq("band", "h"), idCol,
+      hotThreshold, blockSize)
     val sigEq = (0 until numHashes)
       .map(i => when(col(s"la.sig_$i") === col(s"rb.sig_$i"), 1).otherwise(0))
       .reduce(_ + _)
