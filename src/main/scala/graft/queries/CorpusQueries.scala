@@ -714,6 +714,84 @@ object CorpusQueries {
     // applied as a pure projection. The "bin quality scores into
     // curriculum tiers" step: threshold pass never buffers values, the
     // binning pass never shuffles
+    // ───── one label-propagation step (community detection over the
+    // customer→supplier graph x67 also walks): each supplier adopts the
+    // MAJORITY label among its customers (count desc, label asc tiebreak —
+    // fully deterministic). Two partial-combined aggregations, no window:
+    // the argmax is max(struct(cnt, -label)), so no per-key sort and no
+    // straggler on a high-degree supplier. Iterate = re-run with labels
+    // from the previous step (same shuffle profile per round, like x67)
+    "x85_label_propagation" -> ((s, d) => {
+      val edges = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val counts = edges.withColumn("lbl", col("c") % 7)
+        .groupBy(col("sp"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("sp"))
+        .agg(sum(col("cnt")).as("n_nbrs"),
+          max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("sp").as("suppkey"), col("n_nbrs"),
+          (-col("m.nl")).as("label"))
+    }),
+
+    // ───── KMV (k-minimum-values / "theta") sketch set operations: per
+    // source, the k=32 smallest distinct md5 fractions of doc ids — kept
+    // by the SAME bounded-state TopK aggregator as x55/x56 (≤ k rows per
+    // group map-side, no per-source window sort) — then distinct-count,
+    // union and intersection ESTIMATES per source pair from sketch merges
+    // alone. est = (k-1)·2^48 div kth-min (integer-exact; exact count when
+    // a source holds < k distinct values). The mergeable-summary answer
+    // to "how much do these two crawls overlap" that never touches the
+    // raw corpus twice
+    "x86_kmv_set_ops" -> ((s, d) => {
+      import graft.ops.TopK
+      val k = 32
+      val hashes = t(s, d, "documents")
+        .filter(col("source").isNotNull && col("doc_id").isNotNull)
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(concat('kmv_', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+            .as("h"))
+        .distinct()
+      val sk = hashes
+        .groupBy(col("source"))
+        .agg(TopK.topK(k)(-col("h"), col("h").cast("string")).as("tk"))
+        .cache()
+      val est = sk.select(col("source"), size(col("tk.items")).as("n"),
+          (-element_at(col("tk.items.score"), -1)).as("kh"))
+        .select(col("source"),
+          when(col("n") < k, col("n").cast("long"))
+            .otherwise(expr(s"(${k - 1} * 281474976710656) div kh")).as("est"))
+      val rows = sk.select(col("source"), explode(col("tk.items")).as("it"))
+        .select(col("source"), (-col("it.score")).as("h"))
+      val pairs = est.as("a").join(est.as("b"),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"),
+          col("a.est").as("est_a"), col("b.est").as("est_b"))
+      val uh = rows.join(pairs.select("sa", "sb"), col("source") === col("sa"))
+        .select(col("sa"), col("sb"), col("h"))
+        .union(rows.join(pairs.select("sa", "sb"), col("source") === col("sb"))
+          .select(col("sa"), col("sb"), col("h")))
+        .distinct()
+      val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+      val ukth = uh.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(col("sa"), col("sb"))
+        .agg(max(col("h")).as("kh"), count(lit(1)).as("n"))
+        .select(col("sa"), col("sb"),
+          when(col("n") < k, col("n").cast("long"))
+            .otherwise(expr(s"(${k - 1} * 281474976710656) div kh"))
+            .as("est_union"))
+      pairs.join(ukth, Seq("sa", "sb"))
+        .select(col("sa"), col("sb"), col("est_a"), col("est_b"),
+          col("est_union"),
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+            .as("est_inter"))
+    }),
+
     "x68_quantile_bins" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // exactness guard: the GK sketch behind approx_percentile is exact
@@ -819,6 +897,43 @@ object CorpusQueries {
          SELECT s AS suppkey, COUNT(*) AS n_in,
            CAST(150000 + (85 * SUM(contrib)) // 100 AS BIGINT) AS rank_scaled
          FROM contrib GROUP BY s""",
+    "x85_label_propagation" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
+         cnts AS (SELECT sp, c % 7 AS lbl, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+         pick AS (SELECT sp, lbl, cnt,
+             ROW_NUMBER() OVER (PARTITION BY sp ORDER BY cnt DESC, lbl ASC) AS rn,
+             SUM(cnt) OVER (PARTITION BY sp) AS n_nbrs
+           FROM cnts)
+         SELECT sp AS suppkey, CAST(n_nbrs AS BIGINT) AS n_nbrs,
+           CAST(lbl AS BIGINT) AS label
+         FROM pick WHERE rn = 1""",
+    "x86_kmv_set_ops" ->
+      """WITH h AS (SELECT DISTINCT source,
+             CAST(('0x' || substr(md5('kmv_' || CAST(doc_id AS VARCHAR)), 1, 12))
+               AS BIGINT) AS h
+           FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+         rk AS (SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+         sk AS (SELECT source, h FROM rk WHERE rn <= 32),
+         agg AS (SELECT source, MAX(h) AS kh, COUNT(*) AS n FROM sk GROUP BY source),
+         est AS (SELECT source, CASE WHEN n < 32 THEN CAST(n AS BIGINT)
+             ELSE (31 * 281474976710656) // kh END AS est FROM agg),
+         pairs AS (SELECT a.source AS sa, b.source AS sb,
+             a.est AS est_a, b.est AS est_b
+           FROM est a JOIN est b ON a.source < b.source),
+         uh AS (SELECT DISTINCT p.sa, p.sb, s.h
+           FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb),
+         urk AS (SELECT sa, sb, h,
+             ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM uh),
+         uagg AS (SELECT sa, sb, MAX(h) AS kh, COUNT(*) AS n
+           FROM urk WHERE rn <= 32 GROUP BY sa, sb),
+         uest AS (SELECT sa, sb, CASE WHEN n < 32 THEN CAST(n AS BIGINT)
+             ELSE (31 * 281474976710656) // kh END AS est_union FROM uagg)
+         SELECT p.sa, p.sb, p.est_a, p.est_b, u.est_union,
+           greatest(p.est_a + p.est_b - u.est_union, 0) AS est_inter
+         FROM pairs p JOIN uest u USING (sa, sb)""",
     "x72_daily_activity" ->
       """WITH daily AS (SELECT user_id,
            CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,

@@ -251,6 +251,54 @@ object Streams {
       .transformWithState(proc, TimeMode.None(), OutputMode.Update(), initKeyed)
   }
 
+  /** Continuously-maintained per-group top-k via `transformWithState` —
+    * the streaming face of [[graft.ops.TopK]]'s bounded-state Aggregator:
+    * every micro-batch folds its rows into a ≤ k-element ListState per
+    * group (items ranked by descending score, id-ascending tiebreak —
+    * fully deterministic) and re-emits the group's complete current top-k
+    * (Update mode: downstream overwrites the group's block). State is
+    * k rows per group FOREVER — the "leaderboard that survives the
+    * stream" shape; key-space growth is the only unbounded dimension
+    * (bound it upstream or add a TTL as in [[streamingRunningTotals]]). */
+  def streamingTopK(stream: DataFrame, groupCol: String, idCol: String,
+                    scoreCol: String, k: Int): Dataset[(String, String, Long, Int)] = {
+    require(k > 0)
+    implicit val inEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.scalaLong, Encoders.scalaInt)
+    val entryEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val proc = new StatefulProcessor[String, (String, String, Long),
+        (String, String, Long, Int)] {
+      @transient private var top: org.apache.spark.sql.streaming.ListState[(String, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        top = getHandle.getListState[(String, Long)]("top", entryEnc, TTLConfig.NONE)
+      override def handleInputRows(key: String,
+                                   rows: Iterator[(String, String, Long)],
+                                   timerValues: TimerValues)
+          : Iterator[(String, String, Long, Int)] = {
+        // dedup by item id within the fold: a re-delivered score update
+        // replaces the item rather than duplicating it (last-wins in
+        // batch order, consistent with upsert semantics)
+        val cur = scala.collection.mutable.LinkedHashMap.from(top.get())
+        rows.foreach { case (_, id, score) => cur(id) = score }
+        val ranked = cur.toSeq
+          .sortBy { case (id, score) => (-score, id) }
+          .take(k)
+        top.put(ranked.toArray)
+        ranked.iterator.zipWithIndex.map { case ((id, score), i) =>
+          (key, id, score, i + 1)
+        }
+      }
+    }
+    stream
+      .select(col(groupCol).cast("string"), col(idCol).cast("string"),
+        col(scoreCol).cast("long"))
+      .as[(String, String, Long)](inEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+  }
+
   /** foreachBatch upsert sink: idempotent micro-batch loads into a parquet
     * target (reference K1 semantics under streaming). */
   def upsertEachBatch(writer: DataStreamWriter[Row], targetPath: String,

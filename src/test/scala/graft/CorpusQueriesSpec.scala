@@ -49,6 +49,48 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x85: each supplier takes the true majority label of its customers") {
+    val rows = q("x85_label_propagation").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent recomputation from the raw tables
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = edges.groupBy(_._2)
+    assert(rows.keySet == bySupp.keySet)
+    bySupp.foreach { case (sp, es) =>
+      val labels = es.map(_._1 % 7)
+      val (expLabel, _) = labels.groupBy(identity).view.mapValues(_.size)
+        .toSeq.maxBy { case (l, n) => (n, -l) }
+      val (nNbrs, label) = rows(sp)
+      assert(nNbrs == es.length && label == expLabel,
+        s"supplier $sp: got ($nNbrs, $label), expected (${es.length}, $expLabel)")
+    }
+  }
+
+  test("x86: KMV estimates are internally consistent across all source pairs") {
+    val rows = q("x86_kmv_set_ops").collect()
+    val sources = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source").isNotNull && col("doc_id").isNotNull)
+      .select("source").distinct().count()
+    assert(rows.length == (sources * (sources - 1) / 2).toInt)
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (ea, eb, eu, ei) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(sa < sb)
+      assert(ea >= 1 && eb >= 1 && eu >= 1)
+      assert(ei == math.max(ea + eb - eu, 0L))
+      // disjoint doc_id spaces at this SF: the union estimate must sit
+      // near a+b, far above either side alone
+      assert(eu > math.max(ea, eb), s"($sa,$sb): union $eu vs $ea/$eb")
+    }
+  }
+
   test("x62: shards partition the corpus with dense per-shard offsets") {
     val rows = q("x62_shard_assign").collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -180,6 +180,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTopK maintains a bounded per-group leaderboard across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, String, Long)]
+    val out = Streams.streamingTopK(
+      mem.toDF().toDF("g", "id", "score"), "g", "id", "score", k = 2)
+    val q = out.toDF("g", "id", "score", "rank")
+      .writeStream.format("memory").queryName("tws_topk")
+      .outputMode("update").start()
+    try {
+      prior.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+      mem.addData(("g1", "a", 5L), ("g1", "b", 9L), ("g1", "c", 1L))
+      q.processAllAvailable()
+      // batch 2: a re-scored item (a→12 takes rank 1) and a new group
+      mem.addData(("g1", "a", 12L), ("g2", "z", 3L))
+      q.processAllAvailable()
+      val latest = spark.table("tws_topk")
+        .groupBy($"g", $"id")
+        .agg(max(struct($"score", $"rank")).as("m"))
+        .select($"g", $"id", $"m.score", $"m.rank")
+        .as[(String, String, Long, Int)].collect().toSet
+      // g1's final leaderboard: a=12 (rank 1), b=9 (rank 2); c fell out of
+      // k=2 in batch 1 already. The memory sink's history also holds
+      // batch-1 ranks — max(struct) picks each item's final emission
+      val finalG1 = latest.filter(t => t._1 == "g1" && (t._2 == "a" || t._2 == "b"))
+      assert(finalG1 == Set(("g1", "a", 12L, 1), ("g1", "b", 9L, 2)))
+      assert(latest.contains(("g2", "z", 3L, 1)))
+      // bounded state: no emission ever exceeded rank k
+      assert(spark.table("tws_topk").agg(max($"rank")).as[Int].head() <= 2)
+    } finally q.stop()
+  }
+
   test("streamingRunningTotals with a TTL starts and accumulates (processing-time mode)") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
