@@ -815,6 +815,147 @@ object CorpusQueries {
             .when(col("n_chars") <= element_at(col("th"), 2), lit(1L))
             .when(col("n_chars") <= element_at(col("th"), 3), lit(2L))
             .otherwise(lit(3L)).as("bin"))
+    }),
+
+    // ───── blocked record linkage by edit distance: the classic
+    // block-then-compare shape (block on a normalized 8-char prefix, then
+    // banded levenshtein on the 40-char prefix, threshold 4). The
+    // threshold argument makes Spark's levenshtein an O(threshold·n)
+    // banded DP that bails out at -1 instead of filling the full matrix —
+    // the comparison cost per candidate is bounded no matter how long the
+    // strings get. Candidates exist only inside a block, so the join is a
+    // plain equi-shuffle on the block key; block populations are corpus-
+    // vocabulary-bounded (prefix space), and a degenerate block (every
+    // doc opening with the same boilerplate) is exactly the hot-bucket
+    // case the banded-LSH guard machinery handles — at 100 TB this runs
+    // behind the same population cap as minhashLshPairs
+    "x87_blocked_editdist" -> ((s, d) => {
+      val p = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("doc_id").isNotNull)
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("nm"))
+        .select(col("doc_id"), substring(col("nm"), 1, 8).as("blk"),
+          substring(col("nm"), 1, 40).as("pre"))
+      val a = p.select(col("blk"), col("doc_id").as("doc_a"),
+        col("pre").as("pre_a"))
+      val b = p.select(col("blk"), col("doc_id").as("doc_b"),
+        col("pre").as("pre_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("dist",
+          levenshtein(col("pre_a"), col("pre_b"), 4).cast("long"))
+        .filter(col("dist") >= 0)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+    }),
+
+    // ───── k-anonymity audit with a generalization ladder: for the
+    // quasi-identifier (nation, segment), each equivalence class reports
+    // its exact population, its population after one generalization step
+    // (segment suppressed), and the minimal generalization level at which
+    // it clears k=10 (2 = still identifiable → suppress). Two partial-
+    // combined aggregations joined on the coarser key — the finer count
+    // table is grouped-key-sized, not row-sized, so the join never sees
+    // the raw corpus twice. The privacy-audit step a training pipeline
+    // runs before releasing per-user aggregates
+    "x88_kanonymity" -> ((s, d) => {
+      val k = 10
+      val c = t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"))
+      val exact = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_exact"))
+      val gen = c.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_gen"))
+      exact.join(gen, Seq("c_nationkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("n_exact"), col("n_gen"),
+          when(col("n_exact") >= k, lit(0L))
+            .when(col("n_gen") >= k, lit(1L))
+            .otherwise(lit(2L)).as("gen_level"))
+    }),
+
+    // ───── triangle enumeration over the above-mean trade graph: nation
+    // pairs whose customer→supplier lineitem flow exceeds the mean flow
+    // become undirected edges (stored once, a < b — already the
+    // degree-ordered orientation), and triangles are two self-joins over
+    // that edge list. The scale split is deliberate: the only row-scale
+    // work is the flow aggregation, which partial-combines billions of
+    // lineitems down to ≤ C(|nation|,2) pairs before any join; the mean
+    // threshold is a one-row broadcast (integer cross-multiply, no
+    // float); the triangle joins run on the dimension-bounded edge list
+    // and are explicitly broadcast. For entity-scale graphs the same
+    // oriented shape bounds join fan-out by max out-degree (the MR
+    // triangle-counting recipe); here the orientation is by key order
+    "x89_trade_triangles" -> ((s, d) => {
+      val oc = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey").as("cn"))
+      val ls = t(s, d, "lineitem")
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey").as("sn"))
+      // cache the dimension-bounded flow table (≤ C(|nation|,2) rows) so
+      // the row-scale join+aggregation runs ONCE — the mean threshold and
+      // every triangle leg derive from the cached rows (same caller-
+      // managed-cache convention as x86; Verify clears caches between
+      // queries)
+      val flow = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("cn") =!= col("sn"))
+        .select(least(col("cn"), col("sn")).as("a"),
+          greatest(col("cn"), col("sn")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .cache()
+      val stats = flow.agg(sum(col("w")).as("sw"), count(lit(1)).as("np"))
+      val edges = flow.crossJoin(broadcast(stats))
+        .filter(col("w") * col("np") > col("sw"))
+        .select(col("a"), col("b"))
+      val e1 = broadcast(edges.select(col("a").as("a1"), col("b").as("b1")))
+      val e2 = broadcast(edges.select(col("a").as("a2"), col("b").as("b2")))
+      val e3 = broadcast(edges.select(col("a").as("a3"), col("b").as("b3")))
+      e1.join(e2, col("b1") === col("a2"))
+        .join(e3, col("a1") === col("a3") && col("b2") === col("b3"))
+        .select(col("a1").as("n_a"), col("b1").as("n_b"),
+          col("b2").as("n_c"))
+    }),
+
+    // ───── consistent-hash-ring rebalance audit: the same 16-vnode ring
+    // hashed per shard (md5, 48-bit positions), old topology = shards
+    // 0–7, new = 0–11 — the old ring is a strict subset of the new, so a
+    // document moves only when one of the four NEW shards' vnodes lands
+    // between the doc and its old successor: the ~1/3 minimal-movement
+    // property that mod-N resharding (x62) cannot give. Assignment is a
+    // pure projection: the sorted ring is ONE broadcast row and the
+    // successor lookup is an array `filter` + first-element per doc — no
+    // per-doc join, no shuffle until the final movement-matrix count.
+    // try_element_at keeps the empty-suffix wraparound null-safe under
+    // ANSI semantics
+    "x90_ring_reshard" -> ((s, d) => {
+      val ring = s.range(12).toDF("shard")
+        .select(col("shard"), explode(sequence(lit(0), lit(15))).as("v"))
+        .withColumn("rh", expr(
+          "CAST(conv(substring(md5(concat('ring_', CAST(shard AS STRING), " +
+            "'_', CAST(v AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+      val rings = ring.agg(
+        sort_array(collect_list(struct(col("rh"), col("shard"))))
+          .as("ring12"),
+        sort_array(collect_list(
+          when(col("shard") < 8, struct(col("rh"), col("shard")))))
+          .as("ring8"))
+      t(s, d, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), expr(
+          "CAST(conv(substring(md5(concat('docr_', CAST(doc_id AS STRING)" +
+            ")), 1, 12), 16, 10) AS BIGINT)").as("dh"))
+        .crossJoin(broadcast(rings))
+        .select(col("doc_id"),
+          coalesce(
+            expr("try_element_at(filter(ring8, x -> x.rh > dh), 1)"),
+            expr("try_element_at(ring8, 1)")).getField("shard")
+            .as("old_shard"),
+          coalesce(
+            expr("try_element_at(filter(ring12, x -> x.rh > dh), 1)"),
+            expr("try_element_at(ring12, 1)")).getField("shard")
+            .as("new_shard"))
+        .groupBy(col("old_shard"), col("new_shard"))
+        .agg(count(lit(1)).as("n_docs"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1178,5 +1319,61 @@ object CorpusQueries {
              WHEN d.n_chars <= th[2] THEN 1
              WHEN d.n_chars <= th[3] THEN 2
              ELSE 3 END AS bin
-         FROM documents d JOIN th USING (source)""")
+         FROM documents d JOIN th USING (source)""",
+    "x87_blocked_editdist" ->
+      s"""WITH p AS (SELECT doc_id, $normSql AS nm FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         q AS (SELECT doc_id, substr(nm, 1, 8) AS blk,
+           substr(nm, 1, 40) AS pre FROM p)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+         FROM q a JOIN q b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.pre, b.pre) <= 4""",
+    "x88_kanonymity" ->
+      """WITH exact AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_exact
+           FROM customer GROUP BY 1, 2),
+         gen AS (SELECT c_nationkey, COUNT(*) AS n_gen
+           FROM customer GROUP BY 1)
+         SELECT e.c_nationkey, e.c_mktsegment, e.n_exact, g.n_gen,
+           CASE WHEN e.n_exact >= 10 THEN 0
+                WHEN g.n_gen >= 10 THEN 1
+                ELSE 2 END AS gen_level
+         FROM exact e JOIN gen g USING (c_nationkey)""",
+    "x89_trade_triangles" ->
+      """WITH oc AS (SELECT o.o_orderkey, c.c_nationkey AS cn
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         ls AS (SELECT l.l_orderkey, s.s_nationkey AS sn
+           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         flow AS (SELECT least(cn, sn) AS a, greatest(cn, sn) AS b,
+             COUNT(*) AS w
+           FROM oc JOIN ls ON oc.o_orderkey = ls.l_orderkey
+           WHERE cn <> sn GROUP BY 1, 2),
+         stats AS (SELECT CAST(SUM(w) AS BIGINT) AS sw, COUNT(*) AS np
+           FROM flow),
+         edges AS (SELECT a, b FROM flow, stats WHERE w * np > sw)
+         SELECT e1.a AS n_a, e1.b AS n_b, e2.b AS n_c
+         FROM edges e1
+           JOIN edges e2 ON e1.b = e2.a
+           JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b""",
+    "x90_ring_reshard" ->
+      """WITH ring AS (SELECT s.range AS shard, v.range AS v,
+           CAST(('0x' || substr(md5('ring_' || CAST(s.range AS VARCHAR)
+             || '_' || CAST(v.range AS VARCHAR)), 1, 12)) AS BIGINT) AS rh
+           FROM range(12) s, range(16) v),
+         docs AS (SELECT doc_id,
+           CAST(('0x' || substr(md5('docr_' || CAST(doc_id AS VARCHAR)),
+             1, 12)) AS BIGINT) AS dh
+           FROM documents WHERE doc_id IS NOT NULL),
+         asg AS (SELECT doc_id,
+           coalesce(
+             (SELECT min_by(shard, rh) FROM ring
+               WHERE shard < 8 AND rh > dh),
+             (SELECT min_by(shard, rh) FROM ring WHERE shard < 8))
+             AS old_shard,
+           coalesce(
+             (SELECT min_by(shard, rh) FROM ring WHERE rh > dh),
+             (SELECT min_by(shard, rh) FROM ring)) AS new_shard
+           FROM docs)
+         SELECT old_shard, new_shard, COUNT(*) AS n_docs
+         FROM asg GROUP BY 1, 2""")
 }

@@ -362,4 +362,101 @@ class CorpusQueriesSpec extends SparkSpec {
       assert(0 <= b && b <= 3)
     }
   }
+
+  test("x87: blocked pairs match a brute-force levenshtein over all prefixes") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        graft.text.TextOps.normalize(col("text")).as("nm"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // ground truth = ALL pairs within distance 4 on the 40-char prefix
+    // whose blocks agree — the blocking scheme's own contract
+    val expected = (for {
+      (ida, na) <- docs.toSeq; (idb, nb) <- docs.toSeq if ida < idb
+      if na.take(8) == nb.take(8)
+      d = lev(na.take(40), nb.take(40)) if d <= 4
+    } yield (ida, idb, d.toLong)).sorted
+    val got = q("x87_blocked_editdist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == expected, s"got ${got.length} vs expected ${expected.length}")
+    assert(got.nonEmpty)
+  }
+
+  test("x88: anonymity ladder is consistent with independently-derived counts") {
+    val rows = q("x88_kanonymity").collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val exact = cust.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gen = cust.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == exact.size)
+    assert(rows.map(_.getLong(2)).sum == cust.length.toLong)
+    rows.foreach { r =>
+      val key = (r.getInt(0), r.getString(1))
+      assert(r.getLong(2) == exact(key))
+      assert(r.getLong(3) == gen(key._1))
+      val expectLevel =
+        if (r.getLong(2) >= 10) 0L else if (r.getLong(3) >= 10) 1L else 2L
+      assert(r.getLong(4) == expectLevel)
+    }
+  }
+
+  test("x89: output triples are exactly the triangles of the above-mean graph") {
+    val oc = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("k"), col("c_nationkey").as("cn"))
+    val ls = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey").as("k2"), col("s_nationkey").as("sn"))
+    val flows = oc.join(ls, col("k") === col("k2"))
+      .filter(col("cn") =!= col("sn"))
+      .select(least(col("cn"), col("sn")).as("a"),
+        greatest(col("cn"), col("sn")).as("b"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val w = flows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = flows.length.toLong
+    val edges = w.filter { case (_, cnt) => cnt * w.size > total }.keySet
+    val expected = (for {
+      (a, b) <- edges.toSeq; c <- edges.collect { case (`b`, x) => x }
+      if edges((a, c))
+    } yield (a, b, c)).sorted
+    val got = q("x89_trade_triangles").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(got == expected, s"got ${got.length} vs expected ${expected.length}")
+    got.foreach { case (a, b, c) => assert(a < b && b < c) }
+  }
+
+  test("x90: rebalance moves documents only onto the four new shards") {
+    val rows = q("x90_ring_reshard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id").isNotNull).count()
+    assert(rows.map(_._3).sum == docs)
+    rows.foreach { case (o, n, _) =>
+      assert(0 <= o && o < 8)
+      assert(0 <= n && n < 12)
+      // consistent-hash minimal movement: the old ring is a subset of the
+      // new one, so a doc either keeps its shard or lands on a NEW shard
+      assert(o == n || n >= 8, s"illegal move $o -> $n")
+    }
+    val moved = rows.collect { case (o, n, c) if o != n => c }.sum
+    // expected moved fraction = 4/12; generous band for a small corpus
+    assert(moved * 10 < docs * 7, s"moved $moved of $docs")
+    assert(moved > 0)
+  }
 }
