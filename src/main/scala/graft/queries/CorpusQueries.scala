@@ -956,6 +956,81 @@ object CorpusQueries {
             .as("new_shard"))
         .groupBy(col("old_shard"), col("new_shard"))
         .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // ───── collocation mining (PMI ranking): adjacent-token bigrams
+    // scored by c_ab / (c_a·c_b) — within one corpus the corpus-size
+    // factor of PMI is a constant, so ranking by the integer cross-ratio
+    // (parts-per-billion, integer division) reproduces the PMI order with
+    // no float and no log. Bigrams are a pure projection (slice+zip of
+    // the token array — no window, no per-doc shuffle); the two count
+    // tables partial-combine, and the unigram side joined twice is
+    // vocabulary-sized, not corpus-sized. Support ≥ 5 prunes the hapax
+    // tail before the join. ppb products stay under 10^14 at any tested
+    // SF; at corpus scale the scale factor drops a decade per 10× growth
+    "x91_collocations" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("doc_id").isNotNull)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      val bi = toks
+        .select(explode(when(size(col("tk")) >= 2,
+          arrays_zip(
+            slice(col("tk"), lit(1), size(col("tk")) - 1).as("ta"),
+            slice(col("tk"), lit(2), size(col("tk")) - 1).as("tb")))
+          .otherwise(array().cast("array<struct<ta:string,tb:string>>")))
+          .as("bg"))
+        .select(col("bg.ta").as("ta"), col("bg.tb").as("tb"))
+        .filter(col("ta") =!= "" && col("tb") =!= "")
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = toks.select(explode(col("tk")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      bi.join(uni.select(col("tok").as("ta"), col("c").as("c_a")), Seq("ta"))
+        .join(uni.select(col("tok").as("tb"), col("c").as("c_b")), Seq("tb"))
+        .select(col("ta"), col("tb"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("(c_ab * CAST(1000000000 AS BIGINT)) div (c_a * c_b)")
+            .as("score_ppb"))
+        .orderBy(col("score_ppb").desc, col("c_ab").desc, col("ta"),
+          col("tb"))
+        .limit(20)
+    }),
+
+    // ───── item-item collaborative filtering with capped neighborhoods:
+    // "customers of this supplier also buy from" — co-purchase strength
+    // over DETERMINISTICALLY bounded lists (top-20 customers per supplier,
+    // then top-10 suppliers per kept customer, ties broken by key), so
+    // candidate fan-out per customer is ≤ cap² no matter how hot the
+    // entity: the neighborhood-capping recipe that keeps item-CF linear
+    // at catalog scale, where the uncapped co-purchase self-join is
+    // quadratic in the hottest key. Both windows are entity-keyed
+    // (cardinality ≫ cores); the final top-3 ranks ≤ cap² candidates
+    "x92_related_items" -> ((s, d) => {
+      val w = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"),
+          col("cnt"))
+      val perSupp = Window.partitionBy(col("sp"))
+        .orderBy(col("cnt").desc, col("c"))
+      val s1 = w.withColumn("rn", row_number().over(perSupp))
+        .filter(col("rn") <= 20).drop("rn")
+      val perCust = Window.partitionBy(col("c"))
+        .orderBy(col("cnt").desc, col("sp"))
+      val s2 = s1.withColumn("rn", row_number().over(perCust))
+        .filter(col("rn") <= 10).drop("rn", "cnt")
+      val pairs = s2.select(col("c"), col("sp").as("sp_a"))
+        .join(s2.select(col("c"), col("sp").as("sp_b")), Seq("c"))
+        .filter(col("sp_a") =!= col("sp_b"))
+        .groupBy(col("sp_a"), col("sp_b")).agg(count(lit(1)).as("shared"))
+      val rank = Window.partitionBy(col("sp_a"))
+        .orderBy(col("shared").desc, col("sp_b"))
+      pairs.withColumn("rank", row_number().over(rank).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("sp_a").as("suppkey"), col("rank"),
+          col("sp_b").as("partner"), col("shared"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1375,5 +1450,44 @@ object CorpusQueries {
              (SELECT min_by(shard, rh) FROM ring)) AS new_shard
            FROM docs)
          SELECT old_shard, new_shard, COUNT(*) AS n_docs
-         FROM asg GROUP BY 1, 2""")
+         FROM asg GROUP BY 1, 2""",
+    "x91_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS t
+           FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+           FROM tk, unnest(range(1, len(t) + 1)) AS u(i)),
+         bi AS (SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS c_ab
+           FROM toks a JOIN toks b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           WHERE a.tok <> '' AND b.tok <> ''
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         uni AS (SELECT tok, COUNT(*) AS c FROM toks
+           WHERE tok <> '' GROUP BY tok)
+         SELECT bi.ta, bi.tb, bi.c_ab, ua.c AS c_a, ub.c AS c_b,
+           CAST((bi.c_ab * 1000000000) // (ua.c * ub.c) AS BIGINT)
+             AS score_ppb
+         FROM bi JOIN uni ua ON bi.ta = ua.tok
+           JOIN uni ub ON bi.tb = ub.tok
+         ORDER BY score_ppb DESC, c_ab DESC, ta, tb LIMIT 20""",
+    "x92_related_items" ->
+      """WITH w AS (SELECT o.o_custkey AS c, l.l_suppkey AS sp,
+             COUNT(*) AS cnt
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+           GROUP BY 1, 2),
+         s1 AS (SELECT c, sp, cnt FROM (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY sp ORDER BY cnt DESC, c) AS rn FROM w)
+           WHERE rn <= 20),
+         s2 AS (SELECT c, sp FROM (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY c ORDER BY cnt DESC, sp) AS rn FROM s1)
+           WHERE rn <= 10),
+         pairs AS (SELECT a.sp AS sp_a, b.sp AS sp_b, COUNT(*) AS shared
+           FROM s2 a JOIN s2 b ON a.c = b.c AND a.sp <> b.sp
+           GROUP BY 1, 2)
+         SELECT sp_a AS suppkey, CAST(rn AS BIGINT) AS rank,
+           sp_b AS partner, shared
+         FROM (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY sp_a ORDER BY shared DESC, sp_b) AS rn
+           FROM pairs)
+         WHERE rn <= 3""")
 }

@@ -459,4 +459,53 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(moved * 10 < docs * 7, s"moved $moved of $docs")
     assert(moved > 0)
   }
+
+  test("x91: top collocations equal the brute-force PMI cross-ratio ranking") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(graft.text.TextOps.normalize(col("text")))
+      .collect().map(_.getString(0)).map(_.split(" ").toSeq)
+    val uni = texts.flatten.filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = texts.flatMap(t => t.zip(t.drop(1)))
+      .filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5L)
+    val expected = bi.toSeq.map { case ((a, b), cab) =>
+      val score = cab * 1000000000L / (uni(a) * uni(b))
+      (score, cab, a, b)
+    }.sortBy { case (s2, cab, a, b) => (-s2, -cab, a, b) }.take(20)
+      .map { case (s2, cab, a, b) => (a, b, cab, uni(a), uni(b), s2) }
+    val got = q("x91_collocations").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("x92: related items equal the brute-force capped co-purchase ranking") {
+    val w = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
+      .groupBy(col("o_custkey"), col("l_suppkey")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s1 = w.groupBy(_._2).values.flatMap(
+      _.sortBy { case (c, _, cnt) => (-cnt, c) }.take(20)).toSeq
+    val s2 = s1.groupBy(_._1).values.flatMap(
+      _.sortBy { case (_, sp, cnt) => (-cnt, sp) }.take(10)).toSeq
+    val byCust = s2.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val shared = byCust.values.flatMap(sps =>
+      for (a <- sps; b <- sps if a != b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = shared.toSeq.groupBy(_._1._1).flatMap {
+      case (sp, cands) =>
+        cands.sortBy { case ((_, p), n) => (-n, p) }.take(3).zipWithIndex
+          .map { case (((_, p), n), i) => (sp, i + 1L, p, n) }
+    }.toSeq.sorted
+    val got = q("x92_related_items").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
