@@ -85,11 +85,15 @@ class PlanAssertSpec extends SparkSpec {
     // x79: the corpus-count scalar (one pre-aggregated row per partition).
     // x80: the source-index window + n_sources scalar run over the ~20-row
     // source dimension; the per-document ranking window is source-keyed.
+    // x89: the mean-flow scalar, aggregated from the ≤ C(|nation|,2)-row
+    // cached flow table. x90: the ring collect_list — 192 vnode rows into
+    // the one broadcast ring row, bounded by topology not corpus.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
         "x63_weighted_sample", "x70_vocab_growth", "x77_vocab_encode",
-        "x79_negative_pairs", "x80_interleave_order", "x82_zorder_layout")
+        "x79_negative_pairs", "x80_interleave_order", "x82_zorder_layout",
+        "x89_trade_triangles", "x90_ring_reshard")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
