@@ -88,6 +88,22 @@ object Streams {
       .groupBy(window(col(tsCol), width).as("w") +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Structured Streaming SLIDING window — each event lands in
+    * width/slide overlapping windows (`window(ts, width, slide)` emits
+    * one row per covering window), the moving-average face of
+    * [[streamingTumbling]]. State is bounded by the watermark exactly as
+    * with tumbling windows; the only extra cost is the width/slide
+    * fan-out factor on the aggregation input, which is why production
+    * slides are coarse fractions of the width (e.g. 10 min / 5 min), not
+    * per-second micro-slides. */
+  def streamingSliding(stream: DataFrame, tsCol: String, width: String,
+                       slide: String, watermarkDelay: String,
+                       groupCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), width, slide).as("w") +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
   /** Streaming exactly-once-per-key dedup via custom state
     * (`flatMapGroupsWithState`): emits each key's row the FIRST time the
     * key is seen across the whole stream; later occurrences are dropped.

@@ -316,4 +316,25 @@ class StreamsSpec extends SparkSpec {
       assert(rows == Seq(("a", 2L, 3.0), ("b", 1L, 3.0)))
     } finally q.stop()
   }
+
+  test("streamingSliding fans events into width/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    // 10-minute windows sliding by 5: an event covers exactly 2 windows
+    val agg = Streams.streamingSliding(df, "ts", "10 minutes", "5 minutes",
+      "5 minutes", Seq("event_type"))
+    val q = agg.writeStream.format("memory").queryName("st_sliding")
+      .outputMode("complete").start()
+    try {
+      // t=360s sits in windows [0,600) and [300,900);
+      // t=660s in [300,900) and [600,1200)
+      mem.addData((ts(360), "a", 1.0), (ts(660), "a", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("st_sliding")
+        .select(unix_timestamp($"w.start").as("ws"), $"n", $"sum_value")
+        .orderBy("ws").as[(Long, Long, Double)].collect().toSeq
+      assert(rows == Seq((0L, 1L, 1.0), (300L, 2L, 3.0), (600L, 1L, 2.0)))
+    } finally q.stop()
+  }
 }
