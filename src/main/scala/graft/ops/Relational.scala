@@ -150,6 +150,40 @@ object Relational {
       .drop("__rng", "__local", "__off")
   }
 
+  /** Distributed EXCLUSIVE running maximum over a global ordering — the
+    * prefix-max sibling of [[prefixSum]], same two-level shape (per-range
+    * windows + a broadcast triangular join over the one-row-per-range
+    * totals frame, no single-partition exchange anywhere).
+    *
+    * Exclusive: each row's `outCol` is the max of `valueCol` over rows
+    * with STRICTLY SMALLER `orderCol` — null when no such row exists.
+    * That is the form dominance tests want (2-D Pareto frontier: order by
+    * one dimension descending via negation, a point survives iff its
+    * other dimension beats the exclusive prefix-max). The within-range
+    * frame is a RANGE frame (`rangeBetween(unboundedPreceding, -1)`), so
+    * ties in `orderCol` are excluded together — deterministic whatever
+    * the physical row order; `orderCol` must be integral. */
+  def prefixMax(df: DataFrame, orderCol: String, valueCol: String,
+                outCol: String, rangeSize: Long): DataFrame = {
+    require(rangeSize > 0)
+    val base = df.withColumn("__rng", floor(col(orderCol) / rangeSize).cast("long"))
+    val wIn = Window.partitionBy(col("__rng")).orderBy(col(orderCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("__local", max(col(valueCol)).over(wIn))
+    val totals = base.groupBy(col("__rng")).agg(max(col(valueCol)).as("__tot"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.select(col("__rng").as("__brng"), col("__tot").as("__btot"))),
+        col("__brng") < col("a.__rng"), "left")
+      .groupBy(col("a.__rng").as("__rng"))
+      .agg(max(col("__btot")).as("__off"))
+    local.join(broadcast(offsets), Seq("__rng"))
+      .withColumn(outCol,
+        when(col("__local").isNull, col("__off"))
+          .when(col("__off").isNull, col("__local"))
+          .otherwise(greatest(col("__local"), col("__off"))))
+      .drop("__rng", "__local", "__off")
+  }
+
   /** Two-stage fuzzy match (SURVEY §2.4 J7; reference
     * `match_to_contestant_season` `episodes/episodes_transform.py:218-240`):
     * exact join on the strong key; rows that miss retry on a weaker key;

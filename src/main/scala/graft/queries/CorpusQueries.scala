@@ -1031,6 +1031,38 @@ object CorpusQueries {
         .filter(col("rank") <= 3)
         .select(col("sp_a").as("suppkey"), col("rank"),
           col("sp_b").as("partner"), col("shared"))
+    }),
+
+    // ───── 2-D Pareto frontier (skyline): documents not dominated on
+    // (n_tokens ↑, distinct-token ppm ↑) — the multi-criteria selection
+    // step ("longest AND most lexically diverse") that a curation
+    // pipeline runs where a single score would force an arbitrary
+    // weighting. The 2-D frontier needs no pairwise dominance join: group
+    // to one row per x value (max y), then a point survives iff its y
+    // beats the EXCLUSIVE prefix-max over strictly larger x — computed
+    // with Relational.prefixMax, the two-level range-partitioned scan, so
+    // the plan has no single-partition exchange and no quadratic join.
+    // Integer surfaces throughout (count, distinct-count, ppm division)
+    "x93_pareto_docs" -> ((s, d) => {
+      import graft.ops.Relational
+      val st = TextOps.tokenRows(
+          t(s, d, "documents").filter(col("text").isNotNull &&
+            col("doc_id").isNotNull), "doc_id", "text")
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("k"))
+        .select(col("doc_id"), col("n"),
+          expr("(k * CAST(1000000 AS BIGINT)) div n").as("dppm"))
+      val g = st.groupBy(col("n")).agg(max(col("dppm")).as("best"))
+        .withColumn("negn", -col("n"))
+      val pm = Relational.prefixMax(g, "negn", "best", "pm", 256L)
+      val frontier = pm
+        .filter(col("best") > coalesce(col("pm"), lit(-1L)))
+        .select(col("n"), col("best"))
+      st.join(frontier, Seq("n"))
+        .filter(col("dppm") === col("best"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("dppm").as("distinct_ppm"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1489,5 +1521,21 @@ object CorpusQueries {
          FROM (SELECT *, ROW_NUMBER() OVER
              (PARTITION BY sp_a ORDER BY shared DESC, sp_b) AS rn
            FROM pairs)
-         WHERE rn <= 3""")
+         WHERE rn <= 3""",
+    "x93_pareto_docs" ->
+      s"""WITH tk AS (SELECT doc_id, string_split($normSql, ' ') AS t
+           FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         toks AS (SELECT doc_id, t[i] AS tok
+           FROM tk, unnest(range(1, len(t) + 1)) AS u(i)),
+         st AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS k
+           FROM toks WHERE tok <> '' GROUP BY doc_id),
+         s AS (SELECT doc_id, n, (k * 1000000) // n AS dppm FROM st),
+         g AS (SELECT n, MAX(dppm) AS best FROM s GROUP BY n),
+         p AS (SELECT n, best, MAX(best) OVER (ORDER BY n DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM g),
+         f AS (SELECT n, best FROM p WHERE pm IS NULL OR best > pm)
+         SELECT s.doc_id, s.n AS n_tokens,
+           CAST(s.dppm AS BIGINT) AS distinct_ppm
+         FROM s JOIN f USING (n) WHERE s.dppm = f.best""")
 }

@@ -508,4 +508,26 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("x93: frontier equals the brute-force pairwise dominance check") {
+    val stats = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        graft.text.TextOps.normalize(col("text")).as("nm"))
+      .collect().map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getLong(0), toks.length.toLong,
+          toks.distinct.length.toLong * 1000000L / toks.length)
+      }.filter(_._2 > 0)
+    // dominated: another doc is >= on both dimensions and > on at least one
+    val expected = stats.filter { case (_, n, d2) =>
+      !stats.exists { case (_, n2, dd) =>
+        n2 >= n && dd >= d2 && (n2 > n || dd > d2)
+      }
+    }.map { case (id, n, d2) => (id, n, d2) }.toSeq.sorted
+    val got = q("x93_pareto_docs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == expected, s"got ${got.length} vs expected ${expected.length}")
+    assert(got.nonEmpty)
+  }
 }

@@ -125,6 +125,32 @@ class TextDedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("prefixMax is the exclusive strictly-smaller-order running max, ties excluded") {
+    // duplicated order keys (k % 13) — ties must see the SAME prefix-max,
+    // excluding each other; values deliberately non-monotone
+    val df = (0L until 100L).map(i => (i % 13, (i * 37) % 29)).toDF("k", "v")
+    val rows = df.as[(Long, Long)].collect().toSeq
+    val expected = rows.map { case (k, _) =>
+      val smaller = rows.filter(_._1 < k).map(_._2)
+      k -> (if (smaller.isEmpty) None else Some(smaller.max))
+    }.toMap
+    val got = graft.ops.Relational.prefixMax(df, "k", "v", "pm", rangeSize = 4L)
+      .select("k", "pm").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // every row with the same k agrees, and matches the brute force
+    got.foreach { case (k, pm) => assert(pm == expected(k), s"k=$k") }
+    // negated keys flip the order: prefix-max over strictly LARGER k
+    val neg = df.withColumn("nk", -$"k")
+    val gotDesc = graft.ops.Relational.prefixMax(neg, "nk", "v", "pm", rangeSize = 4L)
+      .select("k", "pm").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val expDesc = rows.map { case (k, _) =>
+      val larger = rows.filter(_._1 > k).map(_._2)
+      k -> (if (larger.isEmpty) None else Some(larger.max))
+    }.toMap
+    gotDesc.foreach { case (k, pm) => assert(pm == expDesc(k), s"desc k=$k") }
+  }
+
   test("bloom membership is one-sided: every true member probes positive") {
     val members = Seq("a_b", "c_d", "e_f").toDF("g")
     val bm = Dedup.bloomBitmap(members, "g", mBits = 1024)
