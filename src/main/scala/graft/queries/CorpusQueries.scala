@@ -1063,6 +1063,30 @@ object CorpusQueries {
         .filter(col("dppm") === col("best"))
         .select(col("doc_id"), col("n").as("n_tokens"),
           col("dppm").as("distinct_ppm"))
+    }),
+
+    // ───── per-document shingle novelty: the fraction of a document's
+    // word-bigram shingles whose FIRST corpus occurrence (by doc_id
+    // order) is this document — the "how much genuinely new content does
+    // each slice add" curve that drives crawl prioritization and
+    // diminishing-returns analysis. Inverted-index shape: shingle →
+    // min(doc_id) partial-combines map-side, the join back is keyed on
+    // the shingle (ids shuffle, text never does), and the per-doc rollup
+    // shares one tokenization. Integer ppm surface
+    "x94_shingle_novelty" -> ((s, d) => {
+      val sh = TextOps.shingleRows(
+        t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", "text", 2)
+      val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("novel"))
+        .select(col("doc_id"), col("n_shingles"), col("novel"),
+          expr("(novel * CAST(1000000 AS BIGINT)) div n_shingles")
+            .as("novelty_ppm"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1537,5 +1561,22 @@ object CorpusQueries {
          f AS (SELECT n, best FROM p WHERE pm IS NULL OR best > pm)
          SELECT s.doc_id, s.n AS n_tokens,
            CAST(s.dppm AS BIGINT) AS distinct_ppm
-         FROM s JOIN f USING (n) WHERE s.dppm = f.best""")
+         FROM s JOIN f USING (n) WHERE s.dppm = f.best""",
+    "x94_shingle_novelty" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split($normSql, ' ')) - 1, 1) + 1),
+           i -> CASE WHEN i + 1 <= len(string_split($normSql, ' '))
+                THEN string_split($normSql, ' ')[i] || '_'
+                  || string_split($normSql, ' ')[i+1]
+                ELSE string_split($normSql, ' ')[i] END))) AS g
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         fst AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g),
+         agg AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
+             CAST(COUNT(CASE WHEN fst.first_doc = sh.doc_id THEN 1 END)
+               AS BIGINT) AS novel
+           FROM sh JOIN fst USING (g) GROUP BY sh.doc_id)
+         SELECT doc_id, n_shingles, novel,
+           (novel * 1000000) // n_shingles AS novelty_ppm
+         FROM agg""")
 }

@@ -530,4 +530,32 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got == expected, s"got ${got.length} vs expected ${expected.length}")
     assert(got.nonEmpty)
   }
+
+  test("x94: novelty equals the brute-force first-occurrence computation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.text.TextOps.normalize(col("text")).as("nm"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // word-bigram shingles with the short-document tail rule: a
+    // single-token doc contributes the token itself
+    def shingles(nm: String): Set[String] = {
+      val t = nm.split(" ", -1)
+      if (t.length >= 2) t.zip(t.drop(1)).map { case (a, b) => s"${a}_$b" }.toSet
+      else Set(t(0))
+    }
+    val byDoc = docs.map { case (id, nm) => id -> shingles(nm) }.toMap
+    val firstDoc = byDoc.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = byDoc.toSeq.map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      (id, gs.size.toLong, novel, novel * 1000000L / gs.size)
+    }.sorted
+    val got = q("x94_shingle_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == expected, s"got ${got.length} vs expected ${expected.length}")
+    // the lowest doc_id sees everything for the first time
+    assert(got.head._4 == 1000000L)
+  }
 }
