@@ -56,20 +56,17 @@ object SkewStress {
   }
 
   /** Banded near-dup pairs over a wide band frame — the x84 join shape on
-    * explicit bands, guard thresholds exposed. */
-  def bandPairs(wide: DataFrame, hotThreshold: Int, blockSize: Int): DataFrame = {
-    val bands = wide.select(col("asset_id"), explode(array((0 to 3).map(j =>
-        struct(lit(j).as("j"), col(s"b$j").as("band"))): _*)).as("k"))
-      .select(col("asset_id"), col("k.j"), col("k.band"))
-    Skew.boundedSelfPairs(bands, Seq("j", "band"), "asset_id",
+    * explicit bands, guard thresholds exposed. Payload-carrying generation
+    * ([[graft.ops.Skew.boundedWideBandPairs]]): verify is an inline
+    * projection, no candidate re-join, no cross-band distinct. */
+  def bandPairs(wide: DataFrame, hotThreshold: Int, blockSize: Int): DataFrame =
+    Skew.boundedWideBandPairs(wide, "asset_id", Seq("b0", "b1", "b2", "b3"),
         hotThreshold, blockSize)
-      .join(wide.toDF("id_a", "a0", "a1", "a2", "a3"), Seq("id_a"))
-      .join(wide.toDF("id_b", "c0", "c1", "c2", "c3"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
-          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long").as("hamming"))
+        expr("aggregate(zip_with(bands_a, bands_b, " +
+          "(u, v) -> CAST(bit_count(u ^ v) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("hamming"))
       .filter(col("hamming") <= 3)
-  }
 
   /** The x38 chunk-dedup pipeline body over an arbitrary corpus. */
   def chunkDedup(docs: DataFrame): DataFrame = {

@@ -130,6 +130,51 @@ object Multimodal {
         sequence(lit(0), col("n_frames") - 1, lit(stride)))).as("frame_idx"))
   }
 
+  /** One analysis window of a decoded PCM16 asset: integer-exact energy
+    * (sum of squared samples) per fixed-size window — the row shape
+    * silence-trimming / voice-activity stages threshold and join on. */
+  case class AudioWindow(asset_id: Long, sample_rate: Int, channels: Int,
+                         n_samples: Long, window_idx: Long, energy_sq: Long)
+
+  /** Batched per-partition WAV decode → per-window energy rows. Payloads
+    * that are not well-formed PCM16 WAV are dropped (strict
+    * [[AudioCodecs.decodeWav]] validation); assets never shuffle — the
+    * fan-out to windows happens AFTER decode inside the same task, and
+    * only the fixed-width feature rows flow on. */
+  def audioWindowEnergies(assets: DataFrame, windowSize: Int): Dataset[AudioWindow] = {
+    require(windowSize > 0)
+    implicit val enc = Encoders.product[AudioWindow]
+    assets.select("asset_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          AudioCodecs.decodeWav(r.getAs[Array[Byte]](1)).iterator.flatMap { a =>
+            a.windowEnergies(windowSize).iterator.zipWithIndex.map {
+              case (e, w) => AudioWindow(r.getLong(0), a.sampleRate,
+                a.channels, a.nSamples.toLong, w.toLong, e)
+            }
+          }
+        }
+      }
+  }
+
+  /** Adapt the synthetic `documents` table into an asset table whose
+    * payloads are REAL WAV containers (document bytes wrapped as mono
+    * PCM16 via [[AudioCodecs.wrapPcm16]]) — deterministic in the text, so
+    * an external oracle can replay every downstream feature from the same
+    * bytes while the engine exercises the genuine RIFF walk. */
+  def documentsAsWavAssets(docs: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    docs.select(col("doc_id"), col("text").cast("binary"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .map { r: Row =>
+        (r.getLong(0), AudioCodecs.wrapPcm16(r.getAs[Array[Byte]](1)))
+      }(enc)
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("audio").as("media_type"), col("payload"),
+        struct(lit("wav-synth").as("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   /** Adapt the synthetic `documents` table into an asset table (text bytes
     * as payload) — the test-harness source for the multimodal path. */
   def documentsAsAssets(docs: DataFrame): DataFrame =

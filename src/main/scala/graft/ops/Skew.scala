@@ -159,6 +159,84 @@ object Skew {
       .distinct()
   }
 
+  /** Candidate pairs from multi-band exact-match LSH over a WIDE band
+    * frame (one row per id, one `bandCols` column per band value), with the
+    * band vectors CARRIED through pair generation: the caller verifies
+    * (Hamming, equality count, …) inline on `bands_a`/`bands_b` instead of
+    * re-joining the candidate stream against the wide frame — at scale
+    * those re-joins are two extra shuffles of the (large) candidate set.
+    *
+    * Cross-band duplicates are removed by the first-matching-band rule
+    * rather than a `distinct()`: a pair sharing m bands is generated in all
+    * m band buckets, but only the bucket of the SMALLEST matching band
+    * index emits it (each side sees both full vectors, so the test is a
+    * per-row filter). Combined with the triangle-block decomposition of hot
+    * buckets (identical to [[boundedSelfPairs]]) the whole generation is
+    * ONE shuffle — the bucket join — and per-task work stays ≤ ~blockSize²
+    * under degenerate band distributions. Output is exactly one row per
+    * unordered pair sharing ≥ 1 band: the same pair set as
+    * explode → boundedSelfPairs → distinct, minus the distinct's shuffle.
+    *
+    * `wide` must hold one row per non-null `idCol`; band values are cast to
+    * long (exact-match buckets). Output: `(id_a < id_b, bands_a, bands_b)`
+    * with `bands_a` the band vector of `id_a`. */
+  def boundedWideBandPairs(wide: DataFrame, idCol: String,
+                           bandCols: Seq[String],
+                           hotThreshold: Int = 4096,
+                           blockSize: Int = 2048): DataFrame = {
+    require(bandCols.nonEmpty, "at least one band column")
+    require(hotThreshold > 0 && blockSize > 0)
+    val slim = wide.select(col(idCol).as("__id"),
+      array(bandCols.map(c => col(c).cast("long")): _*).as("__bv")).cache()
+    val bands = slim.select(col("__id"), col("__bv"),
+      posexplode(col("__bv")).as(Seq("__j", "__band")))
+    // a pair appearing in band j survives only if no band j' < j also
+    // matches — symmetric in the two sides, so orientation-safe
+    val firstMatch = expr(
+      "__j = array_min(filter(transform(__bva, (u, i) -> " +
+        "CASE WHEN u = element_at(__bvb, i + 1) THEN i END), " +
+        "x -> x IS NOT NULL))")
+    def oriented(df: DataFrame): DataFrame = df
+      .filter(col("__ida") =!= col("__idb"))
+      .filter(firstMatch)
+      .select(
+        when(col("__ida") < col("__idb"), col("__ida")).otherwise(col("__idb"))
+          .as("id_a"),
+        when(col("__ida") < col("__idb"), col("__idb")).otherwise(col("__ida"))
+          .as("id_b"),
+        when(col("__ida") < col("__idb"), col("__bva")).otherwise(col("__bvb"))
+          .as("bands_a"),
+        when(col("__ida") < col("__idb"), col("__bvb")).otherwise(col("__bva"))
+          .as("bands_b"))
+    val hot = bands.groupBy(col("__j"), col("__band"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > hotThreshold)
+    if (hot.isEmpty) {
+      // skew-free: plain bucket self-join, id order dedups orientation
+      return oriented(bands
+        .select(col("__j"), col("__band"), col("__id").as("__ida"),
+          col("__bv").as("__bva"))
+        .join(bands.select(col("__j"), col("__band"), col("__id").as("__idb"),
+          col("__bv").as("__bvb")), Seq("__j", "__band"))
+        .filter(col("__ida") < col("__idb")))
+    }
+    val blocked = bands.join(broadcast(hot), Seq("__j", "__band"), "left")
+      .withColumn("__nblk", coalesce(
+        ceil(col("__n") / blockSize).cast("int"), lit(1)))
+      .withColumn("__blk", pmod(xxhash64(col("__id")), col("__nblk")).cast("int"))
+    val left = blocked
+      .withColumn("__br", explode(sequence(col("__blk"), col("__nblk") - 1)))
+      .select(col("__j"), col("__band"), col("__blk").as("__bl"), col("__br"),
+        col("__id").as("__ida"), col("__bv").as("__bva"))
+    val right = blocked
+      .withColumn("__bl", explode(sequence(lit(0), col("__blk"))))
+      .select(col("__j"), col("__band"), col("__bl"), col("__blk").as("__br"),
+        col("__id").as("__idb"), col("__bv").as("__bvb"))
+    // cross-block pairs surface exactly once (lower block as the left
+    // side); same-block pairs in both orientations — id order keeps one
+    oriented(left.join(right, Seq("__j", "__band", "__bl", "__br"))
+      .filter(col("__bl") =!= col("__br") || col("__ida") < col("__idb")))
+  }
+
   /** Aggregate-then-join skew pattern: two-phase aggregation where the
     * first phase groups on (key, salt) — spreading a hot key's partial
     * aggregation over `saltBuckets` tasks — and the second phase merges the

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.mm.Multimodal
 import graft.ops.Skew
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -681,29 +682,28 @@ object CorpusQueries {
           expr("CAST(conv(substring(hx, CAST(i * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)")
             .as("byte"))
       val sums = bytes.groupBy(col("asset_id")).agg(sum(col("byte")).as("s"))
-      val bands = bytes.join(sums, Seq("asset_id"))
+      val wide = bytes.join(sums, Seq("asset_id"))
         .select(col("asset_id"), expr("i div 16").as("j"),
           expr("shiftleft(CAST(CASE WHEN byte * 64 >= s THEN 1 ELSE 0 END AS BIGINT), " +
             "CAST(i % 16 AS INT))").as("term"))
-        .groupBy(col("asset_id"), col("j")).agg(sum(col("term")).as("band"))
-        .cache()
-      val wide = bands.groupBy(col("asset_id"))
-        .agg(max(when(col("j") === 0, col("band"))).as("b0"),
-          max(when(col("j") === 1, col("band"))).as("b1"),
-          max(when(col("j") === 2, col("band"))).as("b2"),
-          max(when(col("j") === 3, col("band"))).as("b3"))
+        .groupBy(col("asset_id"))
+        .agg(sum(when(col("j") === 0, col("term"))).as("b0"),
+          sum(when(col("j") === 1, col("term"))).as("b1"),
+          sum(when(col("j") === 2, col("term"))).as("b2"),
+          sum(when(col("j") === 3, col("term"))).as("b3"))
       // hot-bucket guard: aHash bands over real image corpora are heavily
       // non-uniform (flat/black frames collapse onto a few band values) —
       // a plain (j, band) self-join turns quadratic inside one task on a
-      // hot band; the triangle decomposition bounds per-task work with an
-      // identical pair set (Skew.boundedSelfPairs)
-      val cand = Skew.boundedSelfPairs(bands, Seq("j", "band"), "asset_id")
-      cand
-        .join(wide.toDF("id_a", "a0", "a1", "a2", "a3"), Seq("id_a"))
-        .join(wide.toDF("id_b", "c0", "c1", "c2", "c3"), Seq("id_b"))
+      // hot band. boundedWideBandPairs triangle-decomposes hot buckets,
+      // carries both band vectors through generation (Hamming verify is
+      // the projection below — no re-join of candidates against the wide
+      // frame) and dedups cross-band duplicates by first-matching-band
+      // instead of a distinct(): one shuffle end to end, same pair set
+      Skew.boundedWideBandPairs(wide, "asset_id", Seq("b0", "b1", "b2", "b3"))
         .select(col("id_a"), col("id_b"),
-          expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
-            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long").as("hamming"))
+          expr("aggregate(zip_with(bands_a, bands_b, " +
+            "(u, v) -> CAST(bit_count(u ^ v) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("hamming"))
         .filter(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
     }),
@@ -1087,7 +1087,41 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_shingles"), col("novel"),
           expr("(novel * CAST(1000000 AS BIGINT)) div n_shingles")
             .as("novelty_ppm"))
-    }))
+    }),
+
+    // ───── audio-window energy over REAL WAV containers: documents are
+    // wrapped as genuine mono PCM16 RIFF payloads (deterministic in the
+    // text bytes), the engine walks the actual chunk structure
+    // (AudioCodecs.decodeWav — strict fmt/data validation), and each
+    // asset fans out to integer-exact per-window energies (sum of squared
+    // int16 samples per 256-sample window) — the silence-trim /
+    // voice-activity row shape. Decode is mapPartitions at the engine
+    // boundary; payloads never shuffle, only fixed-width window rows flow
+    // on. The synthesis is replayable, so the oracle re-derives every
+    // window from the same bytes without a WAV parser
+    "x95_audio_energy" -> ((s, d) => {
+      Multimodal.audioWindowEnergies(
+        Multimodal.documentsAsWavAssets(t(s, d, "documents")), 256).toDF()
+    }),
+
+    // ───── blocklist scan: Aho–Corasick multi-pattern substring counts
+    // (PII lexicons / toxicity phrases / licensing boilerplate). ONE pass
+    // over each document's characters counts every occurrence of every
+    // pattern — overlaps included ("batch batch" in "batch batch batch"
+    // matches twice) — vs k contains/regex passes; the automaton is
+    // driver-built from the bounded lexicon and broadcast, the scan is a
+    // lazy mapPartitions projection, text never shuffles
+    "x96_blocklist_scan" -> ((s, d) =>
+      graft.text.AhoCorasick.scan(
+        t(s, d, "documents"), "doc_id", "text", blocklistPatterns)))
+
+  /** The bounded blocklist lexicon behind x96 — phrases over the corpus
+    * vocabulary, including self-overlapping ("batch batch") and
+    * shared-prefix ("join order" / "join") shapes that exercise the
+    * automaton's fail/output links. */
+  private val blocklistPatterns = Seq(
+    "batch batch", "window window", "join order", "scan merge",
+    "key order sort", "slow", "join")
 
   val oracle: Map[String, String] = Map(
     "x75_filter_cascade" ->
@@ -1578,5 +1612,43 @@ object CorpusQueries {
            FROM sh JOIN fst USING (g) GROUP BY sh.doc_id)
          SELECT doc_id, n_shingles, novel,
            (novel * 1000000) // n_shingles AS novelty_ppm
-         FROM agg""")
+         FROM agg""",
+    // x95: the WAV synthesis is deterministic in the text bytes (pairs of
+    // UTF-8 octets as little-endian int16 samples, 256-sample windows), so
+    // the oracle replays decode + windowing from hex(text) with no WAV
+    // parser: sample i = hi-byte·256 + lo-byte, sign-adjusted, energy =
+    // Σ sample² per window — integer-exact on both engines
+    "x95_audio_energy" ->
+      """WITH raw AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) // 2 AS BIGINT) AS ns
+           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         smp AS (SELECT asset_id, ns, i,
+             CAST(('0x' || substr(hx, (i - 1) * 4 + 3, 2)
+               || substr(hx, (i - 1) * 4 + 1, 2)) AS BIGINT) AS u
+           FROM raw, unnest(range(1, CAST(ns AS INT) + 1)) AS t(i)
+           WHERE ns > 0),
+         sgn AS (SELECT asset_id, ns, i,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+           FROM smp)
+         SELECT asset_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels, ns AS n_samples,
+           CAST((i - 1) // 256 AS BIGINT) AS window_idx,
+           SUM(s * s) AS energy_sq
+         FROM sgn GROUP BY asset_id, ns, (i - 1) // 256""",
+    // x96: exact overlapping-occurrence counts — a position scan (does
+    // the pattern start at i?), NOT the replace()-length trick, which
+    // counts non-overlapping greedy matches and diverges on
+    // self-bordered patterns like 'batch batch'
+    "x96_blocklist_scan" ->
+      """WITH p(pattern) AS (VALUES ('batch batch'), ('window window'),
+           ('join order'), ('scan merge'), ('key order sort'), ('slow'),
+           ('join')),
+         d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         m AS (SELECT d.doc_id, p.pattern,
+             CAST(len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+               i -> substr(d.text, i, len(p.pattern)) = p.pattern))
+               AS BIGINT) AS n_matches
+           FROM d CROSS JOIN p)
+         SELECT doc_id, pattern, n_matches FROM m WHERE n_matches > 0""")
 }

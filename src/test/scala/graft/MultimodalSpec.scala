@@ -94,4 +94,57 @@ class MultimodalSpec extends SparkSpec {
     // the text payload takes the stub path, bounded as before
     assert(out(3L).width >= 1 && out(3L).width <= 640)
   }
+
+  // ───── real WAV (PCM16) decoding behind the audio feature path
+
+  test("WAV round trip: wrapPcm16 output decodes to the exact samples") {
+    // raw bytes 0x10,0x00 = sample 16; 0x00,0x80 = -32768; 0xFF,0x7F = 32767
+    val raw = Array[Byte](0x10, 0x00, 0x00, 0x80.toByte, 0xff.toByte, 0x7f)
+    val wav = graft.mm.AudioCodecs.wrapPcm16(raw, sampleRate = 16000)
+    val a = graft.mm.AudioCodecs.decodeWav(wav).get
+    assert(a.sampleRate == 16000 && a.channels == 1)
+    assert(a.samples.toSeq == Seq[Short](16, -32768, 32767))
+    assert(a.peak == 32768)
+    // energy: 16² + (-32768)² + 32767² in one window
+    assert(a.windowEnergies(256).toSeq ==
+      Seq(16L * 16 + 32768L * 32768 + 32767L * 32767))
+    // ragged windows: window size 2 → [16² + 32768², 32767²]
+    assert(a.windowEnergies(2).toSeq ==
+      Seq(16L * 16 + 32768L * 32768, 32767L * 32767))
+  }
+
+  test("WAV chunk walk skips extra chunks; strict validation rejects corrupt") {
+    import graft.mm.AudioCodecs
+    val base = AudioCodecs.wrapPcm16(Array[Byte](1, 0, 2, 0))
+    // splice a LIST chunk between fmt and data (as real encoders emit)
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 9, 9, 9, 9)
+    val spliced = base.take(36) ++ extra ++ base.drop(36)
+    // fix the RIFF size field (bytes 4..7, little-endian)
+    val total = spliced.length - 8
+    spliced(4) = total.toByte; spliced(5) = (total >> 8).toByte
+    spliced(6) = (total >> 16).toByte; spliced(7) = (total >> 24).toByte
+    assert(AudioCodecs.decodeWav(spliced).get.samples.toSeq == Seq[Short](1, 2))
+    assert(AudioCodecs.decodeWav(base.take(40)).isEmpty) // truncated
+    assert(AudioCodecs.decodeWav("RIFFxxxxWAVEjunk".getBytes).isEmpty)
+    assert(AudioCodecs.decodeWav("plain text".getBytes).isEmpty)
+    val mp3ish = base.clone(); mp3ish(20) = 85 // audioFormat = MP3
+    assert(AudioCodecs.decodeWav(mp3ish).isEmpty)
+  }
+
+  test("audioWindowEnergies: real container walk end-to-end, non-WAV dropped") {
+    val wav = graft.mm.AudioCodecs.wrapPcm16(
+      Array.tabulate[Byte](20)(i => i.toByte)) // 10 samples
+    val assets = Seq((1L, wav), (2L, "not audio".getBytes))
+      .toDF("asset_id", "payload")
+    val rows = Multimodal.audioWindowEnergies(assets, windowSize = 4)
+      .collect().sortBy(_.window_idx)
+    assert(rows.forall(_.asset_id == 1L)) // non-WAV payload dropped
+    assert(rows.map(_.window_idx).toSeq == Seq(0L, 1L, 2L)) // 10 → 4+4+2
+    val samples = (0 until 10).map(i =>
+      ((2 * i) | ((2 * i + 1) << 8)).toShort)
+    def e(lo: Int, hi: Int) =
+      samples.slice(lo, hi).map(s => s.toLong * s).sum
+    assert(rows.map(_.energy_sq).toSeq == Seq(e(0, 4), e(4, 8), e(8, 10)))
+    assert(rows.forall(r => r.sample_rate == 8000 && r.n_samples == 10L))
+  }
 }

@@ -56,6 +56,52 @@ class SkewSpec extends SparkSpec {
     assert(got == n.toLong * (n - 1) / 2)
   }
 
+  test("boundedWideBandPairs equals explode+self-join+distinct, payloads exact") {
+    // 4 bands; a 120-row flood shares bands 0 AND 1 (pairs generated in two
+    // hot buckets — first-matching-band must keep exactly one occurrence);
+    // tail rows get quasi-random bands with a few planned collisions
+    def mk(skewed: Boolean) = spark.range(400).select(
+      col("id"),
+      (if (skewed) when(col("id") % 3 === 0 && col("id") < 360, lit(7L))
+        .otherwise(pmod(xxhash64(lit(0), col("id")), lit(50L)))
+       else pmod(xxhash64(lit(0), col("id")), lit(50L))).as("b0"),
+      (if (skewed) when(col("id") % 3 === 0 && col("id") < 360, lit(9L))
+        .otherwise(pmod(xxhash64(lit(1), col("id")), lit(50L)))
+       else pmod(xxhash64(lit(1), col("id")), lit(50L))).as("b1"),
+      pmod(xxhash64(lit(2), col("id")), lit(40L)).as("b2"),
+      pmod(xxhash64(lit(3), col("id")), lit(40L)).as("b3"))
+    for (skewed <- Seq(true, false)) {
+      val wide = mk(skewed).cache()
+      val naive = {
+        val bands = wide.select(col("id"), explode(array((0 to 3).map(j =>
+            struct(lit(j).as("j"), col(s"b$j").as("band"))): _*)).as("k"))
+          .select(col("id"), col("k.j"), col("k.band"))
+        bands.toDF("ida", "j", "band")
+          .join(bands.toDF("idb", "j", "band"), Seq("j", "band"))
+          .filter(col("ida") < col("idb"))
+          .select("ida", "idb").distinct()
+          .as[(Long, Long)].collect().toSet
+      }
+      val got = Skew.boundedWideBandPairs(wide, "id",
+          Seq("b0", "b1", "b2", "b3"),
+          hotThreshold = 16, blockSize = 16)
+        .collect()
+      spark.catalog.clearCache()
+      val gotPairs = got.map(r => (r.getLong(0), r.getLong(1)))
+      // exactly-once: no duplicate pairs even when two bands match
+      assert(gotPairs.length == gotPairs.toSet.size, "duplicate pairs emitted")
+      assert(gotPairs.toSet == naive, s"skewed=$skewed pair-set mismatch")
+      if (skewed) assert(naive.size >= 120 * 119 / 2, "flood pairs missing")
+      // carried payloads are the row's true band vector, oriented to ids
+      val bv = wide.collect().map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      got.take(500).foreach { r =>
+        assert(r.getSeq[Long](2) == bv(r.getLong(0)), "bands_a mismatch")
+        assert(r.getSeq[Long](3) == bv(r.getLong(1)), "bands_b mismatch")
+      }
+    }
+  }
+
   test("boundedPairsBetween equals the plain bucket join (hot standing index)") {
     val corpus = ((1 to 200).map(i => (f"c$i%04d", 0L, "HOT")) ++
       (1 to 30).map(i => (f"c9$i%03d", 1L, s"k${i % 6}"))).toDF("id", "band", "h")
