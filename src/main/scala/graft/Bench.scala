@@ -22,7 +22,12 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local iteration: SPARK_GRAFT_BENCH_ONLY="x84_… x27_…" restricts the
+    // run (the driver never sets it → full catalog)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split("\\s+").toSet).getOrElse(Set.empty[String])
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     // Warmup pass: JIT + codegen-class + parquet-footer caches, so the
     // first timed query is not charged the session's cold-start.
     ordered.foreach { case (name, fn) =>

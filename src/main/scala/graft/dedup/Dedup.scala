@@ -514,7 +514,8 @@ object Dedup {
     * untouched and matches exactly (pigeonhole). So the output is
     * IDENTICAL to [[simhashPairs]] (same oracle), while the join shuffles
     * only (band, band-bits, id) rows and hot buckets are triangle-
-    * decomposed into bounded blocks ([[graft.ops.Skew.boundedSelfPairs]]).
+    * decomposed into bounded blocks
+    * ([[graft.ops.Skew.boundedWideBandPairs]]).
     * At 100 TB: ~corpus/2^bandBits docs per bucket on average; widen bands
     * (more bits per band) to thin buckets — pathological buckets are
     * bounded by the guard regardless.
@@ -528,26 +529,23 @@ object Dedup {
       s"exact recall needs maxHamming ($maxHamming) < numBands ($numBands)")
     val bandBits = bits / numBands
     val mask = (1L << bandBits) - 1
-    // cache: both sides of the bucket self-join read the signature frame —
-    // without it the tokenize+md5+vote pipeline runs twice (same
-    // caller-managed cache lifecycle as minhashLshPairs)
-    val h = simhashDF(docs, idCol, textCol, bits).cache()
-    val bandCols = (0 until numBands).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("bb")))
-    // hot-bucket guard: flat simhash values (short/templated docs) pile
-    // into one (band, bb) bucket; the triangle decomposition bounds
-    // per-task work with an identical pair set (Skew.boundedSelfPairs).
-    // The Hamming verify joins the distinct candidates back to the cached
-    // signature frame — sh stays out of the banding shuffle entirely
-    val buckets = h.select(col(idCol),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bb"))
-    Skew.boundedSelfPairs(buckets, Seq("band", "bb"), idCol)
-      .join(h.select(col(idCol).as("id_a"), col("sh").as("__sa")), "id_a")
-      .join(h.select(col(idCol).as("id_b"), col("sh").as("__sb")), "id_b")
+    // one row per doc, one column per band slice of the signature. The
+    // bands PARTITION the signature bits, so the full Hamming distance is
+    // the sum of per-band bit_counts over the carried band vectors —
+    // no join back to the signature frame, no cross-band distinct:
+    // boundedWideBandPairs (hot buckets triangle-decomposed, payloads
+    // carried, first-matching-band dedup) makes generation + verify ONE
+    // shuffle end to end, with the identical pair set
+    val h = simhashDF(docs, idCol, textCol, bits)
+    val bandNames = (0 until numBands).map(b => s"__b$b")
+    val wide = h.select(col(idCol) +: (0 until numBands).map(b =>
+      shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask))
+        .as(bandNames(b))): _*)
+    Skew.boundedWideBandPairs(wide, idCol, bandNames)
       .select(col("id_a"), col("id_b"),
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+        (0 until numBands).map(b =>
+            bit_count(col("bands_a")(b).bitwiseXOR(col("bands_b")(b))))
+          .reduce(_ + _).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -191,11 +191,14 @@ object Skew {
     val bands = slim.select(col("__id"), col("__bv"),
       posexplode(col("__bv")).as(Seq("__j", "__band")))
     // a pair appearing in band j survives only if no band j' < j also
-    // matches — symmetric in the two sides, so orientation-safe
-    val firstMatch = expr(
-      "__j = array_min(filter(transform(__bva, (u, i) -> " +
-        "CASE WHEN u = element_at(__bvb, i + 1) THEN i END), " +
-        "x -> x IS NOT NULL))")
+    // matches — symmetric in the two sides, so orientation-safe. Built
+    // from literal-index array accesses + least() (null-skipping), NOT
+    // array higher-order functions: HOF lambdas are interpreted per row,
+    // and this predicate runs once per generated candidate
+    val firstMatch =
+      if (bandCols.length == 1) lit(true)
+      else col("__j") === least(bandCols.indices.map(j =>
+        when(col("__bva")(j) === col("__bvb")(j), lit(j))): _*)
     def oriented(df: DataFrame): DataFrame = df
       .filter(col("__ida") =!= col("__idb"))
       .filter(firstMatch)

@@ -701,9 +701,10 @@ object CorpusQueries {
       // instead of a distinct(): one shuffle end to end, same pair set
       Skew.boundedWideBandPairs(wide, "asset_id", Seq("b0", "b1", "b2", "b3"))
         .select(col("id_a"), col("id_b"),
-          expr("aggregate(zip_with(bands_a, bands_b, " +
-            "(u, v) -> CAST(bit_count(u ^ v) AS BIGINT)), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("hamming"))
+          expr("CAST(bit_count(bands_a[0] ^ bands_b[0]) " +
+            "+ bit_count(bands_a[1] ^ bands_b[1]) " +
+            "+ bit_count(bands_a[2] ^ bands_b[2]) " +
+            "+ bit_count(bands_a[3] ^ bands_b[3]) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
     }),
