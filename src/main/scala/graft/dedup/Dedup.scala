@@ -70,41 +70,55 @@ object Dedup {
     * components grouped into bands of `rowsPerBand`; docs sharing ALL
     * components of any band land in the same bucket → candidate pair.
     *
-    * Shuffle profile: one shuffle of (band-hash, id) pairs [tiny], a
-    * self-join per bucket with hot buckets triangle-decomposed into
-    * bounded blocks ([[graft.ops.Skew.boundedSelfPairs]]), one distinct
-    * on (a,b). Estimated-Jaccard filter ≥ tau.
+    * Shuffle profile: ONE shuffle — the bucket self-join over
+    * (band-hash, id, carried signature) rows, hot buckets triangle-
+    * decomposed into bounded blocks
+    * ([[graft.ops.Skew.boundedWideBandPairs]]); cross-band duplicates
+    * drop by first-matching-band (no distinct) and the estimated-Jaccard
+    * filter ≥ tau evaluates inline on the carried signatures.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 12,
                       rowsPerBand: Int = 3, tau: Double = 0.5,
                       hotThreshold: Int = 4096, blockSize: Int = 2048): DataFrame = {
-    // NOTE cache lifecycle: the signature frame feeds three plan branches
-    // (banding + both verification sides); the cache entry lives until the
-    // caller's session drops it (spark.catalog.clearCache() / unpersist) —
+    // NOTE cache lifecycle: the pair generator caches its internal
+    // banded+carry frame (census + both join sides read it); the entry
+    // lives until the caller's session drops it (clearCache/unpersist) —
     // long-running services should treat that as caller-managed state
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
         "trailing signature components would be silently excluded from banding")
-    val signed = withSignature(docs, idCol, textCol, shingleK, numHashes).cache()
+    val signed = withSignature(docs, idCol, textCol, shingleK, numHashes)
     lshCandidatePairs(signed, idCol, numHashes, rowsPerBand, tau,
       hotThreshold, blockSize)
   }
 
-  /** (id, band, band-hash) rows of a signature frame — the LSH banding
-    * projection shared by the self-join and between-frames candidate
-    * generators. */
-  private def bandBuckets(signed: DataFrame, idCol: String,
-                          numHashes: Int, rowsPerBand: Int): DataFrame = {
+  private def bandNames(numBands: Int): Seq[String] =
+    (0 until numBands).map(b => s"__band$b")
+
+  /** Wide banding projection of a signature frame: one md5 band-hash
+    * column per band (engine-portable, oracle-replayable) plus the raw
+    * signature components — the input shape of the payload-carrying pair
+    * generators ([[graft.ops.Skew.boundedWideBandPairs]]). */
+  private def bandWide(signed: DataFrame, idCol: String,
+                       numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val bandCols = (0 until numBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("h"))
-    }
-    signed
-      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.h"))
+    val names = bandNames(numBands)
+    signed.select(col(idCol) +: (
+      (0 until numBands).map { b =>
+        val parts = (0 until rowsPerBand)
+          .map(r => col(s"sig_${b * rowsPerBand + r}"))
+        md5(concat_ws("|", parts: _*)).as(names(b))
+      } ++ (0 until numHashes).map(i => col(s"sig_$i"))): _*)
   }
+
+  /** Estimated-Jaccard numerator over carried signature structs: the
+    * count of equal components between `carry_a` and `carry_b`. */
+  private def carriedSigEq(numHashes: Int): Column =
+    (0 until numHashes)
+      .map(i => when(col(s"carry_a.sig_$i") === col(s"carry_b.sig_$i"), 1)
+        .otherwise(0))
+      .reduce(_ + _)
 
   /** LSH candidate pairs BETWEEN two signature frames over disjoint id
     * spaces (id_a from `signedLeft`, id_b from `signedRight`), with the
@@ -118,21 +132,20 @@ object Dedup {
                       tau: Double): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
-    val lb = bandBuckets(signedLeft, idCol, numHashes, rowsPerBand)
-    val rb = bandBuckets(signedRight, idCol, numHashes, rowsPerBand)
     // hot-band guard on the standing-index side: corpus buckets over the
-    // threshold decompose into hash-blocks the batch side fans over
-    // (Skew.boundedPairsBetween) — identical candidate set
-    val cands = Skew.boundedPairsBetween(
-      lb, rb, Seq("band", "h"), idCol)
-    val sigEq = (0 until numHashes)
-      .map(i => when(col(s"la.sig_$i") === col(s"rb.sig_$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cands
-      .join(signedLeft.as("la"), col("id_a") === col(s"la.$idCol"))
-      .join(signedRight.as("rb"), col("id_b") === col(s"rb.$idCol"))
+    // threshold decompose into hash-blocks the batch side fans over;
+    // signatures ride through generation as the carry payload, so the
+    // estimated-Jaccard verify is an inline projection — no candidate
+    // re-joins, no cross-band distinct (first-matching-band dedup)
+    val pairs = Skew.boundedWideBandPairsBetween(
+      bandWide(signedLeft, idCol, numHashes, rowsPerBand),
+      bandWide(signedRight, idCol, numHashes, rowsPerBand),
+      idCol, bandNames(numHashes / rowsPerBand),
+      carryCols = (0 until numHashes).map(i => s"sig_$i"))
+    pairs
       .select(col("id_a"), col("id_b"),
-        (sigEq.cast("double") / numHashes).as("est_jaccard"))
+        (carriedSigEq(numHashes).cast("double") / numHashes)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= tau)
   }
 
@@ -143,21 +156,20 @@ object Dedup {
                                 numHashes: Int, rowsPerBand: Int,
                                 tau: Double, hotThreshold: Int = 4096,
                                 blockSize: Int = 2048): DataFrame = {
-    val buckets = bandBuckets(signed, idCol, numHashes, rowsPerBand)
     // hot-band guard: a boilerplate flood (one text shared by 100k docs)
-    // makes one (band, h) bucket quadratic in a single task under a plain
+    // makes one band bucket quadratic in a single task under a plain
     // self-join; the triangle decomposition bounds per-task work at
-    // ~blockSize² with identical pair output (Skew.boundedSelfPairs)
-    val cands = Skew.boundedSelfPairs(buckets, Seq("band", "h"), idCol,
-      hotThreshold, blockSize)
-    val sigEq = (0 until numHashes)
-      .map(i => when(col(s"la.sig_$i") === col(s"rb.sig_$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cands
-      .join(signed.as("la"), col("id_a") === col(s"la.$idCol"))
-      .join(signed.as("rb"), col("id_b") === col(s"rb.$idCol"))
+    // ~blockSize². Signatures ride through generation as the carry
+    // payload: the estimated-Jaccard verify is an inline projection — no
+    // candidate re-joins against the signature frame, no cross-band
+    // distinct (first-matching-band dedup), one shuffle end to end
+    Skew.boundedWideBandPairs(
+        bandWide(signed, idCol, numHashes, rowsPerBand), idCol,
+        bandNames(numHashes / rowsPerBand), hotThreshold, blockSize,
+        carryCols = (0 until numHashes).map(i => s"sig_$i"))
       .select(col("id_a"), col("id_b"),
-        (sigEq.cast("double") / numHashes).as("est_jaccard"))
+        (carriedSigEq(numHashes).cast("double") / numHashes)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= tau)
   }
 

@@ -177,18 +177,28 @@ object Skew {
     * unordered pair sharing ≥ 1 band: the same pair set as
     * explode → boundedSelfPairs → distinct, minus the distinct's shuffle.
     *
-    * `wide` must hold one row per non-null `idCol`; band values are cast to
-    * long (exact-match buckets). Output: `(id_a < id_b, bands_a, bands_b)`
-    * with `bands_a` the band vector of `id_a`. */
+    * `wide` must hold one row per non-null `idCol`; band columns must
+    * share one type (the exact-match bucket value — longs, md5 strings,
+    * …). `carryCols` are extra columns carried through generation and
+    * returned as `carry_a`/`carry_b` structs — the verify payload (e.g. a
+    * MinHash signature) when it is not derivable from the band values;
+    * they widen the banding shuffle by their encoded size × number of
+    * bands, which is the price of skipping the candidate re-joins.
+    * Output: `(id_a < id_b, bands_a, bands_b[, carry_a, carry_b])` with
+    * `bands_a`/`carry_a` belonging to `id_a`. */
   def boundedWideBandPairs(wide: DataFrame, idCol: String,
                            bandCols: Seq[String],
                            hotThreshold: Int = 4096,
-                           blockSize: Int = 2048): DataFrame = {
+                           blockSize: Int = 2048,
+                           carryCols: Seq[String] = Nil): DataFrame = {
     require(bandCols.nonEmpty, "at least one band column")
     require(hotThreshold > 0 && blockSize > 0)
+    val payload =
+      if (carryCols.isEmpty) lit(0).as("__pl")
+      else struct(carryCols.map(col): _*).as("__pl")
     val slim = wide.select(col(idCol).as("__id"),
-      array(bandCols.map(c => col(c).cast("long")): _*).as("__bv")).cache()
-    val bands = slim.select(col("__id"), col("__bv"),
+      array(bandCols.map(col): _*).as("__bv"), payload).cache()
+    val bands = slim.select(col("__id"), col("__bv"), col("__pl"),
       posexplode(col("__bv")).as(Seq("__j", "__band")))
     // a pair appearing in band j survives only if no band j' < j also
     // matches — symmetric in the two sides, so orientation-safe. Built
@@ -199,10 +209,17 @@ object Skew {
       if (bandCols.length == 1) lit(true)
       else col("__j") === least(bandCols.indices.map(j =>
         when(col("__bva")(j) === col("__bvb")(j), lit(j))): _*)
+    val carried: Seq[Column] =
+      if (carryCols.isEmpty) Nil
+      else Seq(
+        when(col("__ida") < col("__idb"), col("__pla")).otherwise(col("__plb"))
+          .as("carry_a"),
+        when(col("__ida") < col("__idb"), col("__plb")).otherwise(col("__pla"))
+          .as("carry_b"))
     def oriented(df: DataFrame): DataFrame = df
       .filter(col("__ida") =!= col("__idb"))
       .filter(firstMatch)
-      .select(
+      .select(Seq(
         when(col("__ida") < col("__idb"), col("__ida")).otherwise(col("__idb"))
           .as("id_a"),
         when(col("__ida") < col("__idb"), col("__idb")).otherwise(col("__ida"))
@@ -210,16 +227,17 @@ object Skew {
         when(col("__ida") < col("__idb"), col("__bva")).otherwise(col("__bvb"))
           .as("bands_a"),
         when(col("__ida") < col("__idb"), col("__bvb")).otherwise(col("__bva"))
-          .as("bands_b"))
+          .as("bands_b")) ++ carried: _*)
     val hot = bands.groupBy(col("__j"), col("__band"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > hotThreshold)
     if (hot.isEmpty) {
       // skew-free: plain bucket self-join, id order dedups orientation
       return oriented(bands
         .select(col("__j"), col("__band"), col("__id").as("__ida"),
-          col("__bv").as("__bva"))
+          col("__bv").as("__bva"), col("__pl").as("__pla"))
         .join(bands.select(col("__j"), col("__band"), col("__id").as("__idb"),
-          col("__bv").as("__bvb")), Seq("__j", "__band"))
+          col("__bv").as("__bvb"), col("__pl").as("__plb")),
+          Seq("__j", "__band"))
         .filter(col("__ida") < col("__idb")))
     }
     val blocked = bands.join(broadcast(hot), Seq("__j", "__band"), "left")
@@ -229,15 +247,69 @@ object Skew {
     val left = blocked
       .withColumn("__br", explode(sequence(col("__blk"), col("__nblk") - 1)))
       .select(col("__j"), col("__band"), col("__blk").as("__bl"), col("__br"),
-        col("__id").as("__ida"), col("__bv").as("__bva"))
+        col("__id").as("__ida"), col("__bv").as("__bva"),
+        col("__pl").as("__pla"))
     val right = blocked
       .withColumn("__bl", explode(sequence(lit(0), col("__blk"))))
       .select(col("__j"), col("__band"), col("__bl"), col("__blk").as("__br"),
-        col("__id").as("__idb"), col("__bv").as("__bvb"))
+        col("__id").as("__idb"), col("__bv").as("__bvb"),
+        col("__pl").as("__plb"))
     // cross-block pairs surface exactly once (lower block as the left
     // side); same-block pairs in both orientations — id order keeps one
     oriented(left.join(right, Seq("__j", "__band", "__bl", "__br"))
       .filter(col("__bl") =!= col("__br") || col("__ida") < col("__idb")))
+  }
+
+  /** [[boundedWideBandPairs]] BETWEEN two wide band frames over disjoint
+    * id spaces — the incremental-dedup shape (left = new batch, right =
+    * standing corpus index). Hot buckets on the RIGHT (corpus) side
+    * decompose into hash-blocks the batch rows fan over, both band
+    * vectors (+ optional carry payloads) ride through generation, and
+    * cross-band duplicates drop by the first-matching-band rule — no
+    * distinct, no candidate re-joins. Output: one row per (left id_a,
+    * right id_b) pair sharing ≥ 1 band. */
+  def boundedWideBandPairsBetween(left: DataFrame, right: DataFrame,
+                                  idCol: String, bandCols: Seq[String],
+                                  hotThreshold: Int = 4096,
+                                  blockSize: Int = 2048,
+                                  carryCols: Seq[String] = Nil): DataFrame = {
+    require(bandCols.nonEmpty, "at least one band column")
+    require(hotThreshold > 0 && blockSize > 0)
+    def payload =
+      if (carryCols.isEmpty) lit(0).as("__pl")
+      else struct(carryCols.map(col): _*).as("__pl")
+    def explodeBands(df: DataFrame) = df
+      .select(col(idCol).as("__id"), array(bandCols.map(col): _*).as("__bv"),
+        payload)
+      .select(col("__id"), col("__bv"), col("__pl"),
+        posexplode(col("__bv")).as(Seq("__j", "__band")))
+    val lb = explodeBands(left)
+    val rb = explodeBands(right).cache() // census + join both read it
+    val firstMatch =
+      if (bandCols.length == 1) lit(true)
+      else col("__j") === least(bandCols.indices.map(j =>
+        when(col("__bva")(j) === col("__bvb")(j), lit(j))): _*)
+    val outCols = Seq(col("__ida").as("id_a"), col("__idb").as("id_b"),
+      col("__bva").as("bands_a"), col("__bvb").as("bands_b")) ++
+      (if (carryCols.isEmpty) Nil
+       else Seq(col("__pla").as("carry_a"), col("__plb").as("carry_b")))
+    val hot = rb.groupBy(col("__j"), col("__band"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > hotThreshold)
+    val l = lb.select(col("__j"), col("__band"), col("__id").as("__ida"),
+      col("__bv").as("__bva"), col("__pl").as("__pla"))
+    val r = rb.select(col("__j"), col("__band"), col("__id").as("__idb"),
+      col("__bv").as("__bvb"), col("__pl").as("__plb"))
+    if (hot.isEmpty)
+      return l.join(r, Seq("__j", "__band")).filter(firstMatch)
+        .select(outCols: _*)
+    val nblk = coalesce(ceil(col("__n") / blockSize).cast("int"), lit(1))
+    val rblk = r.join(broadcast(hot), Seq("__j", "__band"), "left")
+      .withColumn("__b", pmod(xxhash64(col("__idb")), nblk).cast("int"))
+    val lblk = l.join(broadcast(hot), Seq("__j", "__band"), "left")
+      .withColumn("__b", explode(sequence(lit(0),
+        coalesce(ceil(col("__n") / blockSize).cast("int"), lit(1)) - 1)))
+    lblk.join(rblk, Seq("__j", "__band", "__b")).filter(firstMatch)
+      .select(outCols: _*)
   }
 
   /** Aggregate-then-join skew pattern: two-phase aggregation where the

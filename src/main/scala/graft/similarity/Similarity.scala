@@ -322,8 +322,8 @@ object Similarity {
     *
     * Candidate generation shuffles only (table, table-code, id) triples
     * and hot buckets are triangle-decomposed into bounded blocks
-    * ([[graft.ops.Skew.boundedSelfPairs]]) — the vectors themselves are
-    * only touched in the per-candidate verify join.
+    * ([[graft.ops.Skew.boundedWideBandPairs]]) — the vectors themselves
+    * are only touched in the per-candidate verify join.
     * Recall < 1 by construction (a near-dup pair disagreeing on ≥1 bit of
     * every table is missed); per-table match probability for angle θ is
     * (1 − θ/π)^bitsPerTable and any-of-L tables compounds it. Fully
@@ -350,15 +350,18 @@ object Similarity {
     // minhashLshPairs' signature cache
     val v = withNorm(corpus, idCol, vecCol, parts).cache()
     val coded = v.withColumn("__code", bucketCode(col(vecCol), anchors))
-    val tableCols = (0 until numTables).map(tb =>
-      struct(lit(tb).as("tb"),
-        substring(col("__code"), tb * bitsPerTable + 1, bitsPerTable).as("tc")))
-    val buckets = coded.select(col(idCol), explode(array(tableCols: _*)).as("k"))
-      .select(col(idCol), col("k.tb"), col("k.tc"))
+    val tableNames = (0 until numTables).map(tb => s"__t$tb")
+    val wide = coded.select(col(idCol) +: (0 until numTables).map(tb =>
+      substring(col("__code"), tb * bitsPerTable + 1, bitsPerTable)
+        .as(tableNames(tb))): _*)
     // hot-bucket guard: near-identical embedding floods put many vectors
     // into one (table, code) bucket; the triangle decomposition bounds
-    // per-task work with identical candidate output (Skew.boundedSelfPairs)
-    val cands = Skew.boundedSelfPairs(buckets, Seq("tb", "tc"), idCol)
+    // per-task work with identical candidate output. The vectors are NOT
+    // carried through banding (they outweigh the table codes many-fold —
+    // re-joining the unique candidates is the cheaper shuffle here), but
+    // first-matching-band dedup still replaces the cross-table distinct
+    val cands = Skew.boundedWideBandPairs(wide, idCol, tableNames)
+      .select(col("id_a"), col("id_b"))
     cands
       .join(v.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
         col("__n").as("__na")), "id_a")
