@@ -1114,7 +1114,41 @@ object CorpusQueries {
     // lazy mapPartitions projection, text never shuffles
     "x96_blocklist_scan" -> ((s, d) =>
       graft.text.AhoCorasick.scan(
-        t(s, d, "documents"), "doc_id", "text", blocklistPatterns)))
+        t(s, d, "documents"), "doc_id", "text", blocklistPatterns)),
+
+    // ───── content-defined chunking dedup: chunk boundaries fall where a
+    // rolling hash of the trailing 8 chars ≡ 0 (mod 32) — so an insertion
+    // near the head SHIFTS boundaries only until the next hash-anchored
+    // cut, unlike fixed-size chunks (x38) where one insertion re-frames
+    // every downstream chunk. The FastCDC/rsync boundary idea as a pure
+    // engine-side expression: the per-doc boundary scan is a projection
+    // (O(len·8) higher-order fold, no UDF), only (doc_id, chunk_hash)
+    // rows shuffle for the corpus-wide frequency join, text never does.
+    // Engine-portable arithmetic (base-31 polynomial mod 2^31-1 over
+    // char codes) so the oracle replays boundaries bit-for-bit
+    "x97_cdc_chunks" -> ((s, d) => {
+      val ch = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .withColumn("bounds", expr(
+          "IF(length(text) < 9, array(), " +
+            "filter(sequence(8, length(text) - 1), i -> " +
+            "aggregate(sequence(i - 7, i), CAST(0 AS BIGINT), " +
+            "(acc, j) -> (acc * 31 + ascii(substring(text, j, 1))) " +
+            "% 2147483647) % 32 = 0))"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(concat(array(1), transform(bounds, b -> b + 1)), " +
+            "concat(bounds, array(length(text))), " +
+            "(s, e) -> md5(substring(text, s, e - s + 1)))")).as("h"))
+      val fr = ch.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      ch.join(fr, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          expr("(n_dup_chunks * CAST(1000000 AS BIGINT)) div n_chunks")
+            .as("dup_ppm"))
+    }))
 
   /** The bounded blocklist lexicon behind x96 — phrases over the corpus
     * vocabulary, including self-overlapping ("batch batch") and
@@ -1651,5 +1685,32 @@ object CorpusQueries {
                i -> substr(d.text, i, len(p.pattern)) = p.pattern))
                AS BIGINT) AS n_matches
            FROM d CROSS JOIN p)
-         SELECT doc_id, pattern, n_matches FROM m WHERE n_matches > 0""")
+         SELECT doc_id, pattern, n_matches FROM m WHERE n_matches > 0""",
+    // x97: the rolling-hash boundary rule replays exactly — base-31
+    // polynomial over the trailing 8 char codes mod 2^31-1, cut where
+    // ≡ 0 (mod 32); range(8, len) is empty below 9 chars, matching the
+    // Spark guard
+    "x97_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text AS t FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         b AS (SELECT doc_id, t, list_filter(range(8, len(t)), i ->
+             list_reduce([CAST(0 AS BIGINT)] || list_transform(
+                 range(i - 7, i + 1),
+                 j -> CAST(unicode(substr(t, j, 1)) AS BIGINT)),
+               (a, x) -> (a * 31 + x) % 2147483647) % 32 = 0) AS bounds
+           FROM d),
+         se AS (SELECT doc_id, t,
+             list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
+             list_append(bounds, len(t)) AS ends
+           FROM b),
+         ch AS (SELECT doc_id,
+             md5(substr(t, starts[ci], ends[ci] - starts[ci] + 1)) AS h
+           FROM se, unnest(range(1, len(starts) + 1)) AS u(ci)),
+         fr AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+         SELECT ch.doc_id, COUNT(*) AS n_chunks,
+           CAST(COUNT(CASE WHEN fr.nd > 1 THEN 1 END) AS BIGINT)
+             AS n_dup_chunks,
+           (COUNT(CASE WHEN fr.nd > 1 THEN 1 END) * 1000000) // COUNT(*)
+             AS dup_ppm
+         FROM ch JOIN fr USING (h) GROUP BY ch.doc_id""")
 }

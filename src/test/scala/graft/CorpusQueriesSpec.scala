@@ -15,6 +15,46 @@ class CorpusQueriesSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     CorpusQueries.defs(name)(spark, sf)
 
+  test("x97: content-defined boundaries resynchronize after an insertion") {
+    import spark.implicits._
+    // two docs: B = A with a short prefix inserted. Fixed-size chunking
+    // would re-frame everything after the insertion; CDC boundaries are
+    // anchored on local content, so the tail chunks re-align and dedup.
+    val a = (1 to 40).map(i => s"tok$i word$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, s"INSERTED PREFIX $a")).toDF("doc_id", "text")
+    // replicate the operator on a custom frame via the registered query's
+    // expression by substituting the documents table — run the same body
+    // through a temp view is overkill; instead assert on the catalog query
+    // at sf0.001 plus a direct re-derivation here
+    def chunks(text: String): Seq[String] = {
+      val bounds = (8 until text.length).filter { i =>
+        // 1-based position i, trailing 8 chars: positions i-7..i
+        val h = (i - 8 until i).foldLeft(0L) { (acc, j0) =>
+          (acc * 31 + text.charAt(j0).toInt) % 2147483647L
+        }
+        h % 32 == 0
+      }
+      val starts = 1 +: bounds.map(_ + 1)
+      val ends = bounds :+ text.length
+      starts.zip(ends).map { case (s, e) => text.substring(s - 1, e) }
+    }
+    val ca = chunks(a).toSet
+    val cb = chunks(s"INSERTED PREFIX $a").toSet
+    // most of A's chunks survive verbatim in B (boundaries resync)
+    val shared = ca.intersect(cb).size
+    assert(shared >= ca.size / 2, s"only $shared of ${ca.size} chunks resync")
+    // and the engine agrees with the scala re-derivation on dup counts
+    val got = CorpusQueries.defs("x97_cdc_chunks")(spark, sf)
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "n_chunks", "n_dup_chunks", "dup_ppm"))
+    val row = got.filter(col("doc_id") === 0L).collect().head
+    assert(row.getLong(1) >= 1L) // at least one chunk per doc
+    // cross-check one document's chunk count against the re-derivation
+    val doc0 = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") === 0L).select("text").as[String].head()
+    assert(row.getLong(1) == chunks(doc0).length.toLong)
+  }
+
   test("div truncates toward zero on negatives, matching DuckDB // (x72/x74 day numbers)") {
     import spark.implicits._
     // DuckDB 1.x verified: -7 // 2 = -3 (truncation, not floor). The same
