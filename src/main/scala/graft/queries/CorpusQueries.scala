@@ -1148,6 +1148,54 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
           expr("(n_dup_chunks * CAST(1000000 AS BIGINT)) div n_chunks")
             .as("dup_ppm"))
+    }),
+
+    // ───── robust outlier flags: median/MAD (median absolute deviation)
+    // per source — the outlier rule that survives the heavy-tailed length
+    // distributions where mean/stddev break (one 10 MB document drags a
+    // z-score threshold; it barely moves a median). Flag = deviation >
+    // 3·MAD, raw (the 1.4826 normal-consistency constant is omitted to
+    // keep every surface an exact binary fraction both engines reproduce
+    // bit-for-bit). Exact interpolated percentiles buffer per GROUP —
+    // bounded by per-source row counts, same regime note as x16; swap in
+    // the GK sketch (x28) when groups stop fitting
+    "x98_mad_outliers" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val med = docs.groupBy(col("source"))
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val dev = docs.join(med, Seq("source"))
+        .withColumn("adev", abs(col("n_chars") - col("med")))
+      val mad = dev.groupBy(col("source"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(mad, Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
+          col("mad"), (col("adev") > lit(3.0) * col("mad")).as("is_outlier"))
+    }),
+
+    // ───── event-type transition matrix: per-user consecutive event
+    // pairs (lag window keyed on user — one shuffle by user_id, ordered
+    // ts with event_id tiebreak) rolled up to (from, to) counts and an
+    // integer-exact mean gap in millis (sum div count). The Markov-chain
+    // view of behavioral flows — the step funnel analysis (x73) and
+    // retention (x74) don't cover
+    "x99_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), unix_millis(col("ts")).as("ms"))
+      ev.select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"),
+          (lead(col("ms"), 1).over(w) - col("ms")).as("gap_ms"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(gap_ms) div count(1)").as("mean_gap_ms"))
     }))
 
   /** The bounded blocklist lexicon behind x96 — phrases over the corpus
@@ -1712,5 +1760,37 @@ object CorpusQueries {
              AS n_dup_chunks,
            (COUNT(CASE WHEN fr.nd > 1 THEN 1 END) * 1000000) // COUNT(*)
              AS dup_ppm
-         FROM ch JOIN fr USING (h) GROUP BY ch.doc_id""")
+         FROM ch JOIN fr USING (h) GROUP BY ch.doc_id""",
+    // x98: quantile_cont ≡ Spark percentile (interpolated, parity proven
+    // by x16); every surface is an exact binary fraction (ints, halves,
+    // quarters ×3) so the boolean threshold compare is bit-stable
+    "x98_mad_outliers" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents
+           WHERE doc_id IS NOT NULL AND source IS NOT NULL
+             AND n_chars IS NOT NULL),
+         med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+           FROM d GROUP BY source),
+         dev AS (SELECT d.doc_id, d.source, d.n_chars, med.med,
+             abs(d.n_chars - med.med) AS adev
+           FROM d JOIN med USING (source)),
+         mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad
+           FROM dev GROUP BY source)
+         SELECT dev.doc_id, dev.source, dev.n_chars, dev.med, mad.mad,
+           dev.adev > 3.0 * mad.mad AS is_outlier
+         FROM dev JOIN mad USING (source)""",
+    // x99: LEAD over (user, ts, event_id) — microsecond ts parity and the
+    // epoch_ms/unix_millis pairing are the x72-x74 conventions; // and
+    // div both truncate toward zero (locked by the div-semantics spec)
+    "x99_event_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts,
+           CAST(epoch_ms(ts) AS BIGINT) AS ms
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           AND event_type IS NOT NULL),
+         tr AS (SELECT event_type AS from_type,
+             LEAD(event_type) OVER w AS to_type,
+             LEAD(ms) OVER w - ms AS gap_ms
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT from_type, to_type, COUNT(*) AS n,
+           CAST(SUM(gap_ms) AS BIGINT) // COUNT(*) AS mean_gap_ms
+         FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2""")
 }
