@@ -1196,6 +1196,103 @@ object CorpusQueries {
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"),
           expr("sum(gap_ms) div count(1)").as("mean_gap_ms"))
+    }),
+
+    // ───── trailing-window rate anomaly: per-(event_type, day) counts
+    // scored against the strictly-trailing 7-day baseline (RANGE frame
+    // -7..-1 on the integer day number — excludes today so a spike can't
+    // inflate its own baseline; missing days are simply absent from the
+    // sparse frame). The 3σ rule is a cross-multiplied integer
+    // inequality:  (n − s/m)² > 9·(m·q − s²)/m²  ⇔  (m·n − s)² >
+    // 9·(m·q − s²)  with m = trailing days present, s = Σcount,
+    // q = Σcount² — no doubles, no sqrt, bit-stable in both engines.
+    // Exact in BIGINT while per-day counts stay under ~1e8; past that
+    // the quadratic terms move to DECIMAL(38,0). Needs ≥ 3 baseline days
+    "x100_rate_anomaly" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-7, -1)
+      daily
+        .withColumn("m", count(col("n")).over(w))
+        .withColumn("s", sum(col("n")).over(w))
+        .withColumn("q", sum(col("n") * col("n")).over(w))
+        .filter(col("m") >= 3)
+        .select(col("event_type"), col("day"), col("n"), col("m"),
+          col("s"), col("q"),
+          expr("(m*n - s)*(m*n - s) > 9*(m*q - s*s)").as("is_anomaly"))
+    }),
+
+    // ───── distribution placement: ntile deciles + percent_rank +
+    // cume_dist per source over a total order (n_chars with doc_id
+    // tiebreak — ntile's bucket boundaries depend on the full ordering,
+    // so the tiebreak is what makes assignments deterministic; it also
+    // removes rank ties, so percent_rank/cume_dist reduce to single
+    // divisions of exact integers, and IEEE-exact rounding makes those
+    // doubles bit-identical across engines)
+    "x101_length_deciles" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          ntile(10).over(w).cast("long").as("decile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    }),
+
+    // ───── grouping-sets report: (source, lang), (source), (lang), ()
+    // in one pass — the Spark 4 Dataset `groupingSets` face (a single
+    // Expand + one shuffle with partial aggregation), for the asymmetric
+    // set lists rollup (x18) and cube (x59) can't express. The
+    // g_source/g_lang flags disambiguate "NULL because aggregated away"
+    // from a genuinely NULL group value
+    "x102_grouping_sets" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull)
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+            Seq(col("lang")), Seq.empty[Column]),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          grouping(col("source")).cast("int").as("g_source"),
+          grouping(col("lang")).cast("int").as("g_lang"))
+    }),
+
+    // ───── per-document TF-IDF keywords: tf over the shared
+    // tokenization, document frequency over the corpus, rational idf
+    // (N+1)/(df+1) folded into an integer-exact score
+    //   score_ppm = tf · (N+1) · 1e6 div (df+1)
+    // — no log, no doubles; for a fixed tf the rational idf induces the
+    // same df-ordering as log-idf (both strictly decreasing in df), and
+    // the scaled integer keeps both engines bit-identical. Exact in
+    // BIGINT while tf·N·1e6 < ~9e18. Top-5 per doc by (score desc, tok)
+    // through a row_number ≤ k filter → Spark's WindowGroupLimit keeps
+    // only k + ties per doc ahead of the sort
+    "x103_tfidf_keywords" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
+      val tf = TextOps.tokenRows(docs, "doc_id", "text")
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_ppm").desc, col("tok"))
+      tf.join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score_ppm",
+          expr("(tf * (n_docs + 1) * CAST(1000000 AS BIGINT)) div (df + 1)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          col("score_ppm"), col("rk"))
     }))
 
   /** The bounded blocklist lexicon behind x96 — phrases over the corpus
@@ -1792,5 +1889,65 @@ object CorpusQueries {
            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          SELECT from_type, to_type, COUNT(*) AS n,
            CAST(SUM(gap_ms) AS BIGINT) // COUNT(*) AS mean_gap_ms
-         FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2""")
+         FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2""",
+    // x100: RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING on the integer day
+    // — same day-number and epoch_ms conventions as x72; the anomaly
+    // test is pure BIGINT cross-multiplication on both sides
+    "x100_rate_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+           CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day, COUNT(*) AS n
+         FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         GROUP BY 1, 2),
+         win AS (SELECT event_type, day, n,
+             COUNT(n) OVER w AS m,
+             CAST(SUM(n) OVER w AS BIGINT) AS s,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS q
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, n, m, s, q,
+           (m*n - s)*(m*n - s) > 9*(m*q - s*s) AS is_anomaly
+         FROM win WHERE m >= 3""",
+    // x101: identical total order (n_chars, doc_id) in both engines;
+    // NTILE remainder rule (first buckets get the extra row) is the SQL
+    // standard both implement; percent_rank/cume_dist are single exact
+    // integer divisions → bit-identical doubles
+    "x101_length_deciles" ->
+      """SELECT doc_id, source, n_chars,
+           CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+         FROM documents
+         WHERE doc_id IS NOT NULL AND source IS NOT NULL
+           AND n_chars IS NOT NULL
+         WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""",
+    // x102: GROUPING() is 0/1 in both engines; SUM casts through BIGINT
+    // (DuckDB integer SUM returns HUGEINT)
+    "x102_grouping_sets" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(GROUPING(source) AS INT) AS g_source,
+           CAST(GROUPING(lang) AS INT) AS g_lang
+         FROM documents WHERE doc_id IS NOT NULL
+         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())""",
+    // x103: same shared tokenization as x65/x17; integer-exact rational
+    // idf; ROW_NUMBER tiebreak on tok makes top-5 deterministic
+    "x103_tfidf_keywords" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+           WHERE doc_id IS NOT NULL),
+         toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+           FROM docs),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           WHERE tok <> '' GROUP BY 1, 2),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM docs),
+         scored AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+             (tf.tf * (n.n_docs + 1) * 1000000) // (dfreq.df + 1)
+               AS score_ppm
+           FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+         ranked AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY doc_id ORDER BY score_ppm DESC, tok) AS rk
+           FROM scored)
+         SELECT doc_id, tok, tf, df, score_ppm, rk
+         FROM ranked WHERE rk <= 5""")
 }
