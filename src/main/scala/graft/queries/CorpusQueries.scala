@@ -1293,6 +1293,76 @@ object CorpusQueries {
         .filter(col("rk") <= 5)
         .select(col("doc_id"), col("tok"), col("tf"), col("df"),
           col("score_ppm"), col("rk"))
+    }),
+
+    // ───── last-touch attribution: each purchase is credited to the
+    // most recent preceding click by the same user within a 7-day
+    // lookback. One window pass (shuffle on user_id, total order
+    // ts + event_id): the click id/ms carry forward as a conditional
+    // `last ignoreNulls` running value — the id and ms carries are two
+    // projections of the SAME null pattern, so they stay in lockstep
+    // without a struct surface. Purchases outside the lookback (or with
+    // no prior click) attribute to NULL
+    "x104_click_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lookbackMs = 7L * 86400000L
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), unix_millis(col("ts")).as("ms"))
+      val isClick = col("event_type") === "click"
+      ev
+        .withColumn("click_id",
+          last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ms",
+          last(when(isClick, col("ms")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("ms") - col("click_ms") <= lookbackMs, col("click_id"))
+            .as("attributed_click"),
+          when(col("ms") - col("click_ms") <= lookbackMs,
+            col("ms") - col("click_ms")).as("gap_ms"))
+    }),
+
+    // ───── per-source distribution drift: Kolmogorov–Smirnov distance
+    // between each source's n_chars distribution and the whole corpus,
+    // as a scaled-integer sup  max |F_src − F_all| =
+    // max |cum_s·N − cum_g·n_s| · 1e6 div (n_s·N)  evaluated on the
+    // global jump-point grid (sources × distinct values — both sides
+    // aggregates, so the cross join is small by construction; the sup of
+    // a difference of step functions is attained at a jump of either).
+    // Integer-exact while cum·N < ~9e18 — past that the cross-multiply
+    // moves to DECIMAL(38,0). The drift monitor for "did this source's
+    // length profile shift this snapshot"
+    "x105_ks_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), col("n_chars"))
+      val perSrcVal = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val values = docs.select(col("n_chars")).distinct()
+      val sources = perSrcVal.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_src"))
+      val globalVal = perSrcVal.groupBy(col("n_chars"))
+        .agg(sum(col("c")).as("cg"))
+      val nTotal = docs.agg(count(lit(1)).as("n_all"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      broadcast(sources).crossJoin(values)
+        .join(perSrcVal, Seq("source", "n_chars"), "left")
+        .join(globalVal, Seq("n_chars"))
+        .select(col("source"), col("n_chars"), col("n_src"),
+          coalesce(col("c"), lit(0L)).as("c"), col("cg"))
+        .withColumn("cum_s", sum(col("c")).over(w))
+        .withColumn("cum_g", sum(col("cg")).over(w))
+        .crossJoin(broadcast(nTotal))
+        .groupBy(col("source"), col("n_src"), col("n_all"))
+        .agg(max(expr(
+          "abs(cum_s * n_all - cum_g * n_src) * CAST(1000000 AS BIGINT)" +
+            " div (n_src * n_all)")).as("ks_ppm"))
     }))
 
   /** The bounded blocklist lexicon behind x96 — phrases over the corpus
@@ -1949,5 +2019,54 @@ object CorpusQueries {
              (PARTITION BY doc_id ORDER BY score_ppm DESC, tok) AS rk
            FROM scored)
          SELECT doc_id, tok, tf, df, score_ppm, rk
-         FROM ranked WHERE rk <= 5""")
+         FROM ranked WHERE rk <= 5""",
+    // x104: LAST_VALUE … IGNORE NULLS over the (ts, event_id) total
+    // order ≡ Spark's last(…, ignoreNulls) carry; 604800000 = 7 days ms
+    "x104_click_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts,
+           CAST(epoch_ms(ts) AS BIGINT) AS ms
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           AND event_type IS NOT NULL),
+         att AS (SELECT user_id, event_id, event_type, ms,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER w AS click_id,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ms END
+               IGNORE NULLS) OVER w AS click_ms
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id AS purchase_id, user_id,
+           CASE WHEN ms - click_ms <= 604800000 THEN click_id END
+             AS attributed_click,
+           CASE WHEN ms - click_ms <= 604800000 THEN ms - click_ms END
+             AS gap_ms
+         FROM att WHERE event_type = 'purchase'""",
+    // x105: the KS sup on the global jump-point grid; identical scaled
+    // cross-multiply, // ≡ div on the non-negative numerator
+    "x105_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+         sv AS (SELECT source, n_chars, COUNT(*) AS c FROM d GROUP BY 1, 2),
+         vals AS (SELECT DISTINCT n_chars FROM d),
+         srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src
+           FROM sv GROUP BY 1),
+         gl AS (SELECT n_chars, CAST(SUM(c) AS BIGINT) AS cg
+           FROM sv GROUP BY 1),
+         grid AS (SELECT srcs.source, vals.n_chars, srcs.n_src,
+             COALESCE(sv.c, 0) AS c, gl.cg
+           FROM srcs CROSS JOIN vals
+           LEFT JOIN sv ON sv.source = srcs.source
+             AND sv.n_chars = vals.n_chars
+           JOIN gl ON gl.n_chars = vals.n_chars),
+         cum AS (SELECT source, n_src, n_chars,
+             CAST(SUM(c) OVER w AS BIGINT) AS cum_s,
+             CAST(SUM(cg) OVER w AS BIGINT) AS cum_g
+           FROM grid
+           WINDOW w AS (PARTITION BY source ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         n AS (SELECT COUNT(*) AS n_all FROM d)
+         SELECT source, n_src, n_all,
+           CAST(MAX(abs(cum_s * n_all - cum_g * n_src) * 1000000
+             // (n_src * n_all)) AS BIGINT) AS ks_ppm
+         FROM cum CROSS JOIN n GROUP BY 1, 2, 3""")
 }

@@ -88,12 +88,15 @@ class PlanAssertSpec extends SparkSpec {
     // x89: the mean-flow scalar, aggregated from the ≤ C(|nation|,2)-row
     // cached flow table. x90: the ring collect_list — 192 vnode rows into
     // the one broadcast ring row, bounded by topology not corpus.
+    // x103/x105: the corpus-count scalar (one pre-aggregated row per
+    // partition, broadcast back), x79's class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
         "x63_weighted_sample", "x70_vocab_growth", "x77_vocab_encode",
         "x79_negative_pairs", "x80_interleave_order", "x82_zorder_layout",
-        "x89_trade_triangles", "x90_ring_reshard")
+        "x89_trade_triangles", "x90_ring_reshard", "x103_tfidf_keywords",
+        "x105_ks_drift")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
@@ -106,6 +109,19 @@ class PlanAssertSpec extends SparkSpec {
         ).flatten
     }
     assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("x103 tfidf: top-5 filter prunes via WindowGroupLimit before the sort") {
+    val p = plan("x103_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter should push down as a group limit:\n$p")
+  }
+
+  test("x102 grouping sets: one Expand, no repeated scans of the input") {
+    val p = plan("x102_grouping_sets")
+    assert(p.contains("Expand"), s"expected Expand-based grouping sets:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"grouping sets should scan the table once:\n$p")
   }
 
   test("q01 agg pushes the scan down to the projected columns only") {
