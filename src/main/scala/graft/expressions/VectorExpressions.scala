@@ -82,11 +82,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
   *   spark.sql.extensions=graft.expressions.GraftExtensions
   * (or `.withExtensions(new GraftExtensions)` on the builder). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),
       (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+  }
 }
 
 /** Runtime registration of graft's native expressions into a session's
@@ -102,6 +107,10 @@ object GraftFunctions {
         FunctionIdentifier("graft_vec_dot"),
         new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),
         (children: Seq[Expression]) => FloatVectorDot(children(0), children(1)))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_jaro_winkler"),
+        new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+        (children: Seq[Expression]) => JaroWinkler(children(0), children(1)))
       registered += key
     }
   }

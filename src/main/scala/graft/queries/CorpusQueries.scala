@@ -1363,6 +1363,33 @@ object CorpusQueries {
         .agg(max(expr(
           "abs(cum_s * n_all - cum_g * n_src) * CAST(1000000 AS BIGINT)" +
             " div (n_src * n_all)")).as("ks_ppm"))
+    }),
+
+    // ───── Jaro–Winkler record linkage: near-identical part names
+    // within p_brand blocks, scored by the native codegen
+    // [[graft.expressions.JaroWinkler]] expression — a generated-java
+    // kernel call inside the whole-stage span (no UDF, no boxing),
+    // bit-compatible with the oracle engine's jaro_winkler_similarity
+    // (integer half-transpositions, prefix ≤ 4, boost above 0.7 — the
+    // pinned semantics live on the expression). Blocking bounds the
+    // candidate pairs the way x87 bounds its edit-distance pass; the
+    // double threshold is safe because the scores are bit-identical
+    "x106_jw_linkage" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .filter(col("p_partkey").isNotNull && col("p_name").isNotNull &&
+          col("p_brand").isNotNull)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("id_a"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("id_b"),
+        col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jw",
+          call_function("graft_jaro_winkler", col("name_a"), col("name_b")))
+        .filter(col("jw") >= 0.9)
+        .select(col("p_brand"), col("id_a"), col("id_b"),
+          col("name_a"), col("name_b"), col("jw"))
     }))
 
   /** The bounded blocklist lexicon behind x96 — phrases over the corpus
@@ -2068,5 +2095,19 @@ object CorpusQueries {
          SELECT source, n_src, n_all,
            CAST(MAX(abs(cum_s * n_all - cum_g * n_src) * 1000000
              // (n_src * n_all)) AS BIGINT) AS ks_ppm
-         FROM cum CROSS JOIN n GROUP BY 1, 2, 3""")
+         FROM cum CROSS JOIN n GROUP BY 1, 2, 3""",
+    // x106: jaro_winkler_similarity is the semantics the graft
+    // expression is pinned to — same blocks, same tiebreak, and the
+    // double scores must agree bit-for-bit for the 0.9 threshold to
+    // select identical rows
+    "x106_jw_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part
+           WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+             AND p_brand IS NOT NULL)
+         SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+         FROM p a JOIN p b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""")
 }
