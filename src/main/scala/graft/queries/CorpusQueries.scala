@@ -1390,6 +1390,63 @@ object CorpusQueries {
         .filter(col("jw") >= 0.9)
         .select(col("p_brand"), col("id_a"), col("id_b"),
           col("name_a"), col("name_b"), col("jw"))
+    }),
+
+    // ───── rolling 7-day actives (WAU-by-day): each distinct
+    // (user, active-day) is fanned out to the 7 report days it covers
+    // (sequence explode = calendar densification — the exact form of a
+    // windowed COUNT DISTINCT, which window frames can't express), then
+    // distinct-counted per report day. Shuffles (day, user) pairs only;
+    // the ×7 fan-out is the price of exactness and is constant-factor.
+    // stickiness_ppm = DAU/WAU — integer-exact scaled division. Report
+    // days clipped to the observed range so trailing fan-out doesn't
+    // invent days with partial baselines
+    "x107_rolling_actives" -> ((s, d) => {
+      val days = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .distinct()
+      val bounds = days.agg(max(col("day")).as("max_day"))
+      val wau = days
+        .select(col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("rday"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("rday") <= col("max_day"))
+        .groupBy(col("rday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val dau = days.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      wau.join(dau, wau("rday") === dau("day"))
+        .select(col("rday").as("day"), col("dau"), col("wau"),
+          expr("(dau * CAST(1000000 AS BIGINT)) div wau")
+            .as("stickiness_ppm"))
+    }),
+
+    // ───── activity streaks (gaps-and-islands): the longest run of
+    // consecutive active days per user. The island key is the classic
+    // day − row_number() difference — constant within a consecutive run,
+    // strictly decreasing across a gap — so one user-keyed window plus
+    // two aggregations find every streak with a single shuffle on
+    // user_id. Returns per-user longest streak, streak count, and the
+    // start day of the (earliest) longest streak
+    "x108_activity_streaks" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val days = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .distinct()
+      val streaks = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      streaks
+        .withColumn("longest",
+          max(col("len")).over(Window.partitionBy(col("user_id"))))
+        .groupBy(col("user_id"), col("longest"))
+        .agg(count(lit(1)).as("n_streaks"),
+          min(when(col("len") === col("longest"), col("start_day")))
+            .as("longest_start"))
     }))
 
   /** The bounded blocklist lexicon behind x96 — phrases over the corpus
@@ -2109,5 +2166,39 @@ object CorpusQueries {
            jaro_winkler_similarity(a.p_name, b.p_name) AS jw
          FROM p a JOIN p b
            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""")
+         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""",
+    // x107: generate_series ≡ Spark sequence (inclusive ends); the same
+    // day-number convention as x72/x99–x100
+    "x107_rolling_actives" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+           CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         b AS (SELECT MAX(day) AS max_day FROM days),
+         fan AS (SELECT user_id, unnest(generate_series(day, day + 6))
+             AS rday FROM days),
+         wau AS (SELECT rday, COUNT(DISTINCT user_id) AS wau
+           FROM fan CROSS JOIN b WHERE rday <= b.max_day GROUP BY rday),
+         dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+           FROM days GROUP BY day)
+         SELECT dau.day, dau.dau, wau.wau,
+           (dau.dau * 1000000) // wau.wau AS stickiness_ppm
+         FROM wau JOIN dau ON wau.rday = dau.day""",
+    // x108: identical island key day − ROW_NUMBER(); the longest-streak
+    // start tiebreak is MIN over equal-length streaks in both engines
+    "x108_activity_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+           CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         isl AS (SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+           FROM days),
+         streaks AS (SELECT user_id, grp, COUNT(*) AS len,
+             MIN(day) AS start_day
+           FROM isl GROUP BY 1, 2),
+         mx AS (SELECT *, CAST(MAX(len) OVER (PARTITION BY user_id)
+             AS BIGINT) AS longest FROM streaks)
+         SELECT user_id, longest, COUNT(*) AS n_streaks,
+           MIN(CASE WHEN len = longest THEN start_day END) AS longest_start
+         FROM mx GROUP BY 1, 2""")
 }

@@ -9,6 +9,7 @@ Writes QUERIES.md in the repo root.
 import glob
 import json
 import os
+import re
 import sys
 
 outdir, bench_path, duck_path = sys.argv[1], sys.argv[2], sys.argv[3]
@@ -27,7 +28,11 @@ for name in sorted(os.listdir(outdir)):
         rows[name] = con.execute(
             f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
 
-names = sorted(rows)
+def qnum(n):
+    m = re.match(r"[qx](\d+)_", n)
+    return int(m.group(1)) if m else 0
+
+names = sorted(rows, key=lambda n: (n[0], qnum(n)))
 
 # Exact-baseline queries and their production-scale twins. These ship as
 # oracle-checked CATALOG entries because they are the recall/correctness
@@ -48,11 +53,11 @@ BASELINE_NOTES = {
 groups = [
     ("Reference operators (SURVEY §2, q01–q38)", lambda n: n.startswith("q")),
     ("Training-data extensions (x01–x35)",
-     lambda n: n.startswith("x") and n[1:3] <= "35"),
+     lambda n: n.startswith("x") and qnum(n) <= 35),
     ("Curation operators (x36–x61)",
-     lambda n: n.startswith("x") and "36" <= n[1:3] <= "61"),
+     lambda n: n.startswith("x") and 36 <= qnum(n) <= 61),
     ("Corpus layout / analytics (x62+)",
-     lambda n: n.startswith("x") and n[1:3] >= "62"),
+     lambda n: n.startswith("x") and qnum(n) >= 62),
 ]
 
 out = ["# QUERIES — the oracle-checked catalog",
