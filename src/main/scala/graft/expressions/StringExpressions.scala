@@ -72,6 +72,76 @@ object JaroWinklerAlgo {
   }
 }
 
+/** Content-defined-chunking boundary kernel. Replays the exact
+  * boundary rule x97's SQL form pins (and the DuckDB oracle replays):
+  * base-31 polynomial over the trailing `window` CODE POINTS mod
+  * 2^31−1, cut at 1-based position i ∈ [window, len−1] where the hash
+  * ≡ 0 (mod `divisor`); strings shorter than window+1 chars have no
+  * boundaries. One linear pass per row instead of the per-position
+  * filter×aggregate×substring higher-order fold — the measured
+  * difference between 29 s and sub-second on the sf0.1 corpus.
+  */
+object CdcAlgo {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  final val Window = 8
+  final val Mod = 2147483647L
+  final val Divisor = 32L
+
+  def bounds(text: UTF8String): ArrayData = {
+    val cp = text.toString.codePoints().toArray
+    val n = cp.length
+    if (n < Window + 1) return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+    val out = new java.util.ArrayList[Integer]()
+    // i = 1-based index of the window's last char, window chars are
+    // 0-based [i-Window, i-1]; i stops at n-1 (the last char can't cut)
+    var i = Window
+    while (i <= n - 1) {
+      var acc = 0L
+      var j = i - Window
+      while (j < i) {
+        acc = (acc * 31L + cp(j)) % Mod
+        j += 1
+      }
+      if (acc % Divisor == 0L) out.add(i)
+      i += 1
+    }
+    val arr = new Array[Int](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+}
+
+/** `graft_cdc_bounds(text)` — array<int> of content-defined chunk
+  * boundary positions (see [[CdcAlgo]] for the pinned rule). Null text
+  * → null.
+  */
+case class CdcBoundaries(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cdc_bounds"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_bounds expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(t: Any): Any =
+    CdcAlgo.bounds(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.expressions.CdcAlgo.bounds($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
 /** Native codegen Jaro–Winkler similarity over two string columns —
   * the record-linkage scorer (blocked fuzzy matching, survivorship)
   * as a single generated call instead of a UDF: null-safe, no boxing,

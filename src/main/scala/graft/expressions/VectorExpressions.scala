@@ -91,6 +91,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "graft_cdc_bounds"),
+      (children: Seq[Expression]) => CdcBoundaries(children(0))))
   }
 }
 
@@ -111,6 +115,10 @@ object GraftFunctions {
         FunctionIdentifier("graft_jaro_winkler"),
         new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
         (children: Seq[Expression]) => JaroWinkler(children(0), children(1)))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_cdc_bounds"),
+        new ExpressionInfo(classOf[CdcBoundaries].getName, "graft_cdc_bounds"),
+        (children: Seq[Expression]) => CdcBoundaries(children(0)))
       registered += key
     }
   }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.mm.Multimodal
 import graft.ops.Skew
+import graft.similarity.Similarity
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1129,12 +1130,12 @@ object CorpusQueries {
     "x97_cdc_chunks" -> ((s, d) => {
       val ch = t(s, d, "documents")
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .withColumn("bounds", expr(
-          "IF(length(text) < 9, array(), " +
-            "filter(sequence(8, length(text) - 1), i -> " +
-            "aggregate(sequence(i - 7, i), CAST(0 AS BIGINT), " +
-            "(acc, j) -> (acc * 31 + ascii(substring(text, j, 1))) " +
-            "% 2147483647) % 32 = 0))"))
+        // boundary scan via the codegen kernel (graft.expressions
+        // .CdcBoundaries) — one linear pass per row; semantically
+        // identical to the interpreted filter×aggregate HOF form it
+        // replaced (StringExpressionSpec locks the equivalence), which
+        // cost 29 s at sf0.1 purely in per-char interpreter overhead
+        .withColumn("bounds", call_function("graft_cdc_bounds", col("text")))
         .select(col("doc_id"), explode(expr(
           "zip_with(concat(array(1), transform(bounds, b -> b + 1)), " +
             "concat(bounds, array(length(text))), " +
@@ -1447,6 +1448,38 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_streaks"),
           min(when(col("len") === col("longest"), col("start_day")))
             .as("longest_start"))
+    }),
+
+    // ───── label-noise audit (confident-learning-lite): a vector whose
+    // sign-LSH bucket-mates overwhelmingly carry a different label is a
+    // mislabeling suspect. Buckets come from the same 8 data-derived
+    // anchors as x06 (one codegen-dot projection, no pairwise work);
+    // per-bucket majority label with a (count desc, label) tiebreak;
+    // suspect = disagrees with majority in a bucket of ≥ 4. One shuffle
+    // on the bucket code — cluster-size-bounded, no vector ever joins
+    // against another vector
+    "x109_label_noise" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .filter(col("vec_id").isNotNull && col("label").isNotNull)
+      val anchors = Similarity.collectAnchors(emb, "vec_id", "embedding", 8)
+      val coded = emb.select(col("vec_id"), col("label"),
+        Similarity.bucketCode(col("embedding"), anchors).as("bucket"))
+      val byBucketLabel = coded.groupBy(col("bucket"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val wMaj = Window.partitionBy(col("bucket"))
+        .orderBy(col("cnt").desc, col("label"))
+      val majority = byBucketLabel
+        .withColumn("rn", row_number().over(wMaj))
+        .filter(col("rn") === 1)
+        .select(col("bucket"), col("label").as("maj_label"),
+          col("cnt").as("maj_cnt"))
+      val sizes = coded.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bucket_n"))
+      coded.join(majority, Seq("bucket")).join(sizes, Seq("bucket"))
+        .select(col("vec_id"), col("label"), col("bucket"), col("bucket_n"),
+          col("maj_label"), col("maj_cnt"),
+          (col("label") =!= col("maj_label") && col("bucket_n") >= 4)
+            .as("is_suspect"))
     }))
 
   /** The bounded blocklist lexicon behind x96 — phrases over the corpus
@@ -2200,5 +2233,27 @@ object CorpusQueries {
              AS BIGINT) AS longest FROM streaks)
          SELECT user_id, longest, COUNT(*) AS n_streaks,
            MIN(CASE WHEN len = longest THEN start_day END) AS longest_start
-         FROM mx GROUP BY 1, 2""")
+         FROM mx GROUP BY 1, 2""",
+    // x109: the same anchor/code replication as x06 (ids < 8, bit =
+    // inner product > 0, bits ordered by anchor id); majority tiebreak
+    // (cnt DESC, label) matches the Spark window exactly
+    "x109_label_noise" ->
+      """WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+         a AS (SELECT vec_id AS aid, v AS av FROM ev WHERE vec_id < 8),
+         coded AS (SELECT e.vec_id, e.label,
+             string_agg(CASE WHEN list_inner_product(e.v, a.av) > 0
+               THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
+           FROM ev e, a GROUP BY e.vec_id, e.label),
+         bl AS (SELECT bucket, label, COUNT(*) AS cnt FROM coded
+           GROUP BY 1, 2),
+         maj AS (SELECT bucket, label AS maj_label,
+             CAST(cnt AS BIGINT) AS maj_cnt FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+               ORDER BY cnt DESC, label) AS rn FROM bl) r WHERE rn = 1),
+         sz AS (SELECT bucket, COUNT(*) AS bucket_n FROM coded GROUP BY 1)
+         SELECT c.vec_id, c.label, c.bucket, sz.bucket_n, maj.maj_label,
+           maj.maj_cnt,
+           (c.label <> maj.maj_label AND sz.bucket_n >= 4) AS is_suspect
+         FROM coded c JOIN maj USING (bucket) JOIN sz USING (bucket)""")
 }

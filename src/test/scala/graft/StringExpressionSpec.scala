@@ -54,6 +54,32 @@ class StringExpressionSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("graft_cdc_bounds equals the interpreted HOF boundary rule") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("text").isNotNull).limit(200)
+    val hof =
+      "IF(length(text) < 9, array(), " +
+        "filter(sequence(8, length(text) - 1), i -> " +
+        "aggregate(sequence(i - 7, i), CAST(0 AS BIGINT), " +
+        "(acc, j) -> (acc * 31 + ascii(substring(text, j, 1))) " +
+        "% 2147483647) % 32 = 0))"
+    val mismatches = docs
+      .select(col("doc_id"),
+        call_function("graft_cdc_bounds", col("text")).as("fast"),
+        expr(hof).cast("array<int>").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0)
+    // edge cases: empty, exactly window-size, null
+    val edge = Seq(("", 1), ("abcdefgh", 2), ("abcdefghi", 3))
+      .toDF("t", "i")
+    val r = edge.select(call_function("graft_cdc_bounds", $"t")).collect()
+    assert(r.forall(!_.isNullAt(0)))
+    val nul = spark.sql(
+      "SELECT graft_cdc_bounds(CAST(NULL AS STRING))").collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("symmetric and bounded in [0, 1] over corpus tokens") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val toks = graft.text.TextOps.tokenRows(docs, "doc_id", "text")
