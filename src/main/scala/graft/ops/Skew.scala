@@ -240,25 +240,9 @@ object Skew {
           Seq("__j", "__band"))
         .filter(col("__ida") < col("__idb")))
     }
-    // Split by bucket hotness: every (j, band) bucket is wholly cold or
-    // wholly hot, so the cold majority runs the SAME plain bucket
-    // self-join as the skew-free branch and only the hot buckets pay
-    // the block-decomposition machinery (census join, explode fan-out,
-    // wider join key). The first-matching-band filter still sees every
-    // candidate at every matching band — generation coverage is
-    // identical to the single-path form, just partitioned by hotness —
-    // so exactly one orientation of each pair survives, as before.
-    val flagged = bands.join(broadcast(hot), Seq("__j", "__band"), "left")
-    val cold = flagged.filter(col("__n").isNull)
-    val coldPairs = cold
-      .select(col("__j"), col("__band"), col("__id").as("__ida"),
-        col("__bv").as("__bva"), col("__pl").as("__pla"))
-      .join(cold.select(col("__j"), col("__band"), col("__id").as("__idb"),
-        col("__bv").as("__bvb"), col("__pl").as("__plb")),
-        Seq("__j", "__band"))
-      .filter(col("__ida") < col("__idb"))
-    val blocked = flagged.filter(col("__n").isNotNull)
-      .withColumn("__nblk", ceil(col("__n") / blockSize).cast("int"))
+    val blocked = bands.join(broadcast(hot), Seq("__j", "__band"), "left")
+      .withColumn("__nblk", coalesce(
+        ceil(col("__n") / blockSize).cast("int"), lit(1)))
       .withColumn("__blk", pmod(xxhash64(col("__id")), col("__nblk")).cast("int"))
     val left = blocked
       .withColumn("__br", explode(sequence(col("__blk"), col("__nblk") - 1)))
@@ -272,11 +256,8 @@ object Skew {
         col("__pl").as("__plb"))
     // cross-block pairs surface exactly once (lower block as the left
     // side); same-block pairs in both orientations — id order keeps one
-    val hotPairs = left.join(right, Seq("__j", "__band", "__bl", "__br"))
-      .filter(col("__bl") =!= col("__br") || col("__ida") < col("__idb"))
-    val cols = Seq("__j", "__ida", "__idb", "__bva", "__bvb", "__pla", "__plb")
-    oriented(coldPairs.select(cols.map(col): _*)
-      .unionByName(hotPairs.select(cols.map(col): _*)))
+    oriented(left.join(right, Seq("__j", "__band", "__bl", "__br"))
+      .filter(col("__bl") =!= col("__br") || col("__ida") < col("__idb")))
   }
 
   /** [[boundedWideBandPairs]] BETWEEN two wide band frames over disjoint
