@@ -1480,6 +1480,38 @@ object CorpusQueries {
           col("maj_label"), col("maj_cnt"),
           (col("label") =!= col("maj_label") && col("bucket_n") >= 4)
             .as("is_suspect"))
+    }),
+
+    // ───── Benford leading-digit audit: the first-digit distribution of
+    // positive event amounts vs Benford's law — the fabricated-data /
+    // broken-feed tripwire. Amounts ride the cents convention (x72's
+    // floor(value·100 + 0.5) BIGINT), and the leading digit comes from
+    // the INTEGER's decimal string (int→string is engine-stable where
+    // double→string is not). Expected frequencies are pinned ppm
+    // literals of log10(1+1/d) — constants, so no log crosses the
+    // engine boundary; the deviation flag is an integer cross-multiply
+    // at 20 000 ppm
+    "x110_benford_audit" -> ((s, d) => {
+      val cents = t(s, d, "events")
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+      val digits = cents
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val benford = expr(
+        "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 " +
+          "WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 " +
+          "WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 " +
+          "ELSE 45757 END")
+      digits
+        .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+        .select(col("digit"), col("n"), col("total"),
+          expr("(n * CAST(1000000 AS BIGINT)) div total").as("obs_ppm"),
+          benford.as("benford_ppm"))
+        .withColumn("is_deviant",
+          abs(col("obs_ppm") - col("benford_ppm")) > 20000L)
     }))
 
   /** The bounded blocklist lexicon behind x96 — phrases over the corpus
@@ -2255,5 +2287,26 @@ object CorpusQueries {
          SELECT c.vec_id, c.label, c.bucket, sz.bucket_n, maj.maj_label,
            maj.maj_cnt,
            (c.label <> maj.maj_label AND sz.bucket_n >= 4) AS is_suspect
-         FROM coded c JOIN maj USING (bucket) JOIN sz USING (bucket)""")
+         FROM coded c JOIN maj USING (bucket) JOIN sz USING (bucket)""",
+    // x110: identical cents convention and pinned Benford ppm literals;
+    // leading digit via the integer's decimal string in both engines
+    "x110_benford_audit" ->
+      """WITH cents AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+             AS cents
+           FROM events WHERE value IS NOT NULL AND value > 0),
+         digits AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+             AS BIGINT) AS digit, COUNT(*) AS n
+           FROM cents WHERE cents > 0 GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits)
+         SELECT digit, n, total,
+           (n * 1000000) // total AS obs_ppm,
+           CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+             WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+             WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+             ELSE 45757 END AS benford_ppm,
+           abs((n * 1000000) // total - CASE digit WHEN 1 THEN 301030
+             WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910
+             WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+             WHEN 8 THEN 51153 ELSE 45757 END) > 20000 AS is_deviant
+         FROM digits CROSS JOIN tot""")
 }

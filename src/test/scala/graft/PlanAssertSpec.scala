@@ -89,14 +89,16 @@ class PlanAssertSpec extends SparkSpec {
     // cached flow table. x90: the ring collect_list — 192 vnode rows into
     // the one broadcast ring row, bounded by topology not corpus.
     // x103/x105: the corpus-count scalar (one pre-aggregated row per
-    // partition, broadcast back), x79's class.
+    // partition, broadcast back), x79's class. x107: the max(day)
+    // range-clip scalar, same one-row shape. x110: the digit-total
+    // scalar over the ≤ 9-row digit dimension.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
         "x63_weighted_sample", "x70_vocab_growth", "x77_vocab_encode",
         "x79_negative_pairs", "x80_interleave_order", "x82_zorder_layout",
         "x89_trade_triangles", "x90_ring_reshard", "x103_tfidf_keywords",
-        "x105_ks_drift")
+        "x105_ks_drift", "x107_rolling_actives", "x110_benford_audit")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
