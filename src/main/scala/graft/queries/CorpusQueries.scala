@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.mm.Multimodal
-import graft.ops.Skew
+import graft.ops.{Relational, Skew}
 import graft.similarity.Similarity
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1512,6 +1512,78 @@ object CorpusQueries {
           benford.as("benford_ppm"))
         .withColumn("is_deviant",
           abs(col("obs_ppm") - col("benford_ppm")) > 20000L)
+    }),
+
+    // ───── cross-source quantile normalization: each document's length
+    // is replaced by the GLOBAL length at its within-source quantile —
+    // the calibration that makes per-source quality scores comparable
+    // when sources have different scales. All integer: within-source
+    // rank r → global position p = 1 + (r−1)(N−1) div (n_s−1) (lower
+    // quantile method; singleton sources map to the global median), and
+    // the p-th order statistic comes from the distinct-value CDF built
+    // with the two-level prefix sum (no single-partition exchange) and
+    // probed with the x33 bucketed-interval rewrite: intervals fan to
+    // 64-wide buckets (total fan N/64 + |V|), probes join on their one
+    // bucket, the exact range filter runs only within matching buckets.
+    // Exact in BIGINT while r·N < ~9e18
+    "x111_quantile_normalize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val nTotal = docs.agg(count(lit(1)).as("n_all"))
+      val ranked = docs
+        .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .withColumn("n_src",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+      val cdf = Relational.prefixSum(
+        docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("m")),
+        "v", "m", "cum", 1024L)
+      val builds = cdf
+        .withColumn("lo", col("cum") - col("m") + 1)
+        .withColumn("hi", col("cum"))
+        .withColumn("bk", explode(expr("sequence(lo div 64, hi div 64)")))
+        .select(col("bk"), col("v"), col("lo"), col("hi"))
+      val probes = ranked.crossJoin(broadcast(nTotal))
+        .withColumn("p", when(col("n_src") > 1,
+          expr("1 + (r - 1) * (n_all - 1) div (n_src - 1)"))
+          .otherwise(expr("(n_all + 1) div 2")))
+        .withColumn("bk", expr("p div 64"))
+      probes.join(builds, Seq("bk"))
+        .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("r"),
+          col("n_src"), col("p"), col("v").as("norm_chars"))
+    }),
+
+    // ───── Markov next-event baseline eval: predict each event's
+    // successor as the argmax of x99's transition matrix (tie → first
+    // type) and score in-sample top-1 accuracy per from-type. The
+    // sanity baseline any sequence model must beat; doubles never
+    // appear — accuracy is an integer ppm
+    "x112_markov_eval" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+      val pred = tr.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("from_type"))
+          .orderBy(col("n").desc, col("to_type"))))
+        .filter(col("rn") === 1)
+        .select(col("from_type"), col("to_type").as("pred_type"))
+      tr.join(pred, Seq("from_type"))
+        .groupBy(col("from_type"), col("pred_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("to_type") === col("pred_type"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy_ppm",
+          expr("(n_correct * CAST(1000000 AS BIGINT)) div n_events"))
     }))
 
   /** The bounded blocklist lexicon behind x96 — phrases over the corpus
@@ -2308,5 +2380,53 @@ object CorpusQueries {
              WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910
              WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
              WHEN 8 THEN 51153 ELSE 45757 END) > 20000 AS is_deviant
-         FROM digits CROSS JOIN tot""")
+         FROM digits CROSS JOIN tot""",
+    // x111: the interval probe is a plain BETWEEN join here (the oracle
+    // engine nested-loops the small CDF); same lower-quantile position
+    // arithmetic, same (n_chars, doc_id) rank order
+    "x111_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents
+           WHERE doc_id IS NOT NULL AND source IS NOT NULL
+             AND n_chars IS NOT NULL),
+         ranked AS (SELECT doc_id, source, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+           FROM d),
+         n AS (SELECT COUNT(*) AS n_all FROM d),
+         cdf AS (SELECT n_chars AS v, COUNT(*) AS m,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY n_chars) AS BIGINT) AS cum
+           FROM d GROUP BY 1),
+         iv AS (SELECT v, cum - m + 1 AS lo, cum AS hi FROM cdf),
+         pr AS (SELECT doc_id, source, n_chars, r, n_src,
+             CASE WHEN n_src > 1
+               THEN 1 + (r - 1) * (n_all - 1) // (n_src - 1)
+               ELSE (n_all + 1) // 2 END AS p
+           FROM ranked CROSS JOIN n)
+         SELECT pr.doc_id, pr.source, pr.n_chars, pr.r, pr.n_src, pr.p,
+           iv.v AS norm_chars
+         FROM pr JOIN iv ON pr.p BETWEEN iv.lo AND iv.hi""",
+    // x112: same transition frame as x99; argmax tie-break (n DESC,
+    // to_type) matches the Spark window exactly
+    "x112_markov_eval" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+         tr AS (SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM ev),
+         tr2 AS (SELECT * FROM tr WHERE to_type IS NOT NULL),
+         pred AS (SELECT from_type, to_type AS pred_type FROM (
+             SELECT from_type, to_type, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY from_type
+                 ORDER BY COUNT(*) DESC, to_type) AS rn
+             FROM tr2 GROUP BY 1, 2) q WHERE rn = 1)
+         SELECT tr2.from_type, pred.pred_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN tr2.to_type = pred.pred_type THEN 1
+             ELSE 0 END) AS BIGINT) AS n_correct,
+           (CAST(SUM(CASE WHEN tr2.to_type = pred.pred_type THEN 1
+             ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) AS accuracy_ppm
+         FROM tr2 JOIN pred USING (from_type)
+         GROUP BY 1, 2""")
 }

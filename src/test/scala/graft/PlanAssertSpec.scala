@@ -91,14 +91,16 @@ class PlanAssertSpec extends SparkSpec {
     // x103/x105: the corpus-count scalar (one pre-aggregated row per
     // partition, broadcast back), x79's class. x107: the max(day)
     // range-clip scalar, same one-row shape. x110: the digit-total
-    // scalar over the ≤ 9-row digit dimension.
+    // scalar over the ≤ 9-row digit dimension. x111: the corpus-count
+    // scalar (the CDF itself is two-level prefix-summed, exchange-free).
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
         "x63_weighted_sample", "x70_vocab_growth", "x77_vocab_encode",
         "x79_negative_pairs", "x80_interleave_order", "x82_zorder_layout",
         "x89_trade_triangles", "x90_ring_reshard", "x103_tfidf_keywords",
-        "x105_ks_drift", "x107_rolling_actives", "x110_benford_audit")
+        "x105_ks_drift", "x107_rolling_actives", "x110_benford_audit",
+        "x111_quantile_normalize")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
