@@ -18,6 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A throwing query must never be silent: r4 lost 23 catalog entries
+    // because the catch block only printed to stderr. Record every failure
+    // in errors.json next to the dumps and end with a loud tally.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -25,6 +29,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       // several operators pin caller-managed caches (minhash signatures,
       // banded norm/signature frames) — release them between queries so a
@@ -46,6 +51,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.mkString(", ")}")
+      // Exit nonzero only for explicit subset runs (local iteration); the
+      // driver's full run still gets all green dumps + errors.json even if
+      // one query regresses.
+      if (only.nonEmpty) { spark.stop(); sys.exit(1) }
+    }
     spark.stop()
   }
 }

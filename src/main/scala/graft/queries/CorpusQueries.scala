@@ -2088,14 +2088,19 @@ object CorpusQueries {
     // UTF-8 octets as little-endian int16 samples, 256-sample windows), so
     // the oracle replays decode + windowing from hex(text) with no WAV
     // parser: sample i = hi-byte·256 + lo-byte, sign-adjusted, energy =
-    // Σ sample² per window — integer-exact on both engines
+    // Σ sample² per window — integer-exact on both engines. Hex digits are
+    // decoded via strpos arithmetic rather than CAST('0x'||…): string-hex
+    // casting proved version-fragile across DuckDB releases (r4 hash-red
+    // with judge-verified-exact engine output), strpos+substr is not
     "x95_audio_energy" ->
       """WITH raw AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
            CAST(octet_length(encode(text)) // 2 AS BIGINT) AS ns
            FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
          smp AS (SELECT asset_id, ns, i,
-             CAST(('0x' || substr(hx, (i - 1) * 4 + 3, 2)
-               || substr(hx, (i - 1) * 4 + 1, 2)) AS BIGINT) AS u
+             CAST((strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 3, 1)) - 1) * 4096
+               + (strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 4, 1)) - 1) * 256
+               + (strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 2, 1)) - 1) AS BIGINT) AS u
            FROM raw, unnest(range(1, CAST(ns AS INT) + 1)) AS t(i)
            WHERE ns > 0),
          sgn AS (SELECT asset_id, ns, i,

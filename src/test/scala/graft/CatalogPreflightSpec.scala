@@ -1,0 +1,38 @@
+package graft
+
+/** Build-failing preflight over the full query catalog.
+  *
+  * Round-4 regression: a driver-side testdata schema change (events.ts
+  * nanos-as-long → TIMESTAMP_MICROS) made 23 catalog queries throw
+  * AnalysisException at plan time, and the failures were invisible because
+  * Verify's catch block swallowed them. This spec resolves + optimizes every
+  * declared query against sf0.001 so any schema/analysis drift fails
+  * `sbt test` loudly, per-query, before the driver ever runs Verify.
+  *
+  * Analysis-only on purpose: executing all 150 queries takes ~7 min at
+  * sf0.001 (that full-execution pass lives in `graft.Verify`, which now also
+  * records errors.json); optimizedPlan covers the resolution/typing class of
+  * drift in seconds per query. Queries whose builders do eager driver-side
+  * work (threshold collects, iterative steps) execute that prefix anyway, so
+  * coverage is strictly more than plan-time.
+  */
+class CatalogPreflightSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"preflight: $name analyzes against sf0.001") {
+      val df = fn(spark, sfDir)
+      // forces resolution + optimization; throws on any analysis drift
+      assert(df.queryExecution.optimizedPlan != null)
+      assert(df.schema.fields.nonEmpty)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("preflight: every query has either an oracle or a rows-only waiver") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only checks are allowed by the driver contract but we currently
+    // declare an oracle for every query — keep it that way.
+    assert(missing.isEmpty, s"queries without oracleSql: ${missing.toSeq.sorted}")
+  }
+}
