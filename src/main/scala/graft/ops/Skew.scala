@@ -15,6 +15,40 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Above this many hot buckets the per-bucket block counts ship as a
+    * broadcast join instead of a literal map: try_element_at over a map
+    * literal is a per-row linear scan, fine for a handful of boilerplate
+    * templates, wrong for a degenerate thousands-of-hot-buckets census. */
+  private[graft] val MaxLiteralHotBuckets = 64
+
+  /** Attach `__nblk` (block count per row, 1 for cold rows) to `frame`,
+    * given the already-collected head of the hot census. Small hot sets
+    * (the common case — a flood is a few templates) inline as a literal
+    * map lookup, keeping the guard's plan free of extra join nodes; large
+    * hot sets fall back to a broadcast hash join of the census frame.
+    * The census action itself is paid either way (the caller needs the
+    * empty check); this decides how its RESULT reaches the rows. */
+  private def withNblk(hotHead: Array[org.apache.spark.sql.Row],
+                       frame: DataFrame, keyNames: Seq[String],
+                       hotDf: DataFrame, blockSize: Int): DataFrame =
+    if (hotHead.length <= MaxLiteralHotBuckets) {
+      val m: Map[String, Int] = hotHead.map { r =>
+        val n = r.getLong(r.length - 1)
+        r.toSeq.dropRight(1).mkString(":") ->
+          ((n + blockSize - 1) / blockSize).toInt
+      }.toMap
+      // try_element_at, not element_at: ANSI mode makes a missing map key
+      // an error, and cold rows are the overwhelming majority
+      frame.withColumn("__nblk", coalesce(
+        try_element_at(typedlit(m),
+          concat_ws(":", keyNames.map(k => col(k).cast("string")): _*)),
+        lit(1)))
+    } else
+      frame.join(broadcast(hotDf), keyNames, "left")
+        .withColumn("__nblk", coalesce(
+          ceil(col("__n") / blockSize).cast("int"), lit(1)))
+        .drop("__n")
+
   /** Equi-join `big ⋈ small` on `key`, salted into `saltBuckets` buckets.
     * `big` gets a deterministic per-row bucket (hash of all columns), while
     * `small` is replicated once per bucket — so each hot key's rows spread
@@ -84,7 +118,8 @@ object Skew {
     // hot-bucket census: tiny by definition (only buckets over threshold)
     val hot = slim.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
-    if (hot.isEmpty) {
+    val hotHead = hot.limit(MaxLiteralHotBuckets + 1).collect()
+    if (hotHead.isEmpty) {
       // skew-free corpus: no guard tax — one census job over the cached
       // frame, then the plain bucket self-join
       return slim.toDF((keyCols :+ "__ida"): _*).as("a")
@@ -94,9 +129,7 @@ object Skew {
         .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
         .distinct()
     }
-    val blocked = slim.join(broadcast(hot), keyCols, "left")
-      .withColumn("__nblk", coalesce(
-        ceil(col("__n") / blockSize).cast("int"), lit(1)))
+    val blocked = withNblk(hotHead, slim, keyCols, hot, blockSize)
       .withColumn("__blk",
         pmod(xxhash64(col(idCol)), col("__nblk")).cast("int"))
     // triangle replication: a row in block p serves as the LEFT side of
@@ -140,19 +173,19 @@ object Skew {
     val l = left.select((keys :+ col(idCol)): _*)
     val hot = r.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
-    if (hot.isEmpty) {
+    val hotHead = hot.limit(MaxLiteralHotBuckets + 1).collect()
+    if (hotHead.isEmpty) {
       // skew-free standing index: plain bucket join, no replication
       return l.toDF((keyCols :+ "__ida"): _*)
         .join(r.toDF((keyCols :+ "__idb"): _*), keyCols)
         .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
         .distinct()
     }
-    val nblk = coalesce(ceil(col("__n") / blockSize).cast("int"), lit(1))
-    val rb = r.join(broadcast(hot), keyCols, "left")
-      .withColumn("__b", pmod(xxhash64(col(idCol)), nblk).cast("int"))
+    val rb = withNblk(hotHead, r, keyCols, hot, blockSize)
+      .withColumn("__b", pmod(xxhash64(col(idCol)), col("__nblk")).cast("int"))
       .select((keys ++ Seq(col("__b"), col(idCol).as("__idb"))): _*)
-    val lb = l.join(broadcast(hot), keyCols, "left")
-      .withColumn("__b", explode(sequence(lit(0), nblk - 1)))
+    val lb = withNblk(hotHead, l, keyCols, hot, blockSize)
+      .withColumn("__b", explode(sequence(lit(0), col("__nblk") - 1)))
       .select((keys ++ Seq(col("__b"), col(idCol).as("__ida"))): _*)
     lb.join(rb, keyCols :+ "__b")
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
@@ -228,9 +261,18 @@ object Skew {
           .as("bands_a"),
         when(col("__ida") < col("__idb"), col("__bvb")).otherwise(col("__bva"))
           .as("bands_b")) ++ carried: _*)
-    val hot = bands.groupBy(col("__j"), col("__band"))
+    val hotDf = bands.groupBy(col("__j"), col("__band"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > hotThreshold)
-    if (hot.isEmpty) {
+    // the census is an action either way (the empty check); collecting its
+    // head lets the COMMON cases skip join machinery entirely: no hot
+    // buckets → plain self-join, few hot buckets (a boilerplate flood is a
+    // handful of templates) → nblk arrives as a literal-map lookup instead
+    // of TWO broadcast hash joins (measured ~2.4× guard overhead on the
+    // skew stress twins, dominated by those extra plan nodes at small
+    // scale). Only a degenerate many-hot-bucket census pays the
+    // broadcast-join form.
+    val hotHead = hotDf.limit(Skew.MaxLiteralHotBuckets + 1).collect()
+    if (hotHead.isEmpty) {
       // skew-free: plain bucket self-join, id order dedups orientation
       return oriented(bands
         .select(col("__j"), col("__band"), col("__id").as("__ida"),
@@ -240,9 +282,8 @@ object Skew {
           Seq("__j", "__band"))
         .filter(col("__ida") < col("__idb")))
     }
-    val blocked = bands.join(broadcast(hot), Seq("__j", "__band"), "left")
-      .withColumn("__nblk", coalesce(
-        ceil(col("__n") / blockSize).cast("int"), lit(1)))
+    val blocked = withNblk(hotHead, bands, Seq("__j", "__band"),
+        hotDf, blockSize)
       .withColumn("__blk", pmod(xxhash64(col("__id")), col("__nblk")).cast("int"))
     val left = blocked
       .withColumn("__br", explode(sequence(col("__blk"), col("__nblk") - 1)))
@@ -295,19 +336,18 @@ object Skew {
        else Seq(col("__pla").as("carry_a"), col("__plb").as("carry_b")))
     val hot = rb.groupBy(col("__j"), col("__band"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > hotThreshold)
+    val hotHead = hot.limit(MaxLiteralHotBuckets + 1).collect()
     val l = lb.select(col("__j"), col("__band"), col("__id").as("__ida"),
       col("__bv").as("__bva"), col("__pl").as("__pla"))
     val r = rb.select(col("__j"), col("__band"), col("__id").as("__idb"),
       col("__bv").as("__bvb"), col("__pl").as("__plb"))
-    if (hot.isEmpty)
+    if (hotHead.isEmpty)
       return l.join(r, Seq("__j", "__band")).filter(firstMatch)
         .select(outCols: _*)
-    val nblk = coalesce(ceil(col("__n") / blockSize).cast("int"), lit(1))
-    val rblk = r.join(broadcast(hot), Seq("__j", "__band"), "left")
-      .withColumn("__b", pmod(xxhash64(col("__idb")), nblk).cast("int"))
-    val lblk = l.join(broadcast(hot), Seq("__j", "__band"), "left")
-      .withColumn("__b", explode(sequence(lit(0),
-        coalesce(ceil(col("__n") / blockSize).cast("int"), lit(1)) - 1)))
+    val rblk = withNblk(hotHead, r, Seq("__j", "__band"), hot, blockSize)
+      .withColumn("__b", pmod(xxhash64(col("__idb")), col("__nblk")).cast("int"))
+    val lblk = withNblk(hotHead, l, Seq("__j", "__band"), hot, blockSize)
+      .withColumn("__b", explode(sequence(lit(0), col("__nblk") - 1)))
     lblk.join(rblk, Seq("__j", "__band", "__b")).filter(firstMatch)
       .select(outCols: _*)
   }

@@ -1380,6 +1380,15 @@ object CorpusQueries {
         .filter(col("p_partkey").isNotNull && col("p_name").isNotNull &&
           col("p_brand").isNotNull)
         .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      // deliberately the NAIVE block self-join, not Skew.boundedWideBandPairs:
+      // routing this through the guard was measured 2.2× SLOWER at sf0.1
+      // (5.4 s vs 2.5 s) — the payload-carrying explode chain falls out of
+      // whole-stage codegen, and interpreted row processing of the ~10M
+      // candidate rows costs far more than the guard's parallelism buys at
+      // |brand block| ≈ 10³. The naive SMJ keeps pair-gen + JW + threshold
+      // inside one codegen span. When brand populations outgrow a task
+      // (≳10⁵ rows/brand), route through the guard as x84 does — that
+      // crossover is where the n²-per-task cost overtakes the codegen win
       val a = p.select(col("p_brand"), col("p_partkey").as("id_a"),
         col("p_name").as("name_a"))
       val b = p.select(col("p_brand"), col("p_partkey").as("id_b"),

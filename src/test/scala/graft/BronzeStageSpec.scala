@@ -194,6 +194,41 @@ class BronzeStageSpec extends SparkSpec {
       (2, "Alice", 2, 3, "blindside")))
   }
 
+  test("graft-docx pushes path + line_no filters: pruned files never open, " +
+      "out-of-range paragraphs never emitted") {
+    val dir = Files.createTempDirectory("graft_dsv2_docx_push").toString
+    Files.write(Paths.get(s"$dir/ep.docx"), sampleDocx)
+    // NOT a zip: if path pruning failed to drop this file from the
+    // partition list, the scan would throw trying to parse it
+    Files.write(Paths.get(s"$dir/corrupt.docx"), "not a docx".getBytes)
+    val q = spark.read.format("graft-docx").load(dir)
+      .filter($"path".endsWith("/ep.docx") && $"line_no" <= 2L)
+      .select("line_no", "line").as[(Long, String)]
+    val expected = BronzeStage.parseDocx(sampleDocx)
+      .filter(_.line_no <= 2L).map(l => (l.line_no, l.line)).toSet
+    assert(q.collect().toSet == expected && expected.nonEmpty)
+    // the predicates reach the scan...
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("StringEndsWith(path,/ep.docx)") &&
+      plan.contains("LessThanOrEqual(line_no,2)"), plan)
+    // ...and out-of-range paragraphs are never EMITTED: scan output rows
+    // equal the matching paragraphs, not the document's paragraph count
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanRows = finalPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    assert(scanRows == expected.size.toLong,
+      s"scan emitted $scanRows rows for ${expected.size} matching paragraphs")
+    // unsupported predicates stay Spark-side (residual filter, correct result)
+    val all = BronzeStage.parseDocx(sampleDocx)
+    val mixed = spark.read.format("graft-docx").load(s"$dir/ep.docx")
+      .filter($"line" =!= "" && $"line_no" >= 2L)
+    assert(mixed.count() == all.count(l => l.line.nonEmpty && l.line_no >= 2L))
+  }
+
   test("docx bronze feeds the confessional parser end-to-end") {
     val dir = Files.createTempDirectory("graft_bronze_docx").toString
     Files.write(Paths.get(s"$dir/ep.docx"), sampleDocx)
