@@ -525,6 +525,53 @@ object ExtensionQueries {
               col("mean_word_len") >= 4.0, lit(false)).as("keep"))
     }),
 
+    // ───── LSH-dedup recall evaluation — x48's ANN-recall shape for the
+    // dedup family: exact n-gram Jaccard ground truth on a bounded PROBE
+    // sample (doc_id < 50 — linear in the corpus, not quadratic: the
+    // probe side of the inverted-index join is 50 documents' shingles;
+    // unblocked, because bands cross sources) graded against the
+    // production candidate stage
+    // (x03's md5-MinHash bands, est ≥ 0.25). Output: per exact-Jaccard
+    // decile, how many truth pairs the bands surfaced — the curve that
+    // says whether banding parameters (12 hashes × 3 rows) match the
+    // corpus before a full run. All surfaces integer-exact: the decile is
+    // (common·10) div union, recall in ppm
+    "x113_lsh_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // caller-managed cache (Verify/Bench clear per query): the inverted
+      // index feeds the probe join AND the per-doc size aggregation
+      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2)
+        .cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shP = sh.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("id_a"), col("g"))
+      val shAll = sh.select(col("doc_id").as("id_b"), col("g"))
+      // truth is deliberately UNBLOCKED (bands cross sources, so the
+      // graded truth must too). orientation discipline: probe-vs-corpus
+      // rows keep id_a < id_b for free (probes are the low ids);
+      // probe-vs-probe pairs keep only the ascending orientation so
+      // common counts once per pair
+      val common = shP.join(shAll, Seq("g"))
+        .filter(col("id_b") > col("id_a"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      val truth = common
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .withColumn("uni", col("na") + col("nb") - col("common"))
+        .filter(col("common") * 20 >= col("uni")) // exact J >= 0.05
+        .withColumn("j_bucket", expr("(common * 10) div uni"))
+      val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
+        .select(col("id_a"), col("id_b"), lit(1L).as("found"))
+      truth.join(cands, Seq("id_a", "id_b"), "left")
+        .groupBy(col("j_bucket"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("found"), lit(0L))).as("n_found"))
+        .select(col("j_bucket"), col("n_truth"), col("n_found"),
+          expr("(n_found * CAST(1000000 AS BIGINT)) div n_truth")
+            .as("recall_ppm"))
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the stub-decoded dimensions — the projection a
     // decode stage partitions/batches by
@@ -570,6 +617,45 @@ object ExtensionQueries {
            JOIN comps cb ON cb.doc_id = id_b AND ca.i = cb.i
            GROUP BY id_a, id_b)
          SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.25""",
+    // x113: truth = probe-restricted exact Jaccard (integer surfaces:
+    // J >= 0.05 as common*20 >= union, decile as (common*10) // union);
+    // candidates replay x03's md5-MinHash band chain at est >= 0.25
+    "x113_lsh_recall" ->
+      s"""WITH sh AS ${shingleSql()},
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           FROM sh a JOIN sh b
+           ON a.g = b.g
+             AND a.doc_id < 50 AND b.doc_id > a.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         truth AS (SELECT id_a, id_b, common,
+             sa.n + sb.n - common AS uni
+           FROM cm JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE common * 20 >= sa.n + sb.n - common),
+         comps AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || g)) AS sig
+           FROM sh, range(0, 12) r(i) GROUP BY doc_id, i),
+         buckets AS (SELECT doc_id, i // 3 AS band,
+             md5(string_agg(sig, '|' ORDER BY i)) AS h
+           FROM comps GROUP BY doc_id, i // 3),
+         cand0 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM buckets l JOIN buckets r
+           ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
+         est AS (SELECT id_a, id_b,
+             CAST(SUM(CASE WHEN ca.sig = cb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 12
+               AS ej
+           FROM cand0
+           JOIN comps ca ON ca.doc_id = id_a
+           JOIN comps cb ON cb.doc_id = id_b AND ca.i = cb.i
+           GROUP BY id_a, id_b),
+         cands AS (SELECT id_a, id_b FROM est WHERE ej >= 0.25)
+         SELECT (common * 10) // uni AS j_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(c.id_a) AS BIGINT) AS n_found,
+           (CAST(COUNT(c.id_a) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+             AS recall_ppm
+         FROM truth t LEFT JOIN cands c USING (id_a, id_b)
+         GROUP BY (common * 10) // uni""",
     "x04_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
            FROM documents),
