@@ -525,6 +525,29 @@ object ExtensionQueries {
               col("mean_word_len") >= 4.0, lit(false)).as("keep"))
     }),
 
+    // ───── dedup impact report: the summary a dedup run ships to its
+    // operators — per cluster-size, how many clusters, how many documents
+    // a survivor-keep policy drops, and how many characters that saves
+    // (survivor = max n_chars, x58's rule; saved chars per cluster =
+    // total − survivor, so the tiebreak can't move the number). Composes
+    // the x27 cluster machinery; one narrow (id, n_chars) join, text
+    // never touched after banding
+    "x114_dedup_impact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val labels = Dedup.lshDedupClusters(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 12, rowsPerBand = 3,
+        candTau = 0.25, jaccardTau = 0.2)
+      val per = labels
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          max(col("n_chars")).as("kept_chars"))
+      per.groupBy(col("n").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n") - 1).as("docs_dropped"),
+          sum(col("chars") - col("kept_chars")).as("chars_dropped"))
+    }),
+
     // ───── LSH-dedup recall evaluation — x48's ANN-recall shape for the
     // dedup family: exact n-gram Jaccard ground truth on a bounded PROBE
     // sample (doc_id < 50 — linear in the corpus, not quadratic: the
@@ -617,6 +640,20 @@ object ExtensionQueries {
            JOIN comps cb ON cb.doc_id = id_b AND ca.i = cb.i
            GROUP BY id_a, id_b)
          SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.25""",
+    // x114: the x27 cluster chain + a documents join; kept_chars =
+    // MAX(n_chars) (the x58 survivor's size — the id tiebreak can't
+    // change a chars total)
+    "x114_dedup_impact" ->
+      s"""WITH RECURSIVE $lshClusterCtes,
+         per AS (SELECT l.cluster, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d.n_chars) AS BIGINT) AS chars,
+             CAST(MAX(d.n_chars) AS BIGINT) AS kept_chars
+           FROM labels l JOIN documents d ON l.id = d.doc_id
+           GROUP BY l.cluster)
+         SELECT n AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n - 1) AS BIGINT) AS docs_dropped,
+           CAST(SUM(chars - kept_chars) AS BIGINT) AS chars_dropped
+         FROM per GROUP BY n""",
     // x113: truth = probe-restricted exact Jaccard (integer surfaces:
     // J >= 0.05 as common*20 >= union, decile as (common*10) // union);
     // candidates replay x03's md5-MinHash band chain at est >= 0.25

@@ -48,6 +48,12 @@ class PlanAssertSpec extends SparkSpec {
       s"all-pairs join crept back into simhash pairing:\n$p")
   }
 
+  test("x113 recall eval: probe truth is an equi-join on shingles, no cartesian") {
+    val p = plan("x113_lsh_recall")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join crept into the recall eval:\n$p")
+  }
+
   test("x52 rerank: stage-1 rank prunes via WindowGroupLimit; vectors join back broadcast-only") {
     val p = plan("x52_ann_rerank")
     // the shortlist ranking must keep top-k pruning (WindowGroupLimit) and
