@@ -48,6 +48,9 @@ BASELINE_NOTES = {
     "x07_embed_neardup":
         "**exact baseline** (all-pairs) — production: banded sign-LSH "
         "(`Similarity.nearDupPairsBanded`, feeds x25 clustering)",
+    "x113_lsh_recall":
+        "**eval harness** — probe-restricted exact truth grades the x03 "
+        "band stage; run before committing banding parameters to a corpus",
 }
 
 groups = [
