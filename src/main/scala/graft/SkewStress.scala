@@ -69,6 +69,25 @@ object SkewStress {
           "+ bit_count(bands_a[3] ^ bands_b[3]) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= 3)
 
+  /** The x49 incremental shape on the band fixture: a small batch (4% of
+    * ids, disjoint from the corpus split) probes the standing corpus band
+    * index whose hot buckets decompose ([[graft.ops.Skew
+    * .boundedWideBandPairsBetween]]); verify = inline Hamming ≤ 3, as in
+    * [[bandPairs]]. */
+  def bandPairsBetween(wide: DataFrame, hotThreshold: Int,
+                       blockSize: Int): DataFrame = {
+    val isBatch = col("asset_id") % 25 === 1
+    Skew.boundedWideBandPairsBetween(
+        wide.filter(isBatch), wide.filter(!isBatch), "asset_id",
+        Seq("b0", "b1", "b2", "b3"), hotThreshold, blockSize)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(bands_a[0] ^ bands_b[0]) " +
+          "+ bit_count(bands_a[1] ^ bands_b[1]) " +
+          "+ bit_count(bands_a[2] ^ bands_b[2]) " +
+          "+ bit_count(bands_a[3] ^ bands_b[3]) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   /** The x38 chunk-dedup pipeline body over an arbitrary corpus. */
   def chunkDedup(docs: DataFrame): DataFrame = {
     val ch = TextOps.chunkRows(docs, "doc_id", "text", 4).cache()
@@ -97,6 +116,10 @@ object SkewStress {
       "skew_x84_hot" -> (() => bandPairs(
         bandWide(spark, n, skewed = true, floodCap), 512, 512)),
       "skew_x84_uni" -> (() => bandPairs(
+        bandWide(spark, n, skewed = false, floodCap), 512, 512)),
+      "skew_x49_hot" -> (() => bandPairsBetween(
+        bandWide(spark, n, skewed = true, floodCap), 512, 512)),
+      "skew_x49_uni" -> (() => bandPairsBetween(
         bandWide(spark, n, skewed = false, floodCap), 512, 512)))
   }
 }

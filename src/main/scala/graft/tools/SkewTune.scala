@@ -45,6 +45,11 @@ object SkewTune {
       val uni = time(() => SkewStress.bandPairs(
         SkewStress.bandWide(spark, n, skewed = false, floodCap), ht, bs))
       println(f"x84 ht=$ht%5d bs=$bs%5d hot=$hot%6.2f uni=$uni%6.2f ratio=${hot / uni}%5.2f")
+      val hotB = time(() => SkewStress.bandPairsBetween(
+        SkewStress.bandWide(spark, n, skewed = true, floodCap), ht, bs))
+      val uniB = time(() => SkewStress.bandPairsBetween(
+        SkewStress.bandWide(spark, n, skewed = false, floodCap), ht, bs))
+      println(f"x49 ht=$ht%5d bs=$bs%5d hot=$hotB%6.2f uni=$uniB%6.2f ratio=${hotB / uniB}%5.2f")
     }
     // x38 has no guard parameters — its pipeline is agg + join; report the
     // pair for visibility when tuning the plan itself

@@ -117,6 +117,41 @@ class SkewSpec extends SparkSpec {
     assert(bounded == plain && plain.size == 9 * 200 + 5)
   }
 
+  test("boundedWideBandPairsBetween equals the plain band join (hot corpus bucket)") {
+    // corpus side has a 150-row flood sharing bands 0 AND 1 (two hot
+    // buckets → blocks engage AND first-matching-band must dedup); batch
+    // probes include flood-matching and tail rows. Disjoint id spaces.
+    def mk(ids: org.apache.spark.sql.DataFrame, flood: org.apache.spark.sql.Column) =
+      ids.select(col("id"),
+        when(flood, lit(7L)).otherwise(pmod(xxhash64(lit(0), col("id")), lit(40L))).as("b0"),
+        when(flood, lit(9L)).otherwise(pmod(xxhash64(lit(1), col("id")), lit(40L))).as("b1"),
+        pmod(xxhash64(lit(2), col("id")), lit(30L)).as("b2"),
+        pmod(xxhash64(lit(3), col("id")), lit(30L)).as("b3"))
+    val corpus = mk(spark.range(1000, 1300).toDF("id"),
+      col("id") % 2 === 0 && col("id") < 1150)
+    val batch = mk(spark.range(0, 40).toDF("id"), col("id") < 10)
+    def bands(df: org.apache.spark.sql.DataFrame, idAs: String) =
+      df.select(col("id").as(idAs), explode(array((0 to 3).map(j =>
+          struct(lit(j).as("j"), col(s"b$j").as("band"))): _*)).as("k"))
+        .select(col(idAs), col("k.j"), col("k.band"))
+    val plain = bands(batch, "ida").join(bands(corpus, "idb"), Seq("j", "band"))
+      .select("ida", "idb").distinct().as[(Long, Long)].collect().toSet
+    val got = Skew.boundedWideBandPairsBetween(batch, corpus, "id",
+        Seq("b0", "b1", "b2", "b3"), hotThreshold = 16, blockSize = 16)
+      .collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotPairs.length == gotPairs.toSet.size, "duplicate pairs emitted")
+    assert(gotPairs.toSet == plain && plain.size >= 10 * 75,
+      "pair-set mismatch or flood candidates missing")
+    // carried band vectors are each side's true values
+    val bv = (corpus.collect() ++ batch.collect()).map(r => r.getLong(0) ->
+      Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    got.take(300).foreach { r =>
+      assert(r.getSeq[Long](2) == bv(r.getLong(0)), "bands_a mismatch")
+      assert(r.getSeq[Long](3) == bv(r.getLong(1)), "bands_b mismatch")
+    }
+  }
+
   test("saltedAgg two-phase equals direct aggregation") {
     val df = (1 to 500).map(i => (if (i % 5 == 0) 1L else i.toLong, i.toLong))
       .toDF("k", "v")
