@@ -232,6 +232,40 @@ class TextDedupSpec extends SparkSpec {
     signed.unpersist()
   }
 
+  test("x113 recall eval: bucket surfaces are internally consistent") {
+    val rows = SparkEntry.queries("x113_lsh_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, nt, nf, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(b >= 0 && b <= 10, s"decile out of range: $b")
+      assert(nt > 0 && nf >= 0 && nf <= nt, s"found $nf of $nt in bucket $b")
+      assert(ppm == nf * 1000000L / nt, "recall_ppm inconsistent")
+    }
+  }
+
+  test("x114 impact report totals equal the cluster labels they summarize") {
+    val sf = "/root/testdata/sf0.001"
+    val report = SparkEntry.queries("x114_dedup_impact")(spark, sf).collect()
+    spark.catalog.clearCache()
+    val labels = Dedup.lshDedupClusters(
+      graft.Tables.load(spark, sf, "documents"), "doc_id", "text",
+      shingleK = 2, numHashes = 12, rowsPerBand = 3,
+      candTau = 0.25, jaccardTau = 0.2)
+    val byCluster = labels.groupBy($"cluster").count()
+      .as[(Long, Long)].collect()
+    spark.catalog.clearCache()
+    // every cluster has >= 2 members and the report's member/drop totals
+    // recompose exactly from the label frame
+    assert(byCluster.forall(_._2 >= 2))
+    val members = report.map(r => r.getLong(0) * r.getLong(1)).sum
+    val dropped = report.map(_.getLong(2)).sum
+    assert(members == byCluster.map(_._2).sum, "cluster membership mismatch")
+    assert(dropped == byCluster.map(_._2 - 1).sum, "survivor-drop count mismatch")
+    report.foreach(r => assert(r.getLong(3) >= 0, "negative chars_dropped"))
+  }
+
   test("scrubPii replaces emails, urls, digit runs; URL stops at newline") {
     val out = Seq("mail me at bob@example.com or see https://ex.co/a?id=12345 code 987654")
       .toDF("text").select(TextOps.scrubPii($"text")).as[String].collect().head
