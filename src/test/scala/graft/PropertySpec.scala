@@ -164,6 +164,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("boundedSelfPairs = naive bucket self-join for random skew profiles") {
+    // the law behind every LSH guard: for ANY (bucket, id) distribution —
+    // from uniform to one-bucket-holds-all — the triangle decomposition
+    // emits exactly the naive join's pair set. Random profiles complement
+    // SkewSpec's targeted floods; thresholds forced low so blocks engage.
+    val profileGen: Gen[List[(Long, Long)]] = Gen.listOfN(250, for {
+      // zipf-ish: bucket 0 is hot with probability ~1/2 per row
+      hot <- Gen.prob(0.5)
+      b <- if (hot) Gen.const(0L) else Gen.choose(1L, 12L)
+    } yield b).map(_.zipWithIndex.map { case (b, i) => (i.toLong, b) })
+    for (seed <- 1L to 4L) {
+      val rows = sample(profileGen, seed).toDF("id", "bucket")
+      val naive = rows.toDF("ida", "bucket").join(rows.toDF("idb", "bucket"), "bucket")
+        .filter($"ida" < $"idb").select("ida", "idb")
+        .distinct().as[(Long, Long)].collect().toSet
+      val got = graft.ops.Skew.boundedSelfPairs(rows, Seq("bucket"), "id",
+          hotThreshold = 20, blockSize = 8)
+        .as[(Long, Long)].collect().toSet
+      assert(got == naive, s"seed=$seed: guard pair set diverged from naive join")
+    }
+  }
+
   test("asof: matched ts is the maximum build ts <= probe ts (or null)") {
     val evGen = Gen.listOfN(25, for {
       k <- Gen.choose(0, 2)
