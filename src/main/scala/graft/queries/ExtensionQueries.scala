@@ -595,6 +595,33 @@ object ExtensionQueries {
             .as("recall_ppm"))
     }),
 
+    // ───── cross-split leakage audit: near-dup pairs that STRADDLE the
+    // x21 train/val hash split — the QA check that catches evaluation
+    // contamination by near-duplicates (a val document whose near-twin
+    // sits in train scores as memorization, not generalization; random
+    // splits leak exactly this way, which is why production splits hash
+    // the DEDUP CLUSTER id, not the doc id). Output: the split-pair
+    // matrix with pair counts and the distinct val documents leaked.
+    // Candidates from the x03 band stage — cost is the LSH pipeline, not
+    // a corpus join; the split label is a projection of doc_id alone
+    "x115_split_leakage" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
+        .select(col("id_a"), col("id_b"))
+      def splitOf(c: org.apache.spark.sql.Column) =
+        when(substring(md5(concat(lit("doc_"), c)), 1, 2) < "1a", "val")
+          .otherwise("train")
+      pairs
+        .withColumn("sa0", splitOf(col("id_a")))
+        .withColumn("sb0", splitOf(col("id_b")))
+        .groupBy(least(col("sa0"), col("sb0")).as("split_a"),
+          greatest(col("sa0"), col("sb0")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(when(col("sa0") =!= col("sb0"),
+            when(col("sa0") === "val", col("id_a")).otherwise(col("id_b"))))
+            .as("n_leaked_val_docs"))
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the stub-decoded dimensions — the projection a
     // decode stage partitions/batches by
@@ -654,6 +681,39 @@ object ExtensionQueries {
            CAST(SUM(n - 1) AS BIGINT) AS docs_dropped,
            CAST(SUM(chars - kept_chars) AS BIGINT) AS chars_dropped
          FROM per GROUP BY n""",
+    // x115: the x03 band chain labels each candidate pair with the x21
+    // split rule; matrix rows normalized by least/greatest so orientation
+    // can't split a cell
+    "x115_split_leakage" ->
+      s"""WITH sh AS ${shingleSql()},
+         comps AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || g)) AS sig
+           FROM sh, range(0, 12) r(i) GROUP BY doc_id, i),
+         buckets AS (SELECT doc_id, i // 3 AS band,
+             md5(string_agg(sig, '|' ORDER BY i)) AS h
+           FROM comps GROUP BY doc_id, i // 3),
+         cand0 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM buckets l JOIN buckets r
+           ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
+         est AS (SELECT id_a, id_b,
+             CAST(SUM(CASE WHEN ca.sig = cb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 12
+               AS ej
+           FROM cand0
+           JOIN comps ca ON ca.doc_id = id_a
+           JOIN comps cb ON cb.doc_id = id_b AND ca.i = cb.i
+           GROUP BY id_a, id_b),
+         pairs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.25),
+         lab AS (SELECT id_a, id_b,
+             CASE WHEN substr(md5('doc_' || id_a), 1, 2) < '1a'
+               THEN 'val' ELSE 'train' END AS sa0,
+             CASE WHEN substr(md5('doc_' || id_b), 1, 2) < '1a'
+               THEN 'val' ELSE 'train' END AS sb0
+           FROM pairs)
+         SELECT least(sa0, sb0) AS split_a, greatest(sa0, sb0) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN sa0 <> sb0 THEN
+             CASE WHEN sa0 = 'val' THEN id_a ELSE id_b END END) AS BIGINT)
+             AS n_leaked_val_docs
+         FROM lab GROUP BY least(sa0, sb0), greatest(sa0, sb0)""",
     // x113: truth = probe-restricted exact Jaccard (integer surfaces:
     // J >= 0.05 as common*20 >= union, decile as (common*10) // union);
     // candidates replay x03's md5-MinHash band chain at est >= 0.25
