@@ -605,8 +605,14 @@ object ExtensionQueries {
     // Candidates from the x03 band stage — cost is the LSH pipeline, not
     // a corpus join; the split label is a projection of doc_id alone
     "x115_split_leakage" -> ((s, d) => {
-      val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+      val docs = t(s, d, "documents")
+      val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
           shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
+        .select(col("id_a"), col("id_b"))
+      // verified near-dups (the x27 verify stage): leakage counts REAL
+      // near-twins, not band noise — and makes x116's zero exact
+      val pairs = Dedup.jaccardForPairs(docs, "doc_id", "text", 2, cands)
+        .filter(col("jaccard") >= 0.2)
         .select(col("id_a"), col("id_b"))
       def splitOf(c: org.apache.spark.sql.Column) =
         when(substring(md5(concat(lit("doc_"), c)), 1, 2) < "1a", "val")
@@ -614,6 +620,42 @@ object ExtensionQueries {
       pairs
         .withColumn("sa0", splitOf(col("id_a")))
         .withColumn("sb0", splitOf(col("id_b")))
+        .groupBy(least(col("sa0"), col("sb0")).as("split_a"),
+          greatest(col("sa0"), col("sb0")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(when(col("sa0") =!= col("sb0"),
+            when(col("sa0") === "val", col("id_a")).otherwise(col("id_b"))))
+            .as("n_leaked_val_docs"))
+    }),
+
+    // ───── cluster-aware split assignment — the FIX for what x115
+    // detects: hash the DEDUP-CLUSTER id (survivor id for clustered
+    // documents, own id otherwise) instead of the doc id, so a near-dup
+    // family lands in ONE split by construction. Output is x115's matrix
+    // recomputed under the cluster-keyed split over the SAME verified
+    // pair set: every verified pair is a cluster edge, both endpoints
+    // share a split key, and the cross-split row vanishes — leakage is
+    // structurally zero, not statistically small
+    "x116_cluster_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val labels = Dedup.lshDedupClusters(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 12, rowsPerBand = 3,
+        candTau = 0.25, jaccardTau = 0.2)
+      val key = docs.select(col("doc_id"))
+        .join(labels.select(col("id").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("skey"))
+      def splitOf(c: org.apache.spark.sql.Column) =
+        when(substring(md5(concat(lit("doc_"), c)), 1, 2) < "1a", "val")
+          .otherwise("train")
+      val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
+        .select(col("id_a"), col("id_b"))
+      val pairs = Dedup.jaccardForPairs(docs, "doc_id", "text", 2, cands)
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"))
+      pairs
+        .join(key.select(col("doc_id").as("id_a"), splitOf(col("skey")).as("sa0")), "id_a")
+        .join(key.select(col("doc_id").as("id_b"), splitOf(col("skey")).as("sb0")), "id_b")
         .groupBy(least(col("sa0"), col("sb0")).as("split_a"),
           greatest(col("sa0"), col("sb0")).as("split_b"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -681,33 +723,38 @@ object ExtensionQueries {
            CAST(SUM(n - 1) AS BIGINT) AS docs_dropped,
            CAST(SUM(chars - kept_chars) AS BIGINT) AS chars_dropped
          FROM per GROUP BY n""",
-    // x115: the x03 band chain labels each candidate pair with the x21
-    // split rule; matrix rows normalized by least/greatest so orientation
-    // can't split a cell
+    // x116: the full cluster chain + the SAME verified pair set (`ver`),
+    // split keys = coalesce(cluster, doc_id) hashed under the x21 rule
+    "x116_cluster_split" ->
+      s"""WITH RECURSIVE $lshClusterCtes,
+         k AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS skey
+           FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+         lab AS (SELECT c.id_a, c.id_b,
+             CASE WHEN substr(md5('doc_' || ka.skey), 1, 2) < '1a'
+               THEN 'val' ELSE 'train' END AS sa0,
+             CASE WHEN substr(md5('doc_' || kb.skey), 1, 2) < '1a'
+               THEN 'val' ELSE 'train' END AS sb0
+           FROM ver c
+           JOIN k ka ON c.id_a = ka.doc_id
+           JOIN k kb ON c.id_b = kb.doc_id)
+         SELECT least(sa0, sb0) AS split_a, greatest(sa0, sb0) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN sa0 <> sb0 THEN
+             CASE WHEN sa0 = 'val' THEN id_a ELSE id_b END END) AS BIGINT)
+             AS n_leaked_val_docs
+         FROM lab GROUP BY least(sa0, sb0), greatest(sa0, sb0)""",
+    // x115: the x27 chain through the exact-Jaccard verify (`ver` — the
+    // recursive tail of the shared CTE constant goes unreferenced and
+    // unevaluated), labels under the x21 split rule; matrix rows
+    // normalized by least/greatest so orientation can't split a cell
     "x115_split_leakage" ->
-      s"""WITH sh AS ${shingleSql()},
-         comps AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || g)) AS sig
-           FROM sh, range(0, 12) r(i) GROUP BY doc_id, i),
-         buckets AS (SELECT doc_id, i // 3 AS band,
-             md5(string_agg(sig, '|' ORDER BY i)) AS h
-           FROM comps GROUP BY doc_id, i // 3),
-         cand0 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-           FROM buckets l JOIN buckets r
-           ON l.band = r.band AND l.h = r.h AND l.doc_id < r.doc_id),
-         est AS (SELECT id_a, id_b,
-             CAST(SUM(CASE WHEN ca.sig = cb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 12
-               AS ej
-           FROM cand0
-           JOIN comps ca ON ca.doc_id = id_a
-           JOIN comps cb ON cb.doc_id = id_b AND ca.i = cb.i
-           GROUP BY id_a, id_b),
-         pairs AS (SELECT id_a, id_b FROM est WHERE ej >= 0.25),
+      s"""WITH RECURSIVE $lshClusterCtes,
          lab AS (SELECT id_a, id_b,
              CASE WHEN substr(md5('doc_' || id_a), 1, 2) < '1a'
                THEN 'val' ELSE 'train' END AS sa0,
              CASE WHEN substr(md5('doc_' || id_b), 1, 2) < '1a'
                THEN 'val' ELSE 'train' END AS sb0
-           FROM pairs)
+           FROM ver)
          SELECT least(sa0, sb0) AS split_a, greatest(sa0, sb0) AS split_b,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(COUNT(DISTINCT CASE WHEN sa0 <> sb0 THEN
