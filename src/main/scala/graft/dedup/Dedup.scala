@@ -89,7 +89,7 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
         "trailing signature components would be silently excluded from banding")
     val signed = withSignature(docs, idCol, textCol, shingleK, numHashes)
-    lshCandidatePairs(signed, idCol, numHashes, rowsPerBand, tau,
+    lshPairsFromSignatures(signed, idCol, numHashes, rowsPerBand, tau,
       hotThreshold, blockSize)
   }
 
@@ -151,8 +151,10 @@ object Dedup {
 
   /** Banding + estimated-Jaccard filter over an already-computed (cached)
     * signature frame — shared by [[minhashLshPairs]] and
-    * [[lshDedupClusters]]. */
-  private def lshCandidatePairs(signed: DataFrame, idCol: String,
+    * [[lshDedupClusters]], and public for composed pipelines that reuse
+    * one signature frame across stages (x115/x116 share signatures
+    * between candidate generation, verification, and clustering). */
+  def lshPairsFromSignatures(signed: DataFrame, idCol: String,
                                 numHashes: Int, rowsPerBand: Int,
                                 tau: Double, hotThreshold: Int = 4096,
                                 blockSize: Int = 2048): DataFrame = {
@@ -290,7 +292,7 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val sh = TextOps.shingleRows(docs, idCol, textCol, shingleK).cache()
     val signed = signatureOfShingles(sh, idCol, numHashes).cache()
-    val cands = lshCandidatePairs(signed, idCol, numHashes, rowsPerBand, candTau)
+    val cands = lshPairsFromSignatures(signed, idCol, numHashes, rowsPerBand, candTau)
       .select(col("id_a"), col("id_b"))
     val verified = jaccardForShingles(sh, idCol, cands)
       .filter(col("jaccard") >= jaccardTau)

@@ -606,12 +606,15 @@ object ExtensionQueries {
     // a corpus join; the split label is a projection of doc_id alone
     "x115_split_leakage" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
-        .select(col("id_a"), col("id_b"))
-      // verified near-dups (the x27 verify stage): leakage counts REAL
+      // ONE tokenization: the shingle frame feeds signatures AND the
+      // verify stage (caller-managed caches, cleared per query).
+      // Verified near-dups (the x27 verify stage): leakage counts REAL
       // near-twins, not band noise — and makes x116's zero exact
-      val pairs = Dedup.jaccardForPairs(docs, "doc_id", "text", 2, cands)
+      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2).cache()
+      val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cache()
+      val cands = Dedup.lshPairsFromSignatures(signed, "doc_id", 12, 3, 0.25)
+        .select(col("id_a"), col("id_b"))
+      val pairs = Dedup.jaccardForShingles(sh, "doc_id", cands)
         .filter(col("jaccard") >= 0.2)
         .select(col("id_a"), col("id_b"))
       def splitOf(c: org.apache.spark.sql.Column) =
@@ -638,21 +641,23 @@ object ExtensionQueries {
     // structurally zero, not statistically small
     "x116_cluster_split" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val labels = Dedup.lshDedupClusters(docs, "doc_id", "text",
-        shingleK = 2, numHashes = 12, rowsPerBand = 3,
-        candTau = 0.25, jaccardTau = 0.2)
+      // ONE pipeline end-to-end: the shingle frame feeds signatures and
+      // verification, the verified pairs feed BOTH the cluster labels
+      // (CC) and the leakage matrix — nothing is recomputed
+      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2).cache()
+      val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cache()
+      val cands = Dedup.lshPairsFromSignatures(signed, "doc_id", 12, 3, 0.25)
+        .select(col("id_a"), col("id_b"))
+      val pairs = Dedup.jaccardForShingles(sh, "doc_id", cands)
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.connectedComponents(pairs)
       val key = docs.select(col("doc_id"))
         .join(labels.select(col("id").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("skey"))
       def splitOf(c: org.apache.spark.sql.Column) =
         when(substring(md5(concat(lit("doc_"), c)), 1, 2) < "1a", "val")
           .otherwise("train")
-      val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
-        .select(col("id_a"), col("id_b"))
-      val pairs = Dedup.jaccardForPairs(docs, "doc_id", "text", 2, cands)
-        .filter(col("jaccard") >= 0.2)
-        .select(col("id_a"), col("id_b"))
       pairs
         .join(key.select(col("doc_id").as("id_a"), splitOf(col("skey")).as("sa0")), "id_a")
         .join(key.select(col("doc_id").as("id_b"), splitOf(col("skey")).as("sb0")), "id_b")
