@@ -107,10 +107,10 @@ object Relational {
   def explodeMapOfLists(df: DataFrame, mapCol: String,
                         keyName: String, valueName: String): DataFrame = {
     val exploded = df.select(
-      (df.columns.filterNot(_ == mapCol).map(col) :+
+      (df.columns.toIndexedSeq.filterNot(_ == mapCol).map(col) :+
         explode(col(mapCol)).as(Seq("__k", "__vs"))): _*)
     exploded.select(
-      (exploded.columns.filterNot(c => c == "__k" || c == "__vs").map(col) :+
+      (exploded.columns.toIndexedSeq.filterNot(c => c == "__k" || c == "__vs").map(col) :+
         col("__k").as(keyName) :+ explode(col("__vs")).as(valueName)): _*)
   }
 

@@ -20,7 +20,7 @@ object Retry {
     * `jitterMs` of deterministic spread. */
   def delayMs(attempt: Int, baseMs: Long, jitterMs: Long, seed: Long): Long = {
     val backoff = baseMs * (1L << math.min(attempt - 1, 20)) // cap the shift
-    val h = scala.util.hashing.MurmurHash3.productHash((seed, attempt))
+    val h = scala.util.hashing.MurmurHash3.caseClassHash((seed, attempt))
     backoff + (if (jitterMs > 0) math.floorMod(h.toLong, jitterMs) else 0L)
   }
 

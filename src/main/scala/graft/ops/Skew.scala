@@ -67,7 +67,7 @@ object Skew {
         joinType.toLowerCase),
       s"saltedJoin preserves semantics only for inner/left/semi/anti joins, got $joinType")
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
@@ -361,7 +361,7 @@ object Skew {
   def saltedAgg(df: DataFrame, key: String, saltBuckets: Int,
                 aggs: Seq[Column], merges: Seq[Column]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     salted.groupBy(col(key), col("__salt"))
       .agg(aggs.head, aggs.tail: _*)
       .groupBy(col(key))

@@ -105,7 +105,7 @@ object Similarity {
     // just ~50× cheaper per vector (measured: the coding pass dominated
     // the banded near-dup pipeline before this)
     val bits = anchors.map { a =>
-      val lits = array(a.map(v => lit(v)): _*)
+      val lits = array(a.toIndexedSeq.map(v => lit(v)): _*)
       when(dot(vec, lits) > 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)

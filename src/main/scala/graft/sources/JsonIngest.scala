@@ -30,10 +30,10 @@ object JsonIngest {
       .reduce(_ && _)
     val bad = col(jsonCol).isNotNull && (col("__p").isNull || allNull)
     val good = parsed.filter(!bad)
-      .select(df.columns.filterNot(_ == jsonCol).map(col) ++
+      .select(df.columns.toIndexedSeq.filterNot(_ == jsonCol).map(col) ++
         schema.fieldNames.map(f => col("__p").getField(f).as(f)): _*)
     val quarantine = parsed.filter(bad)
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
     Parsed(good, quarantine)
   }
 }
