@@ -55,8 +55,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     if (errors.nonEmpty) {
-      System.err.println(
-        s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.mkString(", ")}")
+      // stdout AND stderr: the driver keeps stdout tails, so the tally must
+      // survive even if errors.json is never read
+      val tally =
+        s"[verify] ${errors.size} QUERIES FAILED: ${errors.keys.mkString(", ")}"
+      println(tally)
+      System.err.println(tally)
       // Exit nonzero only for explicit subset runs (local iteration); the
       // driver's full run still gets all green dumps + errors.json even if
       // one query regresses.

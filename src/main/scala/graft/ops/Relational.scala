@@ -55,21 +55,38 @@ object Relational {
     * distributed engine. Here the caller supplies a stable ordering key and
     * new ids are `max(existing) + row_number() over (order by key)`.
     *
-    * Scale note: the row_number window over the *null-id subset* is a
-    * single-partition window, which is fine because unmatched rows are a
-    * small remainder by construction (the reference allocates ids for a
-    * handful of new entities per run). Do NOT use this for bulk surrogate
-    * keys — use zipWithIndex-style allocation instead.
+    * Scale note: the global row_number is computed two-level, the same
+    * shape as [[prefixSum]] — range-partition the null-id subset on the
+    * ordering key, rank within each partition in parallel, then add each
+    * partition's starting offset (a broadcast triangular join over the
+    * one-row-per-partition counts frame). No single-partition window
+    * anywhere in the plan, so the op survives a BULK unmatched batch, not
+    * just the reference's handful-of-new-entities-per-run remainder.
+    * Range partitioning keeps equal ordering keys in one partition, so
+    * assignments match the serial `row_number() over (order by key)`
+    * exactly whenever the key is unique (ties tie-break arbitrarily, as
+    * any row_number does).
     */
   def allocateIds(df: DataFrame, idCol: String, orderBy: Seq[Column]): DataFrame = {
+    require(orderBy.nonEmpty, "allocateIds needs a stable ordering key")
     val matched = df.filter(col(idCol).isNotNull)
     val unmatched = df.filter(col(idCol).isNull)
     val maxId = coalesce(max(col(idCol)), lit(0L))
-    val w = Window.orderBy(orderBy: _*)
-    val allocated = unmatched
+    // level 1: parallel per-range ranks over the range-partitioned subset
+    val parted = unmatched.repartitionByRange(orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
+    val local = parted.withColumn("__lrn", row_number().over(wIn))
+    // level 2: per-range starting offsets (≤ #shuffle-partitions rows)
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.select(col("__pid").as("__bpid"),
+        col("__cnt").as("__bcnt"))), col("__bpid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
+    val allocated = local.join(broadcast(offsets), Seq("__pid"))
       .crossJoin(broadcast(matched.agg(maxId.as("__max_id"))))
-      .withColumn(idCol, col("__max_id") + row_number().over(w))
-      .drop("__max_id")
+      .withColumn(idCol, col("__max_id") + col("__off") + col("__lrn"))
     matched.unionByName(allocated.select(df.columns.map(col).toSeq: _*))
   }
 

@@ -21,8 +21,30 @@ object Skew {
     * templates, wrong for a degenerate thousands-of-hot-buckets census. */
   private[graft] val MaxLiteralHotBuckets = 64
 
+  /** The literal-map probe key: one string per key tuple. The SAME
+    * expression computes the map's keys at census-collect time (see
+    * [[censusHead]]) — both encodings come from one code path, so the
+    * lookup cannot silently miss on formatting differences (the hazard of
+    * mixing JVM `toString` with SQL `concat_ws`: nulls, binary, strings
+    * containing the separator). Distinct tuples can still COLLIDE under
+    * concat_ws (null-skipping, embedded ':'), but a collision only makes
+    * two buckets share an `nblk`; every row of a bucket computes the same
+    * probe string, so rows within a bucket always agree on `nblk` — the
+    * invariant the triangle decomposition's correctness rests on. In-repo
+    * callers key on non-null longs, where the encoding is injective. */
+  private def probeKey(keyNames: Seq[String]): Column =
+    concat_ws(":", keyNames.map(k => col(k).cast("string")): _*)
+
+  /** Collect the census head with the probe key materialized server-side
+    * (`__k` column) alongside the bucket population (`__n`). */
+  private def censusHead(hot: DataFrame, keyNames: Seq[String])
+      : Array[org.apache.spark.sql.Row] =
+    hot.withColumn("__k", probeKey(keyNames))
+      .limit(MaxLiteralHotBuckets + 1).collect()
+
   /** Attach `__nblk` (block count per row, 1 for cold rows) to `frame`,
-    * given the already-collected head of the hot census. Small hot sets
+    * given the already-collected head of the hot census ([[censusHead]]
+    * rows, carrying `__n` and the Spark-computed `__k`). Small hot sets
     * (the common case — a flood is a few templates) inline as a literal
     * map lookup, keeping the guard's plan free of extra join nodes; large
     * hot sets fall back to a broadcast hash join of the census frame.
@@ -33,15 +55,13 @@ object Skew {
                        hotDf: DataFrame, blockSize: Int): DataFrame =
     if (hotHead.length <= MaxLiteralHotBuckets) {
       val m: Map[String, Int] = hotHead.map { r =>
-        val n = r.getLong(r.length - 1)
-        r.toSeq.dropRight(1).mkString(":") ->
-          ((n + blockSize - 1) / blockSize).toInt
+        val n = r.getAs[Long]("__n")
+        r.getAs[String]("__k") -> ((n + blockSize - 1) / blockSize).toInt
       }.toMap
       // try_element_at, not element_at: ANSI mode makes a missing map key
       // an error, and cold rows are the overwhelming majority
       frame.withColumn("__nblk", coalesce(
-        try_element_at(typedlit(m),
-          concat_ws(":", keyNames.map(k => col(k).cast("string")): _*)),
+        try_element_at(typedlit(m), probeKey(keyNames)),
         lit(1)))
     } else
       frame.join(broadcast(hotDf), keyNames, "left")
@@ -118,7 +138,7 @@ object Skew {
     // hot-bucket census: tiny by definition (only buckets over threshold)
     val hot = slim.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
-    val hotHead = hot.limit(MaxLiteralHotBuckets + 1).collect()
+    val hotHead = censusHead(hot, keyCols)
     if (hotHead.isEmpty) {
       // skew-free corpus: no guard tax — one census job over the cached
       // frame, then the plain bucket self-join
@@ -173,7 +193,7 @@ object Skew {
     val l = left.select((keys :+ col(idCol)): _*)
     val hot = r.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
-    val hotHead = hot.limit(MaxLiteralHotBuckets + 1).collect()
+    val hotHead = censusHead(hot, keyCols)
     if (hotHead.isEmpty) {
       // skew-free standing index: plain bucket join, no replication
       return l.toDF((keyCols :+ "__ida"): _*)
@@ -271,7 +291,7 @@ object Skew {
     // skew stress twins, dominated by those extra plan nodes at small
     // scale). Only a degenerate many-hot-bucket census pays the
     // broadcast-join form.
-    val hotHead = hotDf.limit(Skew.MaxLiteralHotBuckets + 1).collect()
+    val hotHead = censusHead(hotDf, Seq("__j", "__band"))
     if (hotHead.isEmpty) {
       // skew-free: plain bucket self-join, id order dedups orientation
       return oriented(bands
@@ -336,7 +356,7 @@ object Skew {
        else Seq(col("__pla").as("carry_a"), col("__plb").as("carry_b")))
     val hot = rb.groupBy(col("__j"), col("__band"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > hotThreshold)
-    val hotHead = hot.limit(MaxLiteralHotBuckets + 1).collect()
+    val hotHead = censusHead(hot, Seq("__j", "__band"))
     val l = lb.select(col("__j"), col("__band"), col("__id").as("__ida"),
       col("__bv").as("__bva"), col("__pl").as("__pla"))
     val r = rb.select(col("__j"), col("__band"), col("__id").as("__idb"),

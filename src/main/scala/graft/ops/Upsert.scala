@@ -77,12 +77,23 @@ object Upsert {
   /** JDBC transport: `df.write.jdbc` batch-inserts the staging table
     * (executor-parallel, batched statements — not per-row round trips),
     * then the upsert statement runs once on a driver connection.
-    * (reference `helpers/load_helpers.py:4-39` — temp table + ON CONFLICT). */
+    * (reference `helpers/load_helpers.py:4-39` — temp table + ON CONFLICT).
+    *
+    * `stagingColumnTypes` (Spark's `createTableColumnTypes` syntax, e.g.
+    * `"id VARCHAR(16), body VARCHAR(256)"`) overrides the writer's default
+    * DDL for the staging table. Needed whenever a KEY column is a string:
+    * the default StringType mapping is engine-dependent (CLOB on Derby,
+    * TEXT on Postgres) and some engines refuse to compare that against the
+    * target's VARCHAR key in the merge's ON clause. */
   final class JdbcUpsertSink(jdbcUrl: String,
-                             props: java.util.Properties = new java.util.Properties)
+                             props: java.util.Properties = new java.util.Properties,
+                             stagingColumnTypes: Option[String] = None)
       extends UpsertSink {
-    def stage(updates: DataFrame, tempTable: String): Unit =
-      updates.write.mode("overwrite").jdbc(jdbcUrl, tempTable, props)
+    def stage(updates: DataFrame, tempTable: String): Unit = {
+      val w = updates.write.mode("overwrite")
+      stagingColumnTypes.foreach(t => w.option("createTableColumnTypes", t))
+      w.jdbc(jdbcUrl, tempTable, props)
+    }
     def execute(sql: String): Unit = {
       val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
       try {

@@ -135,15 +135,15 @@ object CorpusQueries {
            LEFT JOIN cls ON d.doc_id = cls.doc_id
            LEFT JOIN cov ON d.doc_id = cov.doc_id),
          casc AS (SELECT doc_id, source, k_len, k_div, k_cls, k_vocab, k_mix,
-             CASE WHEN k_len THEN 1 ELSE 0 END
+             CAST(CASE WHEN k_len THEN 1 ELSE 0 END
                + CASE WHEN k_div THEN 2 ELSE 0 END
                + CASE WHEN k_cls THEN 4 ELSE 0 END
                + CASE WHEN k_vocab THEN 8 ELSE 0 END
-               + CASE WHEN k_mix THEN 16 ELSE 0 END AS bitmask,
+               + CASE WHEN k_mix THEN 16 ELSE 0 END AS BIGINT) AS bitmask,
              k_len AND k_div AND k_cls AND k_vocab AND k_mix AS keep,
-             CASE WHEN NOT k_len THEN 0 WHEN NOT k_div THEN 1
+             CAST(CASE WHEN NOT k_len THEN 0 WHEN NOT k_div THEN 1
                WHEN NOT k_cls THEN 2 WHEN NOT k_vocab THEN 3
-               WHEN NOT k_mix THEN 4 ELSE -1 END AS first_fail
+               WHEN NOT k_mix THEN 4 ELSE -1 END AS BIGINT) AS first_fail
            FROM k)"""
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1747,9 +1747,9 @@ object CorpusQueries {
            JOIN s2 USING (user_id)
            WHERE event_type = 'purchase' AND ms > t_click GROUP BY ev.user_id)
          SELECT u.user_id, t_signup, t_click, t_purchase,
-           CASE WHEN t_purchase IS NOT NULL THEN 3
+           CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
              WHEN t_click IS NOT NULL THEN 2
-             WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS stage
+             WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
          FROM (SELECT DISTINCT user_id FROM ev) u
          LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
          LEFT JOIN s3 USING (user_id)""",
@@ -1959,11 +1959,11 @@ object CorpusQueries {
            quantile_disc(n_chars, [0.25, 0.5, 0.75]) AS th
          FROM documents GROUP BY source)
          SELECT d.doc_id, d.source, d.n_chars,
-           CASE WHEN d.n_chars IS NULL THEN NULL
+           CAST(CASE WHEN d.n_chars IS NULL THEN NULL
              WHEN d.n_chars <= th[1] THEN 0
              WHEN d.n_chars <= th[2] THEN 1
              WHEN d.n_chars <= th[3] THEN 2
-             ELSE 3 END AS bin
+             ELSE 3 END AS BIGINT) AS bin
          FROM documents d JOIN th USING (source)""",
     "x87_blocked_editdist" ->
       s"""WITH p AS (SELECT doc_id, $normSql AS nm FROM documents
@@ -1980,9 +1980,9 @@ object CorpusQueries {
          gen AS (SELECT c_nationkey, COUNT(*) AS n_gen
            FROM customer GROUP BY 1)
          SELECT e.c_nationkey, e.c_mktsegment, e.n_exact, g.n_gen,
-           CASE WHEN e.n_exact >= 10 THEN 0
+           CAST(CASE WHEN e.n_exact >= 10 THEN 0
                 WHEN g.n_gen >= 10 THEN 1
-                ELSE 2 END AS gen_level
+                ELSE 2 END AS BIGINT) AS gen_level
          FROM exact e JOIN gen g USING (c_nationkey)""",
     "x89_trade_triangles" ->
       """WITH oc AS (SELECT o.o_orderkey, c.c_nationkey AS cn
@@ -1996,7 +1996,8 @@ object CorpusQueries {
          stats AS (SELECT CAST(SUM(w) AS BIGINT) AS sw, COUNT(*) AS np
            FROM flow),
          edges AS (SELECT a, b FROM flow, stats WHERE w * np > sw)
-         SELECT e1.a AS n_a, e1.b AS n_b, e2.b AS n_c
+         SELECT CAST(e1.a AS INT) AS n_a, CAST(e1.b AS INT) AS n_b,
+           CAST(e2.b AS INT) AS n_c
          FROM edges e1
            JOIN edges e2 ON e1.b = e2.a
            JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b""",
@@ -2118,7 +2119,7 @@ object CorpusQueries {
          SELECT asset_id, CAST(8000 AS INT) AS sample_rate,
            CAST(1 AS INT) AS channels, ns AS n_samples,
            CAST((i - 1) // 256 AS BIGINT) AS window_idx,
-           SUM(s * s) AS energy_sq
+           CAST(SUM(s * s) AS BIGINT) AS energy_sq
          FROM sgn GROUP BY asset_id, ns, (i - 1) // 256""",
     // x96: exact overlapping-occurrence counts — a position scan (does
     // the pattern start at i?), NOT the replace()-length trick, which

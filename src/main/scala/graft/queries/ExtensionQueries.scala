@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, RecallEval}
 import graft.mm.Multimodal
 import graft.similarity.Similarity
 import graft.text.TextOps
@@ -550,50 +550,19 @@ object ExtensionQueries {
 
     // ───── LSH-dedup recall evaluation — x48's ANN-recall shape for the
     // dedup family: exact n-gram Jaccard ground truth on a bounded PROBE
-    // sample (doc_id < 50 — linear in the corpus, not quadratic: the
-    // probe side of the inverted-index join is 50 documents' shingles;
-    // unblocked, because bands cross sources) graded against the
-    // production candidate stage
-    // (x03's md5-MinHash bands, est ≥ 0.25). Output: per exact-Jaccard
-    // decile, how many truth pairs the bands surfaced — the curve that
-    // says whether banding parameters (12 hashes × 3 rows) match the
-    // corpus before a full run. All surfaces integer-exact: the decile is
-    // (common·10) div union, recall in ppm
-    "x113_lsh_recall" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      // caller-managed cache (Verify/Bench clear per query): the inverted
-      // index feeds the probe join AND the per-doc size aggregation
-      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2)
-        .cache()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val shP = sh.filter(col("doc_id") < 50)
-        .select(col("doc_id").as("id_a"), col("g"))
-      val shAll = sh.select(col("doc_id").as("id_b"), col("g"))
-      // truth is deliberately UNBLOCKED (bands cross sources, so the
-      // graded truth must too). orientation discipline: probe-vs-corpus
-      // rows keep id_a < id_b for free (probes are the low ids);
-      // probe-vs-probe pairs keep only the ascending orientation so
-      // common counts once per pair
-      val common = shP.join(shAll, Seq("g"))
-        .filter(col("id_b") > col("id_a"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-      val truth = common
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-        .withColumn("uni", col("na") + col("nb") - col("common"))
-        .filter(col("common") * 20 >= col("uni")) // exact J >= 0.05
-        .withColumn("j_bucket", expr("(common * 10) div uni"))
-      val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
-        .select(col("id_a"), col("id_b"), lit(1L).as("found"))
-      truth.join(cands, Seq("id_a", "id_b"), "left")
-        .groupBy(col("j_bucket"))
-        .agg(count(lit(1)).as("n_truth"),
-          sum(coalesce(col("found"), lit(0L))).as("n_found"))
-        .select(col("j_bucket"), col("n_truth"), col("n_found"),
-          expr("(n_found * CAST(1000000 AS BIGINT)) div n_truth")
-            .as("recall_ppm"))
-    }),
+    // sample (3 md5-ranked docs per source — linear in the corpus, not
+    // quadratic; unblocked, because bands cross sources) graded against
+    // the production candidate stage (x03's md5-MinHash bands, est
+    // ≥ 0.25). Output: per exact-Jaccard decile, how many truth pairs the
+    // bands surfaced — the curve that says whether banding parameters
+    // (12 hashes × 3 rows) match the corpus before a full run. Probe size
+    // and stratification are parameters of [[RecallEval.lshRecallCurve]]
+    // (RecallEvalSpec locks that curves are consistent across probe
+    // sizes); this entry pins one configuration for the oracle
+    "x113_lsh_recall" -> ((s, d) =>
+      RecallEval.lshRecallCurve(t(s, d, "documents"), "doc_id", "text",
+        shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25,
+        probePerStratum = 3, stratifyCol = Some("source"))),
 
     // ───── cross-split leakage audit: near-dup pairs that STRADDLE the
     // x21 train/val hash split — the QA check that catches evaluation
@@ -768,15 +737,23 @@ object ExtensionQueries {
          FROM lab GROUP BY least(sa0, sb0), greatest(sa0, sb0)""",
     // x113: truth = probe-restricted exact Jaccard (integer surfaces:
     // J >= 0.05 as common*20 >= union, decile as (common*10) // union);
+    // probes = 3 md5-ranked docs per source (RecallEval.probeSet);
     // candidates replay x03's md5-MinHash band chain at est >= 0.25
     "x113_lsh_recall" ->
       s"""WITH sh AS ${shingleSql()},
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+         probes AS (SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM documents WHERE doc_id IS NOT NULL) r WHERE rn <= 3),
+         cm0 AS (SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS common
            FROM sh a JOIN sh b
-           ON a.g = b.g
-             AND a.doc_id < 50 AND b.doc_id > a.doc_id
+           ON a.g = b.g AND b.doc_id <> a.doc_id
+           WHERE a.doc_id IN (SELECT doc_id FROM probes)
            GROUP BY a.doc_id, b.doc_id),
+         cm AS (SELECT DISTINCT least(pa, pb) AS id_a,
+             greatest(pa, pb) AS id_b, common
+           FROM cm0),
          truth AS (SELECT id_a, id_b, common,
              sa.n + sb.n - common AS uni
            FROM cm JOIN sizes sa ON id_a = sa.doc_id
@@ -1141,12 +1118,12 @@ object ExtensionQueries {
              CAST(n % 480 + 1 AS INT) AS height
            FROM s)
          SELECT asset_id, width, height,
-           CASE WHEN greatest(width, height) <= 224 THEN width
+           CAST(CASE WHEN greatest(width, height) <= 224 THEN width
                 ELSE greatest(CAST(floor(width * 224 / greatest(width, height)) AS INT), 1)
-           END AS new_width,
-           CASE WHEN greatest(width, height) <= 224 THEN height
+           END AS INT) AS new_width,
+           CAST(CASE WHEN greatest(width, height) <= 224 THEN height
                 ELSE greatest(CAST(floor(height * 224 / greatest(width, height)) AS INT), 1)
-           END AS new_height
+           END AS INT) AS new_height
          FROM dims""",
     // x32: stub-decode frame counts from payload bytes, frame fan-out via
     // range unnest — mirrors sampleFrames(stride=3)

@@ -75,8 +75,9 @@ class PlanAssertSpec extends SparkSpec {
   }
 
   test("catalog sweep: no cartesian products anywhere; single-partition exchanges only where documented") {
-    // Documented exceptions. q15: the unpartitioned window runs over the
-    // bounded null-id remainder only (Relational.allocateIds). q23/q30/x54:
+    // Documented exceptions. q15: only the max(id) scalar aggregate (one
+    // pre-aggregated row per partition) — the allocation window itself is
+    // partition-keyed, locked by the dedicated q15 test below. q23/q30/x54:
     // a whole-table scalar aggregate (MIN/MAX, global bigram mean) — the
     // single partition receives one pre-aggregated row per upstream
     // partition (map-side partial combine), not data; that is the correct
@@ -119,6 +120,25 @@ class PlanAssertSpec extends SparkSpec {
         ).flatten
     }
     assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("q15 id allocation: two-level row_number, no single-partition window") {
+    // allocateIds ranks the null-id subset per range partition and adds
+    // broadcast offsets — a serial Window.orderBy would show up here as an
+    // Exchange SinglePartition feeding a Sort + WindowExec. The one
+    // permitted single-partition exchange is the max(id) scalar aggregate,
+    // whose child is always a partial HashAggregate (one row per upstream
+    // partition), never a Sort.
+    val p = plan("q15_id_allocation")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"allocation window lost its partition key:\n$p")
+    val lines = p.linesIterator.toVector
+    lines.indices.filter(lines(_).contains("Exchange SinglePartition"))
+      .foreach { i =>
+        val child = lines.drop(i + 1).find(_.trim.nonEmpty).getOrElse("")
+        assert(child.contains("HashAggregate") && child.contains("partial_"),
+          s"single-partition exchange feeds a non-scalar-aggregate:\n$p")
+      }
   }
 
   test("x103 tfidf: top-5 filter prunes via WindowGroupLimit before the sort") {

@@ -3,7 +3,15 @@
 given SF, then execute each oracle SQL in DuckDB over the same parquet
 tables and compare (columns sorted by name, rows sorted, exact values).
 
-Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
+Dtype-STRICT by default (round 6): the pandas dtype of every compared
+column must match exactly between the Spark dump and the DuckDB oracle.
+Both sides are materialized through DuckDB (got via read_parquet, exp via
+the oracle SQL), so a drift like DuckDB typing SUM(BIGINT) as HUGEINT
+(→ float64) against Spark's int64 fails loudly here, exactly as it fails
+the driver's typed hash. Pass --lenient to restore the old value-only
+compare (int 5 == float 5.0) for debugging.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [--lenient] [names...]
 """
 import json, subprocess, sys, glob, os
 
@@ -11,6 +19,7 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 flags = [a for a in sys.argv[3:]]
 skip_verify = "--skip-verify" in flags
+lenient = "--lenient" in flags
 only = [a for a in flags if not a.startswith("--")]
 
 repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -60,6 +69,16 @@ for name in names:
     if len(got) != len(exp):
         print(f"{name:28s} ROWCOUNT got={len(got)} exp={len(exp)}")
         fails.append(name); continue
+    if not lenient:
+        # Strict dtype gate: the driver hashes typed values, so an
+        # int64-vs-float64 (HUGEINT/DOUBLE) drift is a driver failure even
+        # when every value compares equal. Catch it here.
+        bad_dtypes = [(c, str(got[c].dtype), str(exp[c].dtype))
+                      for c in got.columns if got[c].dtype != exp[c].dtype]
+        if bad_dtypes:
+            print(f"{name:28s} DTYPE MISMATCH " +
+                  "; ".join(f"{c}: got={g} exp={e}" for c, g, e in bad_dtypes))
+            fails.append(name); continue
     g = got.sort_values(list(got.columns)).reset_index(drop=True)
     e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
     eq = True
