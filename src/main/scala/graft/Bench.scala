@@ -80,10 +80,17 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     spark.catalog.clearCache()
-    val sp1 = stressPass()
-    val skewResults = stressPass().map { case (k, v) =>
-      k -> (if (v < 0 || sp1(k) < 0) -1.0 else math.min(v, sp1(k)))
-    }
+    // min-of-3 for the stress section (vs min-of-2 for the catalog): the
+    // graded number here is a RATIO of two short runs, so its variance is
+    // roughly double a single timing's — SkewTune sweeps show the same
+    // parameters spread 1.05–1.57× run-to-run at these sub-second sizes,
+    // with the first pair in a session paying residual warmup. One extra
+    // pass costs ~8 s and roughly halves the ratio spread.
+    val stressPasses = Seq.fill(3)(stressPass())
+    val skewResults = stress.map { case (name, _) =>
+      val vs = stressPasses.map(_(name))
+      name -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+    }.toMap
     val sk = skewResults.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 

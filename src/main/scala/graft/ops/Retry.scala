@@ -17,7 +17,14 @@ package graft.ops
 object Retry {
 
   /** Delay before retry `attempt` (1-based): base·2^(attempt-1) plus up to
-    * `jitterMs` of deterministic spread. */
+    * `jitterMs` of deterministic spread.
+    *
+    * The jitter is deterministic PER LIBRARY VERSION, not across versions:
+    * it hashes (seed, attempt) with the standard-library hash, whose value
+    * changed when the deprecated productHash was replaced with
+    * caseClassHash. Consumers must not persist expected delay sequences —
+    * replay-exactness holds within a build, which is all fleet
+    * de-synchronization and the in-repo tests need. */
   def delayMs(attempt: Int, baseMs: Long, jitterMs: Long, seed: Long): Long = {
     val backoff = baseMs * (1L << math.min(attempt - 1, 20)) // cap the shift
     val h = scala.util.hashing.MurmurHash3.caseClassHash((seed, attempt))

@@ -35,4 +35,26 @@ class CatalogPreflightSpec extends SparkSpec {
     // declare an oracle for every query — keep it that way.
     assert(missing.isEmpty, s"queries without oracleSql: ${missing.toSeq.sorted}")
   }
+
+  test("preflight: no catalog query outputs a narrow numeric type") {
+    // The driver's compare hashes TYPED values and DuckDB widens
+    // aggressively (integer SUM → HUGEINT, least/greatest INTEGER →
+    // BIGINT, float math → DOUBLE), so FloatType / ShortType / ByteType
+    // in a query's OUTPUT schema is a standing hash-drift hazard even
+    // when every value matches — the round-5 x95 failure class. Catalog
+    // outputs stick to long/int/double/decimal and the non-numeric
+    // types; this locks that convention at plan time, without DuckDB.
+    import org.apache.spark.sql.types.{ByteType, FloatType, ShortType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sfDir).schema.fields.collect {
+          case f if Set[Any](FloatType, ShortType, ByteType)(f.dataType) =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+        spark.catalog.clearCache()
+        bad
+    }
+    assert(offenders.isEmpty,
+      s"narrow numeric output types (oracle hash-drift hazard):\n${offenders.mkString("\n")}")
+  }
 }

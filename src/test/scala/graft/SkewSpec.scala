@@ -36,6 +36,33 @@ class SkewSpec extends SparkSpec {
     assert(naive.count(_._1.startsWith("e")) == 8 * 10)
   }
 
+  test("boundedSelfPairs: adversarial string keys (embedded separator, null-adjacent shapes) stay exact and guarded") {
+    // The literal-map probe key and the census map key derive from ONE
+    // Catalyst expression (Skew.probeKey), so keys containing the ':'
+    // separator cannot make the driver-side map and the SQL lookup
+    // disagree. Two buckets whose concatenations COLLIDE under concat_ws
+    // — ("a:b", "c") and ("a", "b:c") both encode "a:b:c" — must still
+    // produce the exact pair set: every row of a bucket computes the same
+    // probe string, so nblk stays bucket-uniform (the invariant the
+    // triangle decomposition needs), and a collision only shares a block
+    // count between the two buckets.
+    val rows = ((1 to 60).map(i => (f"h$i%03d", "a:b", "c")) ++ // hot, collides with...
+      (1 to 60).map(i => (f"k$i%03d", "a", "b:c")) ++           // ...this hot bucket
+      (1 to 10).map(i => (f"c$i%03d", s"cold$i", "z")))         // cold singletons
+      .toDF("id", "k1", "k2")
+    val naive = rows.as("l").join(rows.as("r"),
+        $"l.k1" === $"r.k1" && $"l.k2" === $"r.k2" && $"l.id" < $"r.id")
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+      .as[(String, String)].collect().toSet
+    val bounded = Skew.boundedSelfPairs(rows, Seq("k1", "k2"), "id",
+        hotThreshold = 16, blockSize = 16)
+      .as[(String, String)].collect().toSet
+    assert(bounded == naive)
+    assert(naive.size == 2 * (60 * 59 / 2)) // the two buckets never mix
+    // no cross-bucket pair leaked through the colliding encodings
+    assert(!naive.exists { case (a, b) => a.head != b.head })
+  }
+
   test("boundedSelfPairs per-task work stays bounded under the degenerate band") {
     // reproduce the helper's block assignment and assert no (bucket, block)
     // cell exceeds a small multiple of blockSize — per-task join work is
