@@ -60,8 +60,12 @@ object RecallEval {
                      shingleK: Int, numHashes: Int, rowsPerBand: Int,
                      tau: Double, probePerStratum: Int,
                      stratifyCol: Option[String]): DataFrame = {
-    // caller-managed cache (Verify/Bench clear per query): the inverted
-    // index feeds the probe join AND the per-doc size aggregation
+    // ONE tokenization end-to-end: the cached shingle frame feeds the
+    // truth inverted index, the per-doc sizes, AND the candidate stage's
+    // signatures (signatureOfShingles + lshPairsFromSignatures — the
+    // composed form x115/x116 use) — re-deriving shingles inside
+    // minhashLshPairs would tokenize the corpus twice. Caller-managed
+    // cache (Verify/Bench clear per query).
     val sh = TextOps.shingleRows(docs, idCol, textCol, shingleK).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val probes = probeSet(docs, idCol, probePerStratum, stratifyCol)
@@ -84,8 +88,9 @@ object RecallEval {
       .withColumn("uni", col("na") + col("nb") - col("common"))
       .filter(col("common") * 20 >= col("uni")) // exact J >= 0.05
       .withColumn("j_bucket", expr("(common * 10) div uni"))
-    val cands = Dedup.minhashLshPairs(docs, idCol, textCol,
-        shingleK, numHashes, rowsPerBand, tau)
+    val cands = Dedup.lshPairsFromSignatures(
+        Dedup.signatureOfShingles(sh, idCol, numHashes), idCol,
+        numHashes, rowsPerBand, tau)
       .select(col("id_a"), col("id_b"), lit(1L).as("found"))
     truth.join(cands, Seq("id_a", "id_b"), "left")
       .groupBy(col("j_bucket"))
