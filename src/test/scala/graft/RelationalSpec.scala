@@ -43,6 +43,30 @@ class RelationalSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("allocateIds bulk parity: two-level allocation matches the serial row_number on 10k unmatched rows") {
+    // the round-6 rewrite's contract: removing the single-partition window
+    // must not move a single assigned id. Reference = driver-side sort +
+    // index over the null-id subset (what Window.orderBy computed).
+    val n = 20000
+    val rows = (1 to n).map { i =>
+      val key = f"k${(i * 2654435761L) % 100000}%06d-$i" // unique, shuffled
+      (if (i % 2 == 0) Some(1000000L + i) else None, key)
+    }
+    val df = rows.toDF("id", "key").repartition(13)
+    val out = Relational.allocateIds(df, "id", Seq(col("key")))
+      .as[(Long, String)].collect().toMap.map(_.swap)
+    val maxId = rows.flatMap(_._1).max
+    val expected = rows.filter(_._1.isEmpty).map(_._2).sorted.zipWithIndex
+      .map { case (k, idx) => k -> (maxId + idx + 1) }.toMap
+    rows.foreach {
+      case (Some(id), k) => assert(out(k) == id, s"matched row moved: $k")
+      case (None, k) => assert(out(k) == expected(k), s"allocation moved: $k")
+    }
+    // ids are dense and unique above the previous max
+    val allocated = rows.filter(_._1.isEmpty).map(m => out(m._2))
+    assert(allocated.toSet == (maxId + 1 to maxId + allocated.size).toSet)
+  }
+
   test("dedupByKeys keeps deterministic survivor") {
     val df = Seq((1, 2, "b"), (1, 1, "a"), (2, 5, "z")).toDF("k", "ord", "v")
     val out = Relational.dedupByKeys(df, Seq("k"), Seq(col("ord").asc))
