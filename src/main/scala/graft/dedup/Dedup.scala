@@ -562,4 +562,75 @@ object Dedup {
           .reduce(_ + _).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Winnowed positional anchors: one row per selected k-gram
+    * fingerprint, `(id, pos, h)` with 1-based char `pos` (long) and the
+    * 32-hex gram hash. Anchor selection runs INSIDE the scan projection
+    * (codegen kernel [[graft.expressions.WinnowAlgo]], k=16/w=8 pinned)
+    * so only the ~2/(w+1)-density anchor rows ever shuffle — document
+    * text stays at the scan, which is what makes substring-level dedup
+    * viable at corpus scale (the Lee et al. '22 "Deduplicating Training
+    * Data" stage, re-expressed relationally instead of via a suffix
+    * array).
+    */
+  def winnowAnchors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
+      // the kernel is CPU-dense per input byte (~n md5 digests per doc);
+      // spread the narrow (id, text) projection across the cores so a
+      // small-file scan (few splits) can't serialize it — at cluster
+      // scale the scan already yields >= cores splits and this exchange
+      // is a cheap rebalance of the projection, never of anchor rows
+      .repartition(parts)
+      .select(col(idCol),
+        explode(call_function("graft_winnow", col(textCol))).as("a"))
+      .select(col(idCol), col("a.pos").cast("long").as("pos"),
+        col("a.h").as("h"))
+  }
+
+  /** Cross-document repeated spans: anchors whose gram hash occurs in ≥
+    * `minDocs` distinct documents, merged per document into maximal
+    * islands — consecutive flagged anchors ≤ w+k−1 = 23 chars apart
+    * extend one span (winnowing guarantees an anchor at least every w
+    * positions inside a long shared substring, so a true repeat never
+    * fragments). Output one row per span:
+    * `(id, span_start, span_end, span_len, n_anchors)`, spans disjoint
+    * within a document by construction.
+    *
+    * Shuffle ledger: (1) anchors by `h` for the document-frequency
+    * census, (2) flagged anchors by `id` for the island merge — both on
+    * narrow (hash, id, pos) rows. The census join is a left-semi against
+    * the duplicated-hash set; at 100 TB that set is the boilerplate/
+    * template core of the corpus and stays far smaller than the anchor
+    * stream.
+    */
+  def winnowSpans(docs: DataFrame, idCol: String, textCol: String,
+                  minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = graft.expressions.WinnowAlgo.K
+    val w = graft.expressions.WinnowAlgo.W
+    val anchors = winnowAnchors(docs, idCol, textCol)
+    // one exchange on h: countDistinct's partial aggregation dedups
+    // (h, id) map-side, vs the distinct-then-groupBy form's two shuffles
+    val dup = anchors.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("h"))
+    val flagged = anchors.join(dup, Seq("h"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    flagged
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= w + k - 1, 0L)
+          .otherwise(1L))
+      .withColumn("isl", sum(col("brk")).over(byDoc))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        (max(col("pos")) + k - min(col("pos"))).as("span_len"),
+        count(lit(1)).as("n_anchors"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_len"), col("n_anchors"))
+  }
 }

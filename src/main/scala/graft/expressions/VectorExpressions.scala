@@ -95,6 +95,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_cdc_bounds"),
       new ExpressionInfo(classOf[CdcBoundaries].getName, "graft_cdc_bounds"),
       (children: Seq[Expression]) => CdcBoundaries(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowAnchors].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowAnchors(children(0))))
   }
 }
 
@@ -119,6 +123,10 @@ object GraftFunctions {
         FunctionIdentifier("graft_cdc_bounds"),
         new ExpressionInfo(classOf[CdcBoundaries].getName, "graft_cdc_bounds"),
         (children: Seq[Expression]) => CdcBoundaries(children(0)))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_winnow"),
+        new ExpressionInfo(classOf[WinnowAnchors].getName, "graft_winnow"),
+        (children: Seq[Expression]) => WinnowAnchors(children(0)))
       registered += key
     }
   }

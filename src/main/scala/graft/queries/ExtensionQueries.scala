@@ -34,6 +34,41 @@ object ExtensionQueries {
             THEN string_split($normSql, ' ')[i] || '_' || string_split($normSql, ' ')[i+1]
             ELSE string_split($normSql, ' ')[i] END))) AS g FROM documents)"""
 
+  /** DuckDB CTE chain mirroring `Dedup.winnowSpans` (the x117 pipeline:
+    * per-position md5 16-grams → winnow windows of 8 selecting the
+    * (h, pos) argmin — lexicographic min of h || lpad(pos, 9) since md5
+    * hex is fixed-width — → distinct anchors → hashes in ≥ 2 docs →
+    * per-doc gaps-and-islands merge at gap ≤ w+k−1 = 23). Ends with
+    * `spans(doc_id, span_start, span_end, span_len, n_anchors)`; shared
+    * by the x117 and x118 oracles. */
+  private[queries] def winnowSpanCtes: String =
+    s"""grams AS (SELECT doc_id, i,
+         md5(substring(text, CAST(i AS INT), 16)) AS h
+       FROM (SELECT d.doc_id, d.text,
+           unnest(range(1, length(d.text) - 14)) AS i
+         FROM documents d
+         WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL)),
+       wins AS (SELECT doc_id,
+           min(h || lpad(CAST(i AS VARCHAR), 9, '0')) OVER w AS msk,
+           count(*) OVER w AS cnt
+         FROM grams WINDOW w AS (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+       anch AS (SELECT DISTINCT doc_id, substr(msk, 1, 32) AS h,
+           CAST(substr(msk, 33, 9) AS BIGINT) AS pos
+         FROM wins WHERE cnt = 8),
+       dup AS (SELECT h FROM (SELECT h, doc_id FROM anch GROUP BY h, doc_id)
+         GROUP BY h HAVING COUNT(*) >= 2),
+       fl AS (SELECT a.doc_id, a.pos FROM anch a JOIN dup USING (h)),
+       brks AS (SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 23
+             THEN 0 ELSE 1 END AS brk
+         FROM fl),
+       isls AS (SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM brks),
+       spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end,
+           MAX(pos) + 16 - MIN(pos) AS span_len, CAST(COUNT(*) AS BIGINT) AS n_anchors
+         FROM isls GROUP BY doc_id, isl)"""
+
   /** DuckDB CTE chain mirroring `Dedup.lshDedupClusters` (the x27
     * pipeline: 2-shingles → 12-hash MinHash → 3-row bands → candidates at
     * est-Jaccard ≥ 0.25 → exact-Jaccard verify ≥ 0.2 → connected
@@ -638,6 +673,39 @@ object ExtensionQueries {
             .as("n_leaked_val_docs"))
     }),
 
+    // ───── substring-level dedup (winnowed repeated spans): the
+    // Lee-et-al-style "repeated substring" stage, relationally. Anchor
+    // selection (MOSS winnowing, k=16/w=8) runs inside the scan
+    // projection via the graft_winnow codegen kernel — only ~2/(w+1) of
+    // positions become (id, pos, hash) rows, text never shuffles; the
+    // cross-doc census + per-doc gaps-and-islands merge then find every
+    // ≥23-char substring shared by ≥2 docs, alignment-free (stride
+    // sampling can't promise that). One span row per maximal island
+    "x117_substring_spans" -> ((s, d) =>
+      Dedup.winnowSpans(t(s, d, "documents"), "doc_id", "text")),
+
+    // ───── substring-dedup impact report: per-source repeated-char
+    // pressure from the x117 spans (spans are disjoint within a doc by
+    // construction, so summing span_len is exact coverage) — the
+    // "how much boilerplate would span-removal cut" planning number
+    "x118_substring_impact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val per = Dedup.winnowSpans(docs, "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_len")).as("rep_chars"))
+      docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("len"))
+        .join(per, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("rep_chars")).as("docs_flagged"),
+          coalesce(sum(col("rep_chars")), lit(0L)).as("repeated_chars"),
+          sum(col("len")).as("total_chars"))
+        .withColumn("repeat_ppm",
+          expr("(repeated_chars * CAST(1000000 AS BIGINT)) div total_chars"))
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the stub-decoded dimensions — the projection a
     // decode stage partitions/batches by
@@ -699,6 +767,27 @@ object ExtensionQueries {
          FROM per GROUP BY n""",
     // x116: the full cluster chain + the SAME verified pair set (`ver`),
     // split keys = coalesce(cluster, doc_id) hashed under the x21 rule
+    // x117/x118: winnowing replayed with plain SQL windows — per-position
+    // md5 16-grams, per-window (h, pos) argmin via the lexicographic min
+    // of h || lpad(pos) (md5 hex is fixed-width), distinct anchors,
+    // cross-doc census, gaps-and-islands merge at gap w+k-1 = 23
+    "x117_substring_spans" ->
+      s"""WITH $winnowSpanCtes
+         SELECT doc_id, span_start, span_end, span_len, n_anchors
+         FROM spans""",
+    "x118_substring_impact" ->
+      s"""WITH $winnowSpanCtes,
+         per AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS rep_chars
+           FROM spans GROUP BY doc_id)
+         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(p.rep_chars) AS BIGINT) AS docs_flagged,
+           CAST(COALESCE(SUM(p.rep_chars), 0) AS BIGINT) AS repeated_chars,
+           CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+           (CAST(COALESCE(SUM(p.rep_chars), 0) AS BIGINT) * 1000000)
+             // CAST(SUM(length(d.text)) AS BIGINT) AS repeat_ppm
+         FROM documents d LEFT JOIN per p USING (doc_id)
+         WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+         GROUP BY d.source""",
     "x116_cluster_split" ->
       s"""WITH RECURSIVE $lshClusterCtes,
          k AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS skey
