@@ -609,16 +609,42 @@ object Dedup {
     */
   def winnowSpans(docs: DataFrame, idCol: String, textCol: String,
                   minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = graft.expressions.WinnowAlgo.K
-    val w = graft.expressions.WinnowAlgo.W
     val anchors = winnowAnchors(docs, idCol, textCol)
     // one exchange on h: countDistinct's partial aggregation dedups
     // (h, id) map-side, vs the distinct-then-groupBy form's two shuffles
     val dup = anchors.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs).select(col("h"))
-    val flagged = anchors.join(dup, Seq("h"), "left_semi")
+    mergeIslands(anchors.join(dup, Seq("h"), "left_semi"), idCol)
+  }
+
+  /** Substring-level decontamination: spans of `docs` that share a
+    * winnowed anchor hash with any `refDocs` document — WHERE the
+    * contamination lives, not just a flag bit (completes the x33 exact
+    * 4-gram flag / x43 bloom flag family; a masking pass can cut exactly
+    * these ranges). Same ≥ w+k−1 = 23-char guarantee as [[winnowSpans]].
+    * The reference anchor-hash set is DISTINCT hashes of the (small)
+    * benchmark side — broadcast-joined, the corpus anchor stream never
+    * shuffles for it; islands then merge per corpus doc as usual.
+    */
+  def winnowSpansAgainst(docs: DataFrame, refDocs: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    val refH = winnowAnchors(refDocs, idCol, textCol)
+      .select(col("h")).distinct()
+    val flagged = winnowAnchors(docs, idCol, textCol)
+      .join(broadcast(refH), Seq("h"), "left_semi")
+    mergeIslands(flagged, idCol)
+  }
+
+  /** Gaps-and-islands merge of flagged anchors `(idCol, pos)` into
+    * maximal disjoint spans: consecutive anchors ≤ w+k−1 chars apart
+    * extend one span (winnowing guarantees an anchor at least every w
+    * positions inside a long shared substring, so a true repeat never
+    * fragments). One shuffle by `idCol`. */
+  private def mergeIslands(flagged: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = graft.expressions.WinnowAlgo.K
+    val w = graft.expressions.WinnowAlgo.W
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     flagged
       .withColumn("brk",

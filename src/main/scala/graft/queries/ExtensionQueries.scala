@@ -41,7 +41,7 @@ object ExtensionQueries {
     * per-doc gaps-and-islands merge at gap ≤ w+k−1 = 23). Ends with
     * `spans(doc_id, span_start, span_end, span_len, n_anchors)`; shared
     * by the x117 and x118 oracles. */
-  private[queries] def winnowSpanCtes: String =
+  private[queries] def winnowAnchorCtes: String =
     s"""grams AS (SELECT doc_id, i,
          md5(substring(text, CAST(i AS INT), 16)) AS h
        FROM (SELECT d.doc_id, d.text,
@@ -55,11 +55,13 @@ object ExtensionQueries {
            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
        anch AS (SELECT DISTINCT doc_id, substr(msk, 1, 32) AS h,
            CAST(substr(msk, 33, 9) AS BIGINT) AS pos
-         FROM wins WHERE cnt = 8),
-       dup AS (SELECT h FROM (SELECT h, doc_id FROM anch GROUP BY h, doc_id)
-         GROUP BY h HAVING COUNT(*) >= 2),
-       fl AS (SELECT a.doc_id, a.pos FROM anch a JOIN dup USING (h)),
-       brks AS (SELECT doc_id, pos,
+         FROM wins WHERE cnt = 8)"""
+
+  /** Island-merge tail over a `fl(doc_id, pos)` CTE of flagged anchors;
+    * ends with `spans(doc_id, span_start, span_end, span_len,
+    * n_anchors)`. */
+  private[queries] def winnowIslandCtes: String =
+    s"""brks AS (SELECT doc_id, pos,
            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 23
              THEN 0 ELSE 1 END AS brk
          FROM fl),
@@ -68,6 +70,13 @@ object ExtensionQueries {
        spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end,
            MAX(pos) + 16 - MIN(pos) AS span_len, CAST(COUNT(*) AS BIGINT) AS n_anchors
          FROM isls GROUP BY doc_id, isl)"""
+
+  private[queries] def winnowSpanCtes: String =
+    s"""$winnowAnchorCtes,
+       dup AS (SELECT h FROM (SELECT h, doc_id FROM anch GROUP BY h, doc_id)
+         GROUP BY h HAVING COUNT(*) >= 2),
+       fl AS (SELECT a.doc_id, a.pos FROM anch a JOIN dup USING (h)),
+       $winnowIslandCtes"""
 
   /** DuckDB CTE chain mirroring `Dedup.lshDedupClusters` (the x27
     * pipeline: 2-shingles → 12-hash MinHash → 3-row bands → candidates at
@@ -706,6 +715,21 @@ object ExtensionQueries {
           expr("(repeated_chars * CAST(1000000 AS BIGINT)) div total_chars"))
     }),
 
+    // ───── substring-level decontamination report: spans of corpus docs
+    // (doc_id >= 20, the x33/x43 split convention) that share a winnowed
+    // anchor with the benchmark suite (doc_id < 20) — WHERE the
+    // contamination lives, so a masking pass can cut exactly these
+    // ranges. Completes the decontamination family: x33 = exact 4-gram
+    // flag, x43 = bloom flag at scale, x119 = span positions. Benchmark
+    // anchor hashes broadcast; the corpus anchor stream never shuffles
+    // for the probe
+    "x119_contamination_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.winnowSpansAgainst(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text")
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the stub-decoded dimensions — the projection a
     // decode stage partitions/batches by
@@ -788,6 +812,14 @@ object ExtensionQueries {
          FROM documents d LEFT JOIN per p USING (doc_id)
          WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
          GROUP BY d.source""",
+    "x119_contamination_spans" ->
+      s"""WITH $winnowAnchorCtes,
+         ref AS (SELECT DISTINCT h FROM anch WHERE doc_id < 20),
+         fl AS (SELECT a.doc_id, a.pos FROM anch a JOIN ref USING (h)
+           WHERE a.doc_id >= 20),
+         $winnowIslandCtes
+         SELECT doc_id, span_start, span_end, span_len, n_anchors
+         FROM spans""",
     "x116_cluster_split" ->
       s"""WITH RECURSIVE $lshClusterCtes,
          k AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS skey

@@ -330,4 +330,30 @@ object Streams {
       spark.read.parquet(targetPath + "_tmp")
         .write.mode("overwrite").parquet(targetPath)
     }
+
+  /** Streaming substring-level decontamination: flag arriving documents
+    * that share a winnowed anchor hash (≥ 23-char substring, see
+    * [[graft.dedup.Dedup.winnowSpansAgainst]]) with a STATIC benchmark
+    * suite. Anchor selection is a stateless projection (the graft_winnow
+    * kernel), the probe is a stream-static left-semi join against the
+    * (small) benchmark anchor-hash frame, and the only state is the
+    * doc-id dedup — so the same winnow machinery that batch-audits a
+    * corpus (x119) also gates an ingest stream, flagging contaminated
+    * docs the micro-batch they arrive. Emits one row per flagged doc id,
+    * append-mode. Benchmark side must be a batch frame of document
+    * (idCol, textCol). */
+  def streamingContaminationFlags(stream: DataFrame, benchDocs: DataFrame,
+                                  idCol: String, textCol: String): DataFrame = {
+    val refH = graft.dedup.Dedup.winnowAnchors(benchDocs, idCol, textCol)
+      .select(col("h")).distinct()
+    graft.expressions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    stream
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(call_function("graft_winnow", col(textCol))).as("a"))
+      .select(col(idCol), col("a.h").as("h"))
+      .join(broadcast(refH), Seq("h"), "left_semi")
+      .select(col(idCol))
+      .dropDuplicates(idCol)
+  }
 }

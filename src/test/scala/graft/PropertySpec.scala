@@ -212,4 +212,53 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("winnow kernel: deque anchors = naive per-window argmin reference") {
+    // small alphabet → repeated grams and (h, pos) ties are the norm, the
+    // adversarial regime for the monotonic deque's tie-break; the accented
+    // char exercises the multi-byte offset path (BMP, 1 UTF-16 char, so
+    // the String-based reference counts positions identically)
+    val textGen: Gen[String] = for {
+      len <- Gen.choose(0, 220)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', ' ', 'é'))
+    } yield cs.mkString
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+
+    def naive(s: String): Seq[(Int, String)] = {
+      val (k, w) = (graft.expressions.WinnowAlgo.K, graft.expressions.WinnowAlgo.W)
+      val grams = (1 to s.length - k + 1)
+        .map(i => (i, md5hex(s.substring(i - 1, i - 1 + k))))
+      if (grams.length < w) Seq.empty
+      else (0 to grams.length - w)
+        .map(j => grams.slice(j, j + w).minBy { case (p, h) => (h, p) })
+        .distinct
+    }
+
+    for (seed <- 1L to 10L) {
+      val s = sample(textGen, seed)
+      val got = {
+        val arr = graft.expressions.WinnowAlgo.anchors(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 2)
+          (r.getInt(0), r.getUTF8String(1).toString)
+        }
+      }
+      assert(got == naive(s), s"seed=$seed len=${s.length}")
+    }
+    // planted repeat: two texts sharing a >=23-char block must share an
+    // anchor hash, for random flanks
+    for (seed <- 20L to 24L) {
+      val block = sample(textGen.suchThat(_.length >= 30), seed)
+      val flankA = sample(textGen, seed + 1)
+      val flankB = sample(textGen, seed + 2)
+      val aAnch = naive(flankA + block + flankA).map(_._2).toSet
+      val bAnch = naive(flankB + block + flankB).map(_._2).toSet
+      assert((aAnch & bAnch).nonEmpty, s"seed=$seed")
+    }
+  }
 }

@@ -114,6 +114,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingContaminationFlags: winnow probe flags contaminated docs per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val leak = "this exact benchmark sentence must never appear in training data"
+    val bench = Seq((1000L, s"benchmark prompt alpha. $leak. benchmark answer omega"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.Streams.streamingContaminationFlags(
+      mem.toDF().toDF("doc_id", "text"), bench, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("contam_flags")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, s"ordinary clean document with plenty of unrelated words in it"),
+        (2L, s"a crawler page quoting: $leak — should be flagged"))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, s"a crawler page quoting: $leak — should be flagged"), // redelivery
+        (3L, s"another clean doc, long enough to have anchors of its own here"))
+      q.processAllAvailable()
+      val flagged = spark.table("contam_flags").as[Long].collect().sorted.toSeq
+      assert(flagged == Seq(2L))
+    } finally q.stop()
+  }
+
   test("streamingDedupWithinWatermark: in-window duplicates collapse to first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]

@@ -109,6 +109,27 @@ class WinnowSpec extends SparkSpec {
     assert(drift.count() === 0)
   }
 
+  test("x119 spans start at 16-grams that verifiably appear in the benchmark set") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+    val bench = docs.filter($"doc_id" < 20)
+      .select($"text").collect().map(_.getString(0))
+    val spans = SparkEntry.queries("x119_contamination_spans")(spark, sfDir)
+    val rows = spans.join(docs.select($"doc_id", $"text"), "doc_id")
+      .select($"text", $"span_start", $"doc_id").collect()
+    assert(rows.nonEmpty)
+    // winnow anchors are exact md5 16-gram matches (no false positives),
+    // so the gram at every span head must literally occur benchmark-side
+    rows.foreach { r =>
+      val start = r.getLong(1).toInt - 1
+      val g = r.getString(0).substring(start, start + 16)
+      assert(bench.exists(_.contains(g)),
+        s"doc ${r.getLong(2)}: span-head gram not found in benchmark docs")
+    }
+    // and no contamination span may sit on a benchmark doc
+    assert(spans.filter($"doc_id" < 20).count() === 0)
+  }
+
   test("x117 plan: both windows partitioned, census side broadcast") {
     val plan = SparkEntry.queries("x117_substring_spans")(spark, sfDir)
       .queryExecution.executedPlan.toString
