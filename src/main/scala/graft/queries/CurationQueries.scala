@@ -256,6 +256,49 @@ object CurationQueries {
       s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
     }),
 
+    // ───── DSIR-style data selection (Xie et al. '23, "Data Selection
+    // for LMs via Importance Resampling"): per-doc importance weight =
+    // Σ over token occurrences of log p_target(bucket) − log p_raw
+    // (bucket), hashed-token buckets (md5 → 4096), add-1 smoothing.
+    // Target distribution = the benchmark suite (doc_id < 20, the
+    // x33/x43/x119 split), raw = the corpus. Differs from x40's FIXED
+    // hash-derived weights: these are LEARNED from target/corpus count
+    // ratios — the "make pretraining data look like the target domain"
+    // selector. Determinism: per-BUCKET log-weights quantize to scaled
+    // integers (micro-units) once, so every per-doc sum is integer-exact
+    // and order-free; ln of identical doubles is bit-equal across
+    // engines (probed), and only ≤4096 lw rows broadcast — token rows
+    // shuffle once, by doc_id, post-projection at 16 bytes each
+    "x120_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def toks(side: DataFrame) =
+        TextOps.tokenRows(side, "doc_id", "text")
+          .filter(col("tok") =!= "")
+          .withColumn("bucket",
+            conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long"))
+      val bt = toks(docs.filter(col("doc_id") < 20)).select(col("bucket"))
+      val ctz = bt.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+      val ntz = bt.agg(count(lit(1)).as("nt"))
+      val st = toks(docs.filter(col("doc_id") >= 20))
+        .select(col("doc_id"), col("bucket"))
+      val ccz = st.groupBy(col("bucket")).agg(count(lit(1)).as("cc"))
+      val ncz = st.agg(count(lit(1)).as("nc"))
+      val lw = ccz.join(ctz, Seq("bucket"), "left")
+        .crossJoin(broadcast(ntz)).crossJoin(broadcast(ncz))
+        .select(col("bucket"),
+          round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+                     (col("nt") + lit(4096.0))) -
+                 log((col("cc") + lit(1.0)) /
+                     (col("nc") + lit(4096.0)))) * lit(1000000.0))
+            .cast("long").as("lwm"))
+      st.join(broadcast(lw), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          sum(col("lwm")).as("dsir_score_micro"))
+        .select(col("doc_id"), col("n_feats"), col("dsir_score_micro"),
+          (col("dsir_score_micro") > 0L).as("selected"))
+    }),
+
     // ───── exact substring dedup with REMOVAL (Lee et al. 2022,
     // arXiv:2107.06499 §4, re-expressed at chunk granularity): the global
     // first occurrence of every 4-token chunk survives (first = lowest
@@ -719,6 +762,33 @@ object CurationQueries {
          SELECT tok, COUNT(*) AS n_exact, TRUE AS cms_ok
          FROM toks WHERE tok <> ''
          GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20""",
+    // x120: per-bucket log-weights quantized to micro-units BEFORE the
+    // per-doc sum (integer-exact, order-free); ln args are identical
+    // doubles in both engines
+    "x120_dsir_weights" ->
+      s"""WITH btk AS (SELECT unnest(string_split($normSql, ' ')) AS tok
+           FROM documents WHERE doc_id < 20),
+         bt AS (SELECT CAST(('0x' || substr(md5(tok), 1, 3)) AS BIGINT) AS bucket
+           FROM btk WHERE tok <> ''),
+         ct AS (SELECT bucket, COUNT(*) AS c FROM bt GROUP BY bucket),
+         nt AS (SELECT COUNT(*) AS n FROM bt),
+         stk AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+           FROM documents WHERE doc_id >= 20),
+         st AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 3)) AS BIGINT) AS bucket
+           FROM stk WHERE tok <> ''),
+         cc AS (SELECT bucket, COUNT(*) AS c FROM st GROUP BY bucket),
+         nc AS (SELECT COUNT(*) AS n FROM st),
+         lw AS (SELECT cc.bucket,
+             CAST(round((ln((COALESCE(ct.c, 0) + 1.0) / (nt.n + 4096.0))
+                       - ln((cc.c + 1.0) / (nc.n + 4096.0))) * 1000000)
+               AS BIGINT) AS lwm
+           FROM cc LEFT JOIN ct USING (bucket), nt, nc)
+         SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(l.lwm) AS BIGINT) AS dsir_score_micro,
+           CAST(SUM(l.lwm) AS BIGINT) > 0 AS selected
+         FROM st s JOIN lw l USING (bucket)
+         GROUP BY s.doc_id""",
     "x43_bloom_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -598,4 +598,22 @@ class CorpusQueriesSpec extends SparkSpec {
     // the lowest doc_id sees everything for the first time
     assert(got.head._4 == 1000000L)
   }
+
+  test("x120 DSIR: selection flag consistent, corpus-only, tokenizer agrees with x10") {
+    import spark.implicits._
+    val dsir = SparkEntry.queries("x120_dsir_weights")(spark, sf)
+    assert(dsir.filter(($"dsir_score_micro" > 0L) =!= $"selected").count() === 0)
+    assert(dsir.filter($"doc_id" < 20).count() === 0)
+    // n_feats counts exactly what x10's tokenCount counts — the hashed
+    // features and the token stats must never drift apart on tokenizer
+    // semantics, or the importance weights score a different document
+    // than the stats describe
+    val tok = SparkEntry.queries("x10_token_stats")(spark, sf)
+      .filter($"doc_id" >= 20)
+    val j = dsir.join(tok, "doc_id")
+    assert(j.count() === dsir.count())
+    assert(j.filter($"n_feats" =!= $"n_tokens").count() === 0)
+    // every corpus doc with at least one token gets a score
+    assert(dsir.count() === tok.filter($"n_tokens" > 0).count())
+  }
 }

@@ -100,6 +100,9 @@ class PlanAssertSpec extends SparkSpec {
     // range-clip scalar, same one-row shape. x110: the digit-total
     // scalar over the ≤ 9-row digit dimension. x111: the corpus-count
     // scalar (the CDF itself is two-level prefix-summed, exchange-free).
+    // x120: the two token-total scalars (Nt, Nc) — one pre-aggregated
+    // count row per upstream partition, broadcast back into the ≤ 4096-
+    // bucket log-weight frame; q23/x79's class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -107,7 +110,7 @@ class PlanAssertSpec extends SparkSpec {
         "x79_negative_pairs", "x80_interleave_order", "x82_zorder_layout",
         "x89_trade_triangles", "x90_ring_reshard", "x103_tfidf_keywords",
         "x105_ks_drift", "x107_rolling_actives", "x110_benford_audit",
-        "x111_quantile_normalize")
+        "x111_quantile_normalize", "x120_dsir_weights")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
