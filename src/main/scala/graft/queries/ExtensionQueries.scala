@@ -730,6 +730,24 @@ object ExtensionQueries {
         docs.filter(col("doc_id") < 20), "doc_id", "text")
     }),
 
+    // ───── product-quantization ANN with ADC (Jégou et al. '11, the
+    // IVF-PQ workhorse, flat form): 8 subspaces × 16 centroids (the
+    // x15/x20 coarse-centroid convention reused as the codebook) — the
+    // corpus becomes 8 small codes per vector, queries score via
+    // broadcast lookup tables, the float vectors never join the scoring.
+    // Sub-distances are double diff-then-self-dot (x05's pinned fold);
+    // the per-pair ADC sum is x20's index-ordered sorted fold
+    "x121_pq_adc_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.pqAdcTopK(emb, "vec_id", "embedding", cent, "cid", "cvec",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          m = 8, dim = 64, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("adc_dist"))
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the stub-decoded dimensions — the projection a
     // decode stage partitions/batches by
@@ -812,6 +830,36 @@ object ExtensionQueries {
          FROM documents d LEFT JOIN per p USING (doc_id)
          WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
          GROUP BY d.source""",
+    // x121: PQ codes via per-(vector, subspace) argmin over the codebook
+    // (ties → lowest centroid id), ADC distance = ordered fold of the m
+    // per-subspace lookups; sub-distance = inner product of the double
+    // difference with itself (the x05-pinned formulation)
+    "x121_pq_adc_ann" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+         sub AS (SELECT e.vec_id, s.s, c.cid,
+             list_inner_product(
+               list_transform(range(8), i -> e.v[s.s*8 + i + 1] - c.cv[s.s*8 + i + 1]),
+               list_transform(range(8), i -> e.v[s.s*8 + i + 1] - c.cv[s.s*8 + i + 1])) AS d
+           FROM ev e, range(0, 8) s(s), cent c),
+         codes AS (SELECT vec_id, s, cid AS code FROM (
+             SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                 ORDER BY d ASC, cid ASC) AS rn
+             FROM sub)
+           WHERE rn = 1),
+         lut AS (SELECT vec_id AS qid, s, cid AS code, d FROM sub
+           WHERE vec_id < 8),
+         adc AS (SELECT l.qid, c.vec_id AS neighbor_id,
+             list_reduce(list(l.d ORDER BY l.s), (a, b) -> a + b) AS dist
+           FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+           WHERE c.vec_id <> l.qid
+           GROUP BY l.qid, c.vec_id)
+         SELECT qid AS query_id, rank, neighbor_id,
+           round(dist, 4) AS adc_dist
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY dist ASC, neighbor_id ASC) AS rank FROM adc)
+         WHERE rank <= 5""",
     "x119_contamination_spans" ->
       s"""WITH $winnowAnchorCtes,
          ref AS (SELECT DISTINCT h FROM anch WHERE doc_id < 20),

@@ -372,4 +372,81 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
   }
+
+  /** Per-(vector, subspace) squared L2 distances to every codebook
+    * centroid's subvector — the shared sub-distance table behind PQ
+    * encoding (argmin per subspace) and ADC lookup (query rows). All
+    * arithmetic is pinned engine-portable: slices cast to double BEFORE
+    * subtracting (float subtraction would round to f32; DuckDB subtracts
+    * upcast doubles), then an index-ordered left-to-right fold of the
+    * squared terms — bit-equal to DuckDB's
+    * `list_inner_product(diff, diff)` (same equivalence x05 pins).
+    * `m` subspaces of `dim/m` dims each; centroids broadcast. */
+  private def pqSubDists(vecs: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, cidCol: String, cvecCol: String,
+                         m: Int, subDim: Int): DataFrame = {
+    val centSub = broadcast(centroids
+      .select(col(cidCol), explode(sequence(lit(0), lit(m - 1))).as("s"),
+        col(cvecCol))
+      .select(col(cidCol), col("s"),
+        slice(col(cvecCol), col("s") * subDim + 1, lit(subDim)).as("__csub")))
+    vecs
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("s"),
+        col(vecCol))
+      .select(col(idCol), col("s"),
+        slice(col(vecCol), col("s") * subDim + 1, lit(subDim)).as("__vsub"))
+      .join(centSub, "s")
+      .select(col(idCol), col("s"), col(cidCol),
+        expr("aggregate(zip_with(__vsub, __csub, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0.0 as double), (a, b) -> a + b)").as("d"))
+  }
+
+  /** Product-quantization ANN with asymmetric distance computation (the
+    * IVF-PQ workhorse, Jégou et al. '11, flat-index form): vectors encode
+    * to m 4-bit/8-bit codes (argmin centroid per subspace, ties to the
+    * lowest centroid id), queries score candidates by summing per-subspace
+    * LOOKUP-TABLE distances — the codes are bytes per vector, the float
+    * vectors never join the scoring. At 100 TB: codes are the only
+    * corpus-wide frame (m small ints per vector), the codebook and the
+    * per-query LUTs broadcast, and the scoring join + top-k shuffle narrow
+    * (qid, neighbor, dist) rows; compose with IVF cells (x15) to restrict
+    * candidates before ADC. Output: top-`k` per query by ADC distance
+    * ascending (ties → neighbor id), `adc_dist` rounded to 4 dp. */
+  def pqAdcTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cidCol: String, cvecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                m: Int, dim: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    val subDim = dim / m
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val ev = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .repartition(parts)
+    val cent = centroids
+      .select(col(cidCol), col(cvecCol).cast("array<double>").as("__cv"))
+    // encode: argmin sub-distance per (vector, subspace) via struct-min
+    // (partial-aggregated; no sort, no window)
+    val codes = pqSubDists(ev, idCol, "__v", cent, cidCol, "__cv", m, subDim)
+      .groupBy(col(idCol), col("s"))
+      .agg(min(struct(col("d"), col(cidCol))).as("__m"))
+      .select(col(idCol), col("s"), col("__m").getField(cidCol).as("code"))
+    // ADC lookup tables: the same sub-distance frame on the query side
+    val qv = queries.select(col(qidCol).as("__qid"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+    val lut = broadcast(
+      pqSubDists(qv, "__qid", "__qv", cent, cidCol, "__cv", m, subDim)
+        .withColumnRenamed(cidCol, "code"))
+    // dist(q, v) = index-ordered fold over the m subspace lookups —
+    // deterministic under any execution order (x20's sorted-fold pattern)
+    val scored = codes.join(lut, Seq("s", "code"))
+      .filter(col("__qid") =!= col(idCol))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(expr("aggregate(transform(sort_array(collect_list(struct(s, d))), " +
+        "x -> x.d), cast(0.0 as double), (a, b) -> a + b)").as("dist"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("rank"),
+        col(idCol).as("neighbor_id"), round(col("dist"), 4).as("adc_dist"))
+  }
 }
