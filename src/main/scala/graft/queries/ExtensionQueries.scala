@@ -748,6 +748,23 @@ object ExtensionQueries {
           col("neighbor_id"), col("adc_dist"))
     }),
 
+    // ───── IVF-PQ composed ANN: x15's coarse cells restrict candidates
+    // (2 probes), x121's ADC lookup tables rank inside them — the
+    // billion-vector production shape (corpus persists as cell + m codes,
+    // a few bytes per vector; a query touches ~probes/K of the code
+    // frame). Same 16-centroid codebook serves both roles by the
+    // x15/x20 convention
+    "x122_ivf_pq_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", cent, "cid", "cvec",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          m = 8, dim = 64, k = 5, probes = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("adc_dist"))
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the stub-decoded dimensions — the projection a
     // decode stage partitions/batches by
@@ -855,6 +872,46 @@ object ExtensionQueries {
            FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
            WHERE c.vec_id <> l.qid
            GROUP BY l.qid, c.vec_id)
+         SELECT qid AS query_id, rank, neighbor_id,
+           round(dist, 4) AS adc_dist
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY dist ASC, neighbor_id ASC) AS rank FROM adc)
+         WHERE rank <= 5""",
+    // x122: x15's cell CTEs (cosine assignment, 2 probes) restrict the
+    // candidate pairs; x121's code/LUT CTEs score them with the ordered
+    // ADC fold
+    "x122_ivf_pq_ann" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+         assign AS (SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+           FROM ev e, cent c),
+         cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+         qcells AS (SELECT vec_id AS qid, cid AS cell FROM assign
+           WHERE vec_id < 8 AND rn <= 2),
+         sub AS (SELECT e.vec_id, s.s, c.cid,
+             list_inner_product(
+               list_transform(range(8), i -> e.v[s.s*8 + i + 1] - c.cv[s.s*8 + i + 1]),
+               list_transform(range(8), i -> e.v[s.s*8 + i + 1] - c.cv[s.s*8 + i + 1])) AS d
+           FROM ev e, range(0, 8) s(s), cent c),
+         codes AS (SELECT vec_id, s, cid AS code FROM (
+             SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                 ORDER BY d ASC, cid ASC) AS rn
+             FROM sub)
+           WHERE rn = 1),
+         lut AS (SELECT vec_id AS qid, s, cid AS code, d FROM sub
+           WHERE vec_id < 8),
+         cand AS (SELECT qc.qid, ce.vec_id AS neighbor_id
+           FROM qcells qc JOIN cells ce
+           ON ce.cell = qc.cell AND ce.vec_id <> qc.qid),
+         adc AS (SELECT ca.qid, ca.neighbor_id,
+             list_reduce(list(l.d ORDER BY l.s), (a, b) -> a + b) AS dist
+           FROM cand ca
+           JOIN codes c ON c.vec_id = ca.neighbor_id
+           JOIN lut l ON l.qid = ca.qid AND l.s = c.s AND l.code = c.code
+           GROUP BY ca.qid, ca.neighbor_id)
          SELECT qid AS query_id, rank, neighbor_id,
            round(dist, 4) AS adc_dist
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid

@@ -412,6 +412,44 @@ object Similarity {
     * (qid, neighbor, dist) rows; compose with IVF cells (x15) to restrict
     * candidates before ADC. Output: top-`k` per query by ADC distance
     * ascending (ties → neighbor id), `adc_dist` rounded to 4 dp. */
+  /** PQ codes: argmin sub-distance per (vector, subspace) via struct-min
+    * (partial-aggregated; no sort, no window). `(idCol, s, code)`. */
+  private def pqCodes(ev: DataFrame, idCol: String,
+                      cent: DataFrame, cidCol: String,
+                      m: Int, subDim: Int): DataFrame =
+    pqSubDists(ev, idCol, "__v", cent, cidCol, "__cv", m, subDim)
+      .groupBy(col(idCol), col("s"))
+      .agg(min(struct(col("d"), col(cidCol))).as("__m"))
+      .select(col(idCol), col("s"), col("__m").getField(cidCol).as("code"))
+
+  /** Per-query ADC lookup tables: `(__qid, s, code, d)` — the query-side
+    * sub-distance frame, tiny (|queries| × m × |codebook| rows). */
+  private def pqLut(queries: DataFrame, qidCol: String, qvecCol: String,
+                    cent: DataFrame, cidCol: String,
+                    m: Int, subDim: Int): DataFrame = {
+    val qv = queries.select(col(qidCol).as("__qid"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+    pqSubDists(qv, "__qid", "__qv", cent, cidCol, "__cv", m, subDim)
+      .withColumnRenamed(cidCol, "code")
+  }
+
+  /** ADC totals → ranked top-k: index-ordered fold over the m subspace
+    * lookups (x20's sorted-fold pattern, deterministic under any
+    * execution order), rank by distance ascending with neighbor-id
+    * tiebreak. Input rows: `(__qid, idCol, s, d)`. */
+  private def pqRank(joined: DataFrame, idCol: String, k: Int): DataFrame = {
+    val scored = joined
+      .groupBy(col("__qid"), col(idCol))
+      .agg(expr("aggregate(transform(sort_array(collect_list(struct(s, d))), " +
+        "x -> x.d), cast(0.0 as double), (a, b) -> a + b)").as("dist"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("rank"),
+        col(idCol).as("neighbor_id"), round(col("dist"), 4).as("adc_dist"))
+  }
+
   def pqAdcTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, cidCol: String, cvecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
@@ -423,30 +461,59 @@ object Similarity {
       .repartition(parts)
     val cent = centroids
       .select(col(cidCol), col(cvecCol).cast("array<double>").as("__cv"))
-    // encode: argmin sub-distance per (vector, subspace) via struct-min
-    // (partial-aggregated; no sort, no window)
-    val codes = pqSubDists(ev, idCol, "__v", cent, cidCol, "__cv", m, subDim)
-      .groupBy(col(idCol), col("s"))
-      .agg(min(struct(col("d"), col(cidCol))).as("__m"))
-      .select(col(idCol), col("s"), col("__m").getField(cidCol).as("code"))
-    // ADC lookup tables: the same sub-distance frame on the query side
-    val qv = queries.select(col(qidCol).as("__qid"),
-      col(qvecCol).cast("array<double>").as("__qv"))
-    val lut = broadcast(
-      pqSubDists(qv, "__qid", "__qv", cent, cidCol, "__cv", m, subDim)
-        .withColumnRenamed(cidCol, "code"))
-    // dist(q, v) = index-ordered fold over the m subspace lookups —
-    // deterministic under any execution order (x20's sorted-fold pattern)
-    val scored = codes.join(lut, Seq("s", "code"))
-      .filter(col("__qid") =!= col(idCol))
-      .groupBy(col("__qid"), col(idCol))
-      .agg(expr("aggregate(transform(sort_array(collect_list(struct(s, d))), " +
-        "x -> x.d), cast(0.0 as double), (a, b) -> a + b)").as("dist"))
-    val w = Window.partitionBy(col("__qid"))
-      .orderBy(col("dist").asc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("__qid").as("query_id"), col("rank"),
-        col(idCol).as("neighbor_id"), round(col("dist"), 4).as("adc_dist"))
+    val codes = pqCodes(ev, idCol, cent, cidCol, m, subDim)
+    val lut = broadcast(pqLut(queries, qidCol, qvecCol, cent, cidCol, m, subDim))
+    pqRank(
+      codes.join(lut, Seq("s", "code")).filter(col("__qid") =!= col(idCol)),
+      idCol, k)
+  }
+
+  /** IVF-PQ: the composed form — the coarse quantizer (x15's cell
+    * assignment: argmax cosine, ties to the lowest centroid id) restricts
+    * each query's candidates to its `probes` nearest cells, and ADC
+    * lookup-table scoring ranks inside them. The 100 TB shape of
+    * billion-vector search: the corpus persists as (cell, m codes) rows —
+    * a few bytes per vector — the codebook/LUTs/probe-cells broadcast,
+    * and a query touches ~probes/K of the code frame before the narrow
+    * (query, neighbor, dist) shuffle. Same codebook serves both roles
+    * here (16 cells × 16 sub-centroids from the x15/x20 convention);
+    * production splits them (nlist coarse, per-subspace fine). */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cidCol: String, cvecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                m: Int, dim: Int, k: Int, probes: Int): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    val subDim = dim / m
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    // coarse cells, exactly ivfTopK's assignment (cosine, lowest-cid tie)
+    val cells = assignCells(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
+      .select(col(idCol), col("cell"))
+    val centN = broadcast(centroids.select(col(cidCol), col(cvecCol))
+      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+    val qn = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+    val wq = Window.partitionBy(col(qidCol))
+      .orderBy(col("__ccos").desc, col(cidCol).asc)
+    val qcells = qn.crossJoin(centN)
+      .withColumn("__ccos", dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= probes)
+      .select(col(qidCol).as("__qid"), col(cidCol).as("qcell"))
+    // candidate pairs from the cell equi-join (a corpus vector has ONE
+    // cell, so a pair can't arrive twice even with multiple probes)
+    val cand = cells.join(broadcast(qcells),
+      col("cell") === col("qcell") && col("__qid") =!= col(idCol))
+      .select(col("__qid"), col(idCol))
+    // PQ scoring restricted to the candidates
+    val ev = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .repartition(parts)
+    val cent = centroids
+      .select(col(cidCol), col(cvecCol).cast("array<double>").as("__cv"))
+    val codes = pqCodes(ev, idCol, cent, cidCol, m, subDim)
+    val lut = broadcast(pqLut(queries, qidCol, qvecCol, cent, cidCol, m, subDim))
+    pqRank(
+      cand.join(codes, idCol).join(lut, Seq("__qid", "s", "code")),
+      idCol, k)
   }
 }
