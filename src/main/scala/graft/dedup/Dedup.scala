@@ -609,7 +609,15 @@ object Dedup {
     */
   def winnowSpans(docs: DataFrame, idCol: String, textCol: String,
                   minDocs: Int = 2): DataFrame = {
-    val anchors = winnowAnchors(docs, idCol, textCol)
+    // cached: the anchor frame feeds the census groupBy AND the
+    // left-semi probe, and the winnow kernel above it is the
+    // CPU-dominant stage (~n md5 digests per doc) — without the cache
+    // it would execute twice per query (the explode sits above the
+    // repartition exchange, so exchange reuse can't cover it).
+    // Caller-managed lifecycle, as with minhashLshPairs' signature
+    // cache: Verify/Bench clear per query; long-running services must
+    // unpersist.
+    val anchors = winnowAnchors(docs, idCol, textCol).cache()
     // one exchange on h: countDistinct's partial aggregation dedups
     // (h, id) map-side, vs the distinct-then-groupBy form's two shuffles
     val dup = anchors.groupBy(col("h"))

@@ -455,6 +455,9 @@ object Similarity {
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 m: Int, dim: Int, k: Int): DataFrame = {
     require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    require(idCol != cidCol,
+      s"idCol and cidCol are both '$idCol' — the sub-distance join would be " +
+        "ambiguous; rename the centroid id (e.g. .withColumnRenamed) first")
     val subDim = dim / m
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val ev = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
@@ -483,6 +486,9 @@ object Similarity {
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 m: Int, dim: Int, k: Int, probes: Int): DataFrame = {
     require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    require(idCol != cidCol,
+      s"idCol and cidCol are both '$idCol' — the sub-distance join would be " +
+        "ambiguous; rename the centroid id (e.g. .withColumnRenamed) first")
     val subDim = dim / m
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val parts = corpus.sparkSession.sparkContext.defaultParallelism

@@ -341,7 +341,16 @@ object Streams {
     * corpus (x119) also gates an ingest stream, flagging contaminated
     * docs the micro-batch they arrive. Emits one row per flagged doc id,
     * append-mode. Benchmark side must be a batch frame of document
-    * (idCol, textCol). */
+    * (idCol, textCol).
+    *
+    * STATE CONTRACT: this form keeps one state-store entry per flagged
+    * doc id FOREVER (`dropDuplicates` with no watermark) — correct, and
+    * bounded only by the count of distinct contaminated ids, which a
+    * healthy pipeline keeps tiny. For an ingest stream with unbounded
+    * contaminated-id cardinality (or redelivery bounded in time anyway),
+    * use the event-time overload below: redeliveries land within the
+    * watermark in any real transport, and its state is evicted as the
+    * watermark passes. */
   def streamingContaminationFlags(stream: DataFrame, benchDocs: DataFrame,
                                   idCol: String, textCol: String): DataFrame = {
     val refH = graft.dedup.Dedup.winnowAnchors(benchDocs, idCol, textCol)
@@ -355,5 +364,29 @@ object Streams {
       .join(broadcast(refH), Seq("h"), "left_semi")
       .select(col(idCol))
       .dropDuplicates(idCol)
+  }
+
+  /** Watermark-bounded form of [[streamingContaminationFlags]]: same
+    * winnow probe, but the redelivery dedup is
+    * `dropDuplicatesWithinWatermark` keyed on the doc id, so per-id state
+    * is EVICTED once the watermark passes `tsCol + watermarkDelay` — the
+    * long-running-ingest shape (state bounded by in-flight window, not by
+    * lifetime flag count). Emits `(idCol, tsCol)` per flagged doc. */
+  def streamingContaminationFlags(stream: DataFrame, benchDocs: DataFrame,
+                                  idCol: String, textCol: String,
+                                  tsCol: String,
+                                  watermarkDelay: String): DataFrame = {
+    val refH = graft.dedup.Dedup.winnowAnchors(benchDocs, idCol, textCol)
+      .select(col("h")).distinct()
+    graft.expressions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    stream
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol), col(tsCol),
+        explode(call_function("graft_winnow", col(textCol))).as("a"))
+      .select(col(idCol), col(tsCol), col("a.h").as("h"))
+      .join(broadcast(refH), Seq("h"), "left_semi")
+      .select(col(idCol), col(tsCol))
+      .dropDuplicatesWithinWatermark(idCol)
   }
 }

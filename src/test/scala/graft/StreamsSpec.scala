@@ -138,6 +138,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingContaminationFlags (watermarked): state-evicting form still dedups in-window redeliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    val leak = "this exact benchmark sentence must never appear in training data"
+    val bench = Seq((1000L, s"benchmark prompt alpha. $leak. benchmark answer omega"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = graft.streaming.Streams.streamingContaminationFlags(
+      mem.toDF().toDF("ts", "doc_id", "text"), bench, "doc_id", "text",
+      "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("contam_flags_wm")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(10000), 1L, "ordinary clean document with plenty of unrelated words in it"),
+        (ts(10010), 2L, s"a crawler page quoting: $leak — should be flagged"))
+      q.processAllAvailable()
+      mem.addData( // in-window redelivery: collapses into the standing state
+        (ts(10060), 2L, s"a crawler page quoting: $leak — should be flagged"),
+        (ts(10070), 3L, "another clean doc, long enough to have anchors of its own here"))
+      q.processAllAvailable()
+      val flagged = spark.table("contam_flags_wm")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(flagged == Seq(2L))
+    } finally q.stop()
+  }
+
   test("streamingDedupWithinWatermark: in-window duplicates collapse to first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
