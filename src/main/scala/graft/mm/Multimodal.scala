@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, processed per-partition in batches.
   *
   * The decode step ([[decode]]) reads REAL formats where a dependency-free
-  * parser can: BMP (24-bit) and PPM (P6/P3) payloads yield actual
+  * parser can: PNG (8-bit gray/RGB/RGBA, zlib inflate + all five scanline
+  * filters), BMP (24-bit) and PPM (P6/P3) payloads yield actual
   * dimensions and pixel statistics ([[ImageCodecs]], fixture images under
   * data/fixtures). Formats whose codecs are not in this environment
-  * (JPEG/PNG/audio/video) fall back to a clearly-marked deterministic
+  * (JPEG/video) fall back to a clearly-marked deterministic
   * stub ([[fakeDecode]]); everything around the seam — schema contract,
   * batch iteration, partition sizing, output shape — is the real Spark
   * plumbing a decode stage needs, and is what the tests cover.
@@ -172,6 +173,28 @@ object Multimodal {
       .toDF("asset_id", "payload")
       .select(col("asset_id"), lit("audio").as("media_type"), col("payload"),
         struct(lit("wav-synth").as("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Adapt the synthetic `documents` table into a MIXED asset table:
+    * every third document's bytes wrap into a REAL RGB8 PNG container
+    * ([[ImageCodecs.wrapRgbPng]], media_type "image") and ride the
+    * genuine chunk-walk + inflate + unfilter decode path; the rest stay
+    * text payloads on the stub path. Deterministic in the text, so an
+    * external oracle replays both branches from the same source bytes —
+    * the image twin of [[documentsAsWavAssets]]. */
+  def documentsAsMixedAssets(docs: DataFrame): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
+    docs.select(col("doc_id"), col("text").cast("binary"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .map { r: Row =>
+        val (id, bytes) = (r.getLong(0), r.getAs[Array[Byte]](1))
+        if (id % 3 == 0) (id, "image", ImageCodecs.wrapRgbPng(bytes))
+        else (id, "text", bytes)
+      }(enc)
+      .toDF("asset_id", "media_type", "payload")
+      .select(col("asset_id"), col("media_type"), col("payload"),
+        struct(lit("mixed-synth").as("source"),
           length(col("payload")).cast("long").as("n_bytes")).as("meta"))
   }
 

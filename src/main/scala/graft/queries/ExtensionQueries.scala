@@ -137,6 +137,52 @@ object ExtensionQueries {
            i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
            AS BIGINT), 0) AS bsum FROM b)"""
 
+  /** DuckDB CTE chain mirroring Multimodal.documentsAsMixedAssets →
+    * decodeFeatures: docs with doc_id % 3 = 0 wrap as 16-px-wide RGB8
+    * PNGs (real decode: width 16, height ceil(n/48), channel sums = the
+    * source bytes at positions ≡ 0/1/2 mod 3, Rec.709 luma over 255-max
+    * pixels — zero padding adds nothing), the rest replay the stub fold.
+    * Ends with `mdec(doc_id, media_type, width, height, n_frames,
+    * feature_norm)`. Shared by x13/x34 so the decode mirror can't
+    * desynchronize between them. */
+  private val mixedDecodeSql =
+    """mb AS (SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+       FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       ms AS (SELECT doc_id, n,
+         COALESCE(CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
+           i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
+           AS BIGINT), 0) AS bsum,
+         COALESCE(CAST(list_sum(list_transform(
+           list_filter(range(0, CAST(n AS INT)), i -> i % 3 = 0),
+           i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
+           AS BIGINT), 0) AS sr,
+         COALESCE(CAST(list_sum(list_transform(
+           list_filter(range(0, CAST(n AS INT)), i -> i % 3 = 1),
+           i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
+           AS BIGINT), 0) AS sg,
+         COALESCE(CAST(list_sum(list_transform(
+           list_filter(range(0, CAST(n AS INT)), i -> i % 3 = 2),
+           i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
+           AS BIGINT), 0) AS sb
+       FROM mb),
+       mdec AS (SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'text' END AS media_type,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(16 AS INT)
+              ELSE CAST(bsum % 640 + 1 AS INT) END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(greatest(1, (n + 47) // 48) AS INT)
+              ELSE CAST(n % 480 + 1 AS INT) END AS height,
+         CAST(1 AS INT) AS n_frames,
+         CASE WHEN doc_id % 3 = 0 THEN
+             -- literals MUST cast to DOUBLE: DuckDB parses 0.2126 as
+             -- DECIMAL and would keep the weighted sum exact where the
+             -- engine computes in IEEE doubles (last-ulp hash mismatch)
+             (CAST(0.2126 AS DOUBLE) * sr + CAST(0.7152 AS DOUBLE) * sg
+               + CAST(0.0722 AS DOUBLE) * sb)
+               / (CAST(16 * greatest(1, (n + 47) // 48) AS DOUBLE) * 255)
+              ELSE CAST(bsum % 1000 AS DOUBLE) / 1000.0 END AS feature_norm
+       FROM ms)"""
+
   /** DuckDB CTE chain mirroring Similarity.nearDupPairsBanded over the
     * embeddings table (anchors = vec_id < 16, 4 tables × 4 bits, cosine ≥
     * tau): ends with a `pairs(id_a, id_b, cos)` relation. */
@@ -497,10 +543,14 @@ object ExtensionQueries {
         .select(col("asset_id"), col("media_type"), col("n_bytes"), col("magic_byte"))
     }),
 
-    // ───── multimodal: stubbed decode via mapPartitions (rows-only check —
-    // the fake decoder's byte-fold has no cheap SQL mirror)
+    // ───── multimodal decode via mapPartitions, mixed REAL + stub paths:
+    // every third doc's bytes ride a genuine RGB8 PNG container (chunk
+    // walk + CRC + zlib inflate + unfilter in ImageCodecs.decodePng) and
+    // yield actual dimensions/Rec.709 luma from actual pixels; the rest
+    // stay text payloads on the deterministic stub. Both branches replay
+    // from the same source bytes in the oracle
     "x13_multimodal_decode" -> ((s, d) => {
-      Multimodal.decodeFeatures(Multimodal.documentsAsAssets(t(s, d, "documents"))).toDF()
+      Multimodal.decodeFeatures(Multimodal.documentsAsMixedAssets(t(s, d, "documents"))).toDF()
     }),
 
     // ───── rolling fingerprint (order-sensitive signature)
@@ -766,11 +816,12 @@ object ExtensionQueries {
     }),
 
     // ───── multimodal resize planning: aspect-preserving fit into a
-    // 224-square over the stub-decoded dimensions — the projection a
-    // decode stage partitions/batches by
+    // 224-square over the decoded dimensions (real PNG dims for every
+    // third doc, stub dims for the rest) — the projection a decode stage
+    // partitions/batches by
     "x34_resize_plan" -> ((s, d) => {
       Multimodal.decodeFeatures(
-          Multimodal.documentsAsAssets(t(s, d, "documents"))).toDF()
+          Multimodal.documentsAsMixedAssets(t(s, d, "documents"))).toDF()
         .select(col("asset_id"), col("width"), col("height"),
           Multimodal.resizePlan(col("width"), col("height"), 224).as("r"))
         .select(col("asset_id"), col("width"), col("height"),
@@ -1285,17 +1336,15 @@ object ExtensionQueries {
              ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INT)
         END AS magic_byte
         FROM documents""",
-    // x13: the stub decoder is a pure fold over payload bytes (sum of
-    // unsigned octets), which DuckDB CAN replay: hex the UTF-8 bytes and
-    // list_sum the hex pairs — a full value oracle for the decode plumbing
+    // x13: both decode branches replay from the source bytes — the PNG
+    // wrap is deterministic (16-wide RGB rows, zero pad, filter None), so
+    // real decoded dims/sums are pure functions of the text; the stub
+    // branch stays the byte fold
     "x13_multimodal_decode" ->
-      s"""WITH $byteFoldSql
-         SELECT doc_id AS asset_id, 'text' AS media_type,
-           CAST(bsum % 640 + 1 AS INT) AS width,
-           CAST(n % 480 + 1 AS INT) AS height,
-           CAST(1 AS INT) AS n_frames,
-           CAST(bsum % 1000 AS DOUBLE) / 1000.0 AS feature_norm
-         FROM s""",
+      s"""WITH $mixedDecodeSql
+         SELECT doc_id AS asset_id, media_type, width, height, n_frames,
+           feature_norm
+         FROM mdec""",
     // x14: the rolling fold is engine-portable (md5-prefix token hashes,
     // base-31 modular polynomial) — list_reduce replays it exactly
     "x14_rolling_fingerprint" ->
@@ -1334,15 +1383,12 @@ object ExtensionQueries {
            COALESCE(CAST(a.n_distinct AS DOUBLE) / a.n_tokens >= 0.5
              AND a.mean_word_len >= 4.0, FALSE) AS keep
          FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
-    // x34: stub-decode dims from payload bytes (x13's fold), then the
-    // aspect-preserving fit — floor of exact small-int double division,
-    // identical on both engines
+    // x34: decoded dims (real PNG for every third doc, stub fold for the
+    // rest — x13's shared mirror), then the aspect-preserving fit — floor
+    // of exact small-int double division, identical on both engines
     "x34_resize_plan" ->
-      s"""WITH $byteFoldSql,
-         dims AS (SELECT doc_id AS asset_id,
-             CAST(bsum % 640 + 1 AS INT) AS width,
-             CAST(n % 480 + 1 AS INT) AS height
-           FROM s)
+      s"""WITH $mixedDecodeSql,
+         dims AS (SELECT doc_id AS asset_id, width, height FROM mdec)
          SELECT asset_id, width, height,
            CAST(CASE WHEN greatest(width, height) <= 224 THEN width
                 ELSE greatest(CAST(floor(width * 224 / greatest(width, height)) AS INT), 1)

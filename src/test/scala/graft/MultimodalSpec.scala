@@ -71,6 +71,84 @@ class MultimodalSpec extends SparkSpec {
       ((p6.width, p6.height, p6.sumR, p6.sumG, p6.sumB)))
   }
 
+  // ───── PNG (checked-in fixtures from tools/make_png_fixtures.py; the
+  // expected sums are the same closed-form pixel formulas, re-derived
+  // here — a bit-exact contract on inflate + all five unfilter paths)
+
+  test("PNG decode: all five scanline filters reconstruct exact channel sums (RGB)") {
+    // gradient.png: 8x8, r=x*30 g=y*30 b=(x+y)*15, filters 0,1,2,3,4,0,1,2
+    val img = ImageCodecs.decode(fixture("gradient.png")).get
+    assert(img.format == "png" && img.width == 8 && img.height == 8)
+    val px = for (y <- 0 until 8; x <- 0 until 8) yield (x * 30, y * 30, (x + y) * 15)
+    assert(img.sumR == px.map(_._1.toLong).sum)
+    assert(img.sumG == px.map(_._2.toLong).sum)
+    assert(img.sumB == px.map(_._3.toLong).sum)
+    assert(img.maxVal == 255)
+  }
+
+  test("PNG grayscale decodes with gray counted into all three channels") {
+    // gray.png: 5x4, v=(x*7+y*11)%256, filters 0,1,2,3
+    val img = ImageCodecs.decode(fixture("gray.png")).get
+    assert(img.format == "png" && img.width == 5 && img.height == 4)
+    val s = (for (y <- 0 until 4; x <- 0 until 5) yield ((x * 7 + y * 11) % 256).toLong).sum
+    assert((img.sumR, img.sumG, img.sumB) == ((s, s, s)))
+  }
+
+  test("PNG RGBA (Paeth-filtered) sums color channels, never alpha") {
+    // rgba.png: 4x4, r=x*40 g=y*40 b=200-x*20 a=255-y*10, Paeth rows
+    val img = ImageCodecs.decode(fixture("rgba.png")).get
+    assert(img.format == "png" && img.width == 4 && img.height == 4)
+    val px = for (y <- 0 until 4; x <- 0 until 4) yield (x * 40, y * 40, 200 - x * 20)
+    assert(img.sumR == px.map(_._1.toLong).sum)
+    assert(img.sumG == px.map(_._2.toLong).sum)
+    assert(img.sumB == px.map(_._3.toLong).sum)
+  }
+
+  test("PNG strictness: corrupt CRC, truncated IDAT, and bad headers all reject") {
+    val good = fixture("gradient.png")
+    assert(ImageCodecs.decode(good).isDefined)
+    // flip one byte inside the IDAT payload → chunk CRC mismatch → None
+    val crcBad = good.clone()
+    crcBad(good.length - 20) = (crcBad(good.length - 20) ^ 0x01).toByte
+    assert(ImageCodecs.decode(crcBad).isEmpty)
+    // truncate mid-IDAT → chunk length overruns the buffer → None
+    assert(ImageCodecs.decode(good.take(good.length - 30)).isEmpty)
+    // signature alone is not enough
+    assert(ImageCodecs.decode(good.take(8)).isEmpty)
+  }
+
+  test("wrapRgbPng round trip: decode recovers byte-position channel sums") {
+    val bytes = (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val png = ImageCodecs.wrapRgbPng(bytes) // 16 wide → stride 48 → h=3
+    val img = ImageCodecs.decode(png).get
+    assert(img.format == "png" && img.width == 16 && img.height == 3)
+    def chSum(ch: Int) = bytes.zipWithIndex
+      .collect { case (b, i) if i % 3 == ch => (b & 0xff).toLong }.sum
+    assert((img.sumR, img.sumG, img.sumB) == ((chSum(0), chSum(1), chSum(2))))
+    // empty input → one all-zero row
+    val empty = ImageCodecs.decode(ImageCodecs.wrapRgbPng(Array.emptyByteArray)).get
+    assert(empty.width == 16 && empty.height == 1 &&
+      empty.sumR == 0 && empty.sumG == 0 && empty.sumB == 0)
+  }
+
+  test("documentsAsMixedAssets: every third doc decodes on the real PNG path") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    val feats = Multimodal.decodeFeatures(Multimodal.documentsAsMixedAssets(docs))
+      .collect()
+    val (png, stub) = feats.partition(_.asset_id % 3 == 0)
+    assert(png.nonEmpty && stub.nonEmpty)
+    assert(png.forall(f => f.media_type == "image" && f.width == 16 && f.height >= 1))
+    assert(stub.forall(f => f.media_type == "text" && f.n_frames == 1))
+    // cross-check one PNG doc against the wrapper applied directly
+    val doc = docs.filter(col("doc_id") % 3 === 0 && col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].head()
+    val expect = ImageCodecs.decode(
+      ImageCodecs.wrapRgbPng(doc._2.getBytes("UTF-8"))).get
+    val got = feats.find(_.asset_id == doc._1).get
+    assert(got.height == expect.height &&
+      math.abs(got.feature_norm - expect.meanLuma) == 0.0)
+  }
+
   test("corrupt or non-image payloads are rejected, decode falls back to the stub") {
     val bmp = fixture("gradient.bmp")
     assert(ImageCodecs.decode(bmp.take(40)).isEmpty) // truncated header
