@@ -815,6 +815,29 @@ object ExtensionQueries {
           col("neighbor_id"), col("adc_dist"))
     }),
 
+    // ───── IVF-PQ with RESIDUAL encoding (IVFADC, Jégou '11 §III): the
+    // fine book encodes v − centroid[cell(v)] — coarse absorbs location,
+    // fine covers the tight residual cloud, which is why the composed
+    // quantizers stay accurate on a small codebook budget. Fine book =
+    // residuals of vectors 16-31 w.r.t. their own cells (deterministic,
+    // oracle-replayable stand-in for a k-means-trained book); same cells/
+    // probes as x122 so x123-vs-x122 isolates the encoding change
+    "x123_ivf_pq_residual_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cent = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val fine = Similarity.residuals(
+          emb.filter(col("vec_id") >= 16 && col("vec_id") < 32),
+          "vec_id", "embedding", cent, "cid", "cvec")
+        .select(col("vec_id").as("fcid"), col("resid").as("fvec"))
+      Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+          cent, "cid", "cvec", fine, "fcid", "fvec",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          m = 8, dim = 64, k = 5, probes = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("adc_dist"))
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the decoded dimensions (real PNG dims for every
     // third doc, stub dims for the rest) — the projection a decode stage
@@ -962,6 +985,59 @@ object ExtensionQueries {
            FROM cand ca
            JOIN codes c ON c.vec_id = ca.neighbor_id
            JOIN lut l ON l.qid = ca.qid AND l.s = c.s AND l.code = c.code
+           GROUP BY ca.qid, ca.neighbor_id)
+         SELECT qid AS query_id, rank, neighbor_id,
+           round(dist, 4) AS adc_dist
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY dist ASC, neighbor_id ASC) AS rank FROM adc)
+         WHERE rank <= 5""",
+    // x123: x122's cell CTEs plus residual encoding — corpus and query
+    // residuals against the assigned/probed cell, fine book = residuals
+    // of vectors 16-31, LUT keyed by (query, probed cell)
+    "x123_ivf_pq_residual_ann" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),
+         assign AS (SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+           FROM ev e, cent c),
+         cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+         resid AS (SELECT e.vec_id, ce.cell,
+             list_transform(range(64), i -> e.v[i + 1] - c.cv[i + 1]) AS rv
+           FROM ev e JOIN cells ce USING (vec_id) JOIN cent c ON c.cid = ce.cell),
+         fine AS (SELECT vec_id AS fcid, rv AS fv FROM resid
+           WHERE vec_id >= 16 AND vec_id < 32),
+         rsub AS (SELECT r.vec_id, s.s, f.fcid,
+             list_inner_product(
+               list_transform(range(8), i -> r.rv[s.s*8 + i + 1] - f.fv[s.s*8 + i + 1]),
+               list_transform(range(8), i -> r.rv[s.s*8 + i + 1] - f.fv[s.s*8 + i + 1])) AS d
+           FROM resid r, range(0, 8) s(s), fine f),
+         codes AS (SELECT vec_id, s, fcid AS code FROM (
+             SELECT vec_id, s, fcid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                 ORDER BY d ASC, fcid ASC) AS rn
+             FROM rsub)
+           WHERE rn = 1),
+         qcells AS (SELECT vec_id AS qid, cid AS qcell FROM assign
+           WHERE vec_id < 8 AND rn <= 2),
+         qres AS (SELECT qc.qid, qc.qcell,
+             list_transform(range(64), i -> e.v[i + 1] - c.cv[i + 1]) AS rv
+           FROM qcells qc JOIN ev e ON e.vec_id = qc.qid
+           JOIN cent c ON c.cid = qc.qcell),
+         lut AS (SELECT q.qid, q.qcell, s.s, f.fcid AS code,
+             list_inner_product(
+               list_transform(range(8), i -> q.rv[s.s*8 + i + 1] - f.fv[s.s*8 + i + 1]),
+               list_transform(range(8), i -> q.rv[s.s*8 + i + 1] - f.fv[s.s*8 + i + 1])) AS d
+           FROM qres q, range(0, 8) s(s), fine f),
+         cand AS (SELECT qc.qid, qc.qcell, ce.vec_id AS neighbor_id
+           FROM qcells qc JOIN cells ce
+           ON ce.cell = qc.qcell AND ce.vec_id <> qc.qid),
+         adc AS (SELECT ca.qid, ca.neighbor_id,
+             list_reduce(list(l.d ORDER BY l.s), (a, b) -> a + b) AS dist
+           FROM cand ca
+           JOIN codes c ON c.vec_id = ca.neighbor_id
+           JOIN lut l ON l.qid = ca.qid AND l.qcell = ca.qcell
+             AND l.s = c.s AND l.code = c.code
            GROUP BY ca.qid, ca.neighbor_id)
          SELECT qid AS query_id, rank, neighbor_id,
            round(dist, 4) AS adc_dist

@@ -382,7 +382,7 @@ object Similarity {
     * squared terms — bit-equal to DuckDB's
     * `list_inner_product(diff, diff)` (same equivalence x05 pins).
     * `m` subspaces of `dim/m` dims each; centroids broadcast. */
-  private def pqSubDists(vecs: DataFrame, idCol: String, vecCol: String,
+  private def pqSubDists(vecs: DataFrame, idCols: Seq[String], vecCol: String,
                          centroids: DataFrame, cidCol: String, cvecCol: String,
                          m: Int, subDim: Int): DataFrame = {
     val centSub = broadcast(centroids
@@ -390,15 +390,16 @@ object Similarity {
         col(cvecCol))
       .select(col(cidCol), col("s"),
         slice(col(cvecCol), col("s") * subDim + 1, lit(subDim)).as("__csub")))
+    val ids = idCols.map(col)
     vecs
-      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("s"),
-        col(vecCol))
-      .select(col(idCol), col("s"),
-        slice(col(vecCol), col("s") * subDim + 1, lit(subDim)).as("__vsub"))
+      .select(ids :+ explode(sequence(lit(0), lit(m - 1))).as("s")
+        :+ col(vecCol): _*)
+      .select(ids :+ col("s")
+        :+ slice(col(vecCol), col("s") * subDim + 1, lit(subDim)).as("__vsub"): _*)
       .join(centSub, "s")
-      .select(col(idCol), col("s"), col(cidCol),
+      .select(ids ++ Seq(col("s"), col(cidCol),
         expr("aggregate(zip_with(__vsub, __csub, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0.0 as double), (a, b) -> a + b)").as("d"))
+          "cast(0.0 as double), (a, b) -> a + b)").as("d")): _*)
   }
 
   /** Product-quantization ANN with asymmetric distance computation (the
@@ -417,7 +418,7 @@ object Similarity {
   private def pqCodes(ev: DataFrame, idCol: String,
                       cent: DataFrame, cidCol: String,
                       m: Int, subDim: Int): DataFrame =
-    pqSubDists(ev, idCol, "__v", cent, cidCol, "__cv", m, subDim)
+    pqSubDists(ev, Seq(idCol), "__v", cent, cidCol, "__cv", m, subDim)
       .groupBy(col(idCol), col("s"))
       .agg(min(struct(col("d"), col(cidCol))).as("__m"))
       .select(col(idCol), col("s"), col("__m").getField(cidCol).as("code"))
@@ -429,7 +430,7 @@ object Similarity {
                     m: Int, subDim: Int): DataFrame = {
     val qv = queries.select(col(qidCol).as("__qid"),
       col(qvecCol).cast("array<double>").as("__qv"))
-    pqSubDists(qv, "__qid", "__qv", cent, cidCol, "__cv", m, subDim)
+    pqSubDists(qv, Seq("__qid"), "__qv", cent, cidCol, "__cv", m, subDim)
       .withColumnRenamed(cidCol, "code")
   }
 
@@ -520,6 +521,99 @@ object Similarity {
     val lut = broadcast(pqLut(queries, qidCol, qvecCol, cent, cidCol, m, subDim))
     pqRank(
       cand.join(codes, idCol).join(lut, Seq("__qid", "s", "code")),
+      idCol, k)
+  }
+
+  /** Per-vector residual against the assigned coarse cell: `(idCol, cell,
+    * resid)` with `resid = v − centroid[cell]` as `array<double>` (both
+    * sides upcast BEFORE subtracting — the engine-portable arithmetic the
+    * PQ oracles pin). Cell assignment = [[assignCells]]' cosine argmax,
+    * lowest-cid tie. Centroids broadcast; one narrow join per vector. */
+  def residuals(vecs: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val cells = assignCells(vecs, idCol, vecCol, centroids, cidCol, cvecCol)
+      .select(col(idCol), col("cell"))
+    val centD = broadcast(centroids.select(col(cidCol).as("cell"),
+      col(cvecCol).cast("array<double>").as("__cellv")))
+    vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__vd"))
+      .join(cells, Seq(idCol))
+      .join(centD, Seq("cell"))
+      .select(col(idCol), col("cell"),
+        expr("zip_with(__vd, __cellv, (x, y) -> x - y)").as("resid"))
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the production IVFADC form (Jégou et
+    * al. '11 §III): the fine quantizer encodes `v − centroid[cell(v)]`,
+    * not `v`, so the coarse and fine codebooks COMPOSE — the coarse cell
+    * absorbs the vector's location and the fine codes only have to cover
+    * the (much tighter) residual cloud, which is what makes a small fine
+    * codebook accurate at billion-vector scale. The query side mirrors
+    * it: for each probed cell the query's OWN residual against that cell
+    * builds a per-(query, cell) lookup table, so a candidate's ADC
+    * distance approximates ‖q − c_cell − r_v‖² = ‖q − v̂‖² exactly as the
+    * paper defines.
+    *
+    * 100 TB shape, unchanged from [[ivfPqTopK]]: the corpus persists as
+    * (cell, m codes) rows, codebooks/LUTs/probe-cells broadcast (LUTs are
+    * |queries| × probes × m × |fine| rows — still tiny), floats never
+    * join the scoring. `fine` is the residual codebook `(fcidCol,
+    * fvecCol)` — trained on residuals in production; any deterministic
+    * residual sample works for replay. */
+  def ivfPqResidualTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, cidCol: String, cvecCol: String,
+                        fine: DataFrame, fcidCol: String, fvecCol: String,
+                        queries: DataFrame, qidCol: String, qvecCol: String,
+                        m: Int, dim: Int, k: Int, probes: Int): DataFrame = {
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    require(idCol != fcidCol && idCol != cidCol,
+      s"idCol '$idCol' must differ from centroid id columns — the " +
+        "sub-distance joins would be ambiguous; rename first")
+    val subDim = dim / m
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val fineD = fine.select(col(fcidCol), col(fvecCol).cast("array<double>").as("__cv"))
+
+    // corpus side: residual-encode each vector against its own cell
+    val resid = residuals(corpus.select(col(idCol), col(vecCol)).repartition(parts),
+      idCol, vecCol, centroids, cidCol, cvecCol)
+    val cells = resid.select(col(idCol), col("cell"))
+    val codes = pqCodes(resid.select(col(idCol), col("resid").as("__v")),
+      idCol, fineD, fcidCol, m, subDim)
+
+    // query side: probed cells (cosine, ties to lowest cid — ivfTopK's rule)
+    val centN = broadcast(centroids.select(col(cidCol), col(cvecCol))
+      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+    val qn = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+    val wq = Window.partitionBy(col(qidCol))
+      .orderBy(col("__ccos").desc, col(cidCol).asc)
+    val qcells = qn.crossJoin(centN)
+      .withColumn("__ccos", dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= probes)
+      .select(col(qidCol).as("__qid"), col(cidCol).as("qcell"))
+
+    // per-(query, probed cell) residual → lookup table over the fine book
+    val centD = broadcast(centroids.select(col(cidCol).as("qcell"),
+      col(cvecCol).cast("array<double>").as("__cellv")))
+    val qres = qcells
+      .join(queries.select(col(qidCol).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qvd")), Seq("__qid"))
+      .join(centD, Seq("qcell"))
+      .select(col("__qid"), col("qcell"),
+        expr("zip_with(__qvd, __cellv, (x, y) -> x - y)").as("__qv"))
+    val lut = broadcast(
+      pqSubDists(qres, Seq("__qid", "qcell"), "__qv", fineD, fcidCol, "__cv", m, subDim)
+        .withColumnRenamed(fcidCol, "code"))
+
+    // candidates from the cell equi-join; scoring keyed by the PROBED
+    // cell so each candidate reads the LUT built from its own cell's
+    // query residual (a corpus vector has one cell → no duplicate pairs)
+    val cand = cells.join(broadcast(qcells),
+      col("cell") === col("qcell") && col("__qid") =!= col(idCol))
+      .select(col("__qid"), col("qcell"), col(idCol))
+    pqRank(
+      cand.join(codes, idCol).join(lut, Seq("__qid", "qcell", "s", "code")),
       idCol, k)
   }
 }

@@ -182,6 +182,100 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK with probes = nlist degenerates to flat PQ-ADC") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val qs = emb.filter($"vec_id" < 4)
+    val flat = Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+        cent, "cid", "cvec", qs, "vec_id", "embedding", m = 8, dim = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val ivf = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        cent, "cid", "cvec", qs, "vec_id", "embedding",
+        m = 8, dim = 64, k = 5, probes = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(ivf == flat) // every cell probed → same candidates → same ranking
+  }
+
+  test("residual encoding composes: exact recall where raw-PQ collides, on the same budget") {
+    // The IVFADC motivation (Jégou '11 §III) as an executable law: corpus
+    // = every combination c_j + r_l of 8 well-separated coarse centroids
+    // (100·e_j) and 8 small residual atoms — 64 vectors that coarse⊗fine
+    // can cover EXACTLY with 8+8 codewords. Residual encoding recovers
+    // r_l perfectly (fine book = the atoms) → ADC distance inside a cell
+    // is the exact ‖q−v‖² → recall 1.0. Raw PQ on the SAME budget (the 8
+    // coarse vectors as its codebook, x122's convention) cannot represent
+    // the residuals at all: every vector in a cell encodes to the SAME
+    // codes, ADC ties collapse to id order, and recall crashes.
+    val dim = 8
+    val atoms = (0 until 8).map(l =>
+      Array.tabulate(dim)(i => (((l * 7 + i * 3) % 11) - 5).toFloat)) // in [-5, 5]
+    val corpus = (for (j <- 0 until 8; l <- 0 until 8) yield {
+      val v = Array.tabulate(dim)(i => if (i == j) 100f else 0f)
+      ((j * 8 + l).toLong + 100L, v.zip(atoms(l)).map { case (a, b) => a + b })
+    }).toDF("vec_id", "embedding")
+    val cent = (0 until 8).map(j =>
+        (j.toLong, Array.tabulate(dim)(i => if (i == j) 100f else 0f)))
+      .toDF("cid", "cvec")
+    val fine = (0 until 8).map(l => (l.toLong + 50L, atoms(l).map(_.toDouble)))
+      .toDF("fcid", "fvec")
+    val queries = corpus.filter($"vec_id" % 8 === 3) // one per cell
+    val k = 3
+    // exact ground truth, driver-side (64 vectors)
+    val local = corpus.as[(Long, Array[Float])].collect().toMap
+    val truth = queries.as[(Long, Array[Float])].collect().map { case (qid, qv) =>
+      qid -> local.filterNot(_._1 == qid).map { case (id, v) =>
+        (id, qv.zip(v).map { case (a, b) => (a - b).toDouble * (a - b) }.sum)
+      }.toSeq.sortBy(t => (t._2, t._1)).take(k).map(_._1).toSet
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      truth.map { case (q, t) => (got.getOrElse(q, Set.empty) & t).size.toDouble / k }
+        .sum / truth.size
+    }
+    val raw = recall(Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      cent, "cid", "cvec", queries, "vec_id", "embedding",
+      m = 2, dim = dim, k = k, probes = 1))
+    val res = recall(Similarity.ivfPqResidualTopK(corpus, "vec_id", "embedding",
+      cent, "cid", "cvec", fine, "fcid", "fvec", queries, "vec_id", "embedding",
+      m = 2, dim = dim, k = k, probes = 1))
+    assert(res == 1.0, s"residual recall $res — exact decomposition must be exact")
+    assert(res > raw, s"residual $res must beat raw-PQ $raw on composable data")
+  }
+
+  test("ivfPqResidualTopK: perfect reconstruction — ADC distance is exact inside the cell") {
+    // same decomposable corpus: residual codes reconstruct v exactly, so
+    // every reported adc_dist must equal the true squared L2 (4 dp)
+    val dim = 8
+    val atoms = (0 until 8).map(l =>
+      Array.tabulate(dim)(i => (((l * 7 + i * 3) % 11) - 5).toFloat))
+    val corpus = (for (j <- 0 until 8; l <- 0 until 8) yield {
+      val v = Array.tabulate(dim)(i => if (i == j) 100f else 0f)
+      ((j * 8 + l).toLong + 100L, v.zip(atoms(l)).map { case (a, b) => a + b })
+    }).toDF("vec_id", "embedding")
+    val cent = (0 until 8).map(j =>
+        (j.toLong, Array.tabulate(dim)(i => if (i == j) 100f else 0f)))
+      .toDF("cid", "cvec")
+    val fine = (0 until 8).map(l => (l.toLong + 50L, atoms(l).map(_.toDouble)))
+      .toDF("fcid", "fvec")
+    val queries = corpus.filter($"vec_id" % 8 === 5)
+    val local = corpus.as[(Long, Array[Float])].collect().toMap
+    val out = Similarity.ivfPqResidualTopK(corpus, "vec_id", "embedding",
+      cent, "cid", "cvec", fine, "fcid", "fvec", queries, "vec_id", "embedding",
+      m = 2, dim = dim, k = 3, probes = 1).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, nid, d) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val exact = local(qid).zip(local(nid))
+        .map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      assert(math.abs(d - math.rint(exact * 1e4) / 1e4) < 1e-9,
+        s"q=$qid n=$nid adc=$d exact=$exact")
+    }
+  }
+
   test("pqAdcTopK: codes of codebook members are their own centroid ids") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cent = emb.filter($"vec_id" < 16)
