@@ -64,7 +64,7 @@ object Bench {
     // corpus vs a uniform twin of the same size. Reported separately —
     // synthetic corpora, no DuckDB counterpart, excluded from the total.
     val nDocs = Tables.load(spark, sfDir, "documents").count()
-    val stress = SkewStress.queries(spark, nDocs)
+    val stress = SkewStress.queries(spark, nDocs, sfDir)
     stress.foreach { case (_, fn) =>
       try fn().write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -100,11 +100,28 @@ object SkewStress {
     out
   }
 
-  /** The six stress runs (three operators × {hot, uniform}), sized from
-    * the corpus row count of the SF under bench. */
-  def queries(spark: SparkSession, n: Long): Seq[(String, () => DataFrame)] = {
+  /** Signature-path cost twins: the SAME shingle rows aggregated through
+    * the oracle-replayable md5 component hash vs the production xxhash64
+    * path ([[Dedup.withSignatureFast]] — codegen'd long hash, no 32-char
+    * string materialization per (shingle, component)). Not a skew fixture
+    * — a hash-kernel cost measurement on the REAL documents table at the
+    * bench SF; the `sig_md5 / sig_xxh64` ratio in the skew section is the
+    * measured md5 tax the replay guarantee costs. */
+  def sigQueries(spark: SparkSession, sfDir: String): Seq[(String, () => DataFrame)] = Seq(
+    "sig_md5" -> (() => Dedup.withSignature(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+      shingleK = 3, numHashes = 12)),
+    "sig_xxh64" -> (() => Dedup.withSignatureFast(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+      shingleK = 3, numHashes = 12)))
+
+  /** The stress runs (three skew operators × {hot, uniform} + the
+    * signature-hash cost twins), sized from the corpus row count of the
+    * SF under bench. */
+  def queries(spark: SparkSession, n: Long,
+              sfDir: String): Seq[(String, () => DataFrame)] = {
     val floodCap = math.min(n / 5, 2500L) // keep candidate volume bounded
-    Seq(
+    sigQueries(spark, sfDir) ++ Seq(
       "skew_x27_hot" -> (() => Dedup.minhashLshPairs(
         textCorpus(spark, n, skewed = true), "doc_id", "text",
         hotThreshold = 512, blockSize = 512)),

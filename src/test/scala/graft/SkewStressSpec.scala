@@ -30,6 +30,16 @@ class SkewStressSpec extends SparkSpec {
     assert(guarded.size < 20)
   }
 
+  test("signature cost twins: md5 and xxhash64 paths emit the same shape over the same docs") {
+    val qs = SkewStress.sigQueries(spark, "/root/testdata/sf0.001").toMap
+    val md5 = qs("sig_md5")()
+    val xxh = qs("sig_xxh64")()
+    // same operator shape: one row per doc with a signature, 1 + 12 cols
+    assert(md5.columns.toSeq == xxh.columns.toSeq)
+    assert(md5.columns.length == 13 && md5.columns.head == "doc_id")
+    assert(md5.count() == xxh.count())
+  }
+
   test("skewed and uniform corpora have identical sizes and schema (fair twins)") {
     val hot = SkewStress.textCorpus(spark, 500, skewed = true)
     val uni = SkewStress.textCorpus(spark, 500, skewed = false)
