@@ -366,6 +366,131 @@ object Streams {
       .dropDuplicates(idCol)
   }
 
+  // ───── streaming incremental LSH dedup (the x49 shape as an ingest
+  // stream): the standing signature index is parquet state — per-doc
+  // fingerprints, MinHash signatures and shingle rows — that each
+  // micro-batch PROBES (exact fp + LSH band candidates + exact-Jaccard
+  // verify, x49's exact chain) and then APPENDS its unseen docs to.
+
+  /** Seed the standing dedup index at `indexDir` from a batch corpus:
+    * writes `fps` (doc_id, fp), `sigs` (doc_id, sig_0..n), `shingles`
+    * (doc_id, g). Same parameters must be used by every later
+    * [[incrementalDedupStep]] against this index. */
+  def seedDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     indexDir: String, shingleK: Int = 2,
+                     numHashes: Int = 12): Unit = {
+    val docs = corpus.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .dropDuplicates(idCol)
+    docs.select(col(idCol),
+        graft.text.TextOps.fingerprint(col(textCol)).as("fp"))
+      .write.mode("overwrite").parquet(s"$indexDir/fps")
+    val sh = graft.text.TextOps.shingleRows(docs, idCol, textCol, shingleK)
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    graft.dedup.Dedup.signatureOfShingles(
+        docs.sparkSession.read.parquet(s"$indexDir/shingles"), idCol, numHashes)
+      .write.mode("overwrite").parquet(s"$indexDir/sigs")
+  }
+
+  /** One incremental-dedup step: probe the standing index with a batch,
+    * return the verdict rows `(idCol, exact_dup, near_dup, accept)` for
+    * the batch's UNSEEN docs, and append those docs to the index. The
+    * probe is exactly x49's exact chain — fingerprint equality against
+    * the index fps (broadcast), LSH band candidates batch-vs-index
+    * ([[graft.dedup.Dedup.lshPairsBetween]] — |batch| probes of the band
+    * index, never a corpus self-join), exact shingle-Jaccard verify.
+    *
+    * Redelivery / replay safety: docs whose ids are already in the index
+    * are dropped BEFORE probing — a redelivered doc emits nothing and
+    * appends nothing, so the index is exactly-once by construction and
+    * the verdict output is at-least-once (a crash between the verdict
+    * write and the index append may re-emit the same verdict rows on
+    * replay; sinks dedup by the id column, as all graft upsert sinks do).
+    *
+    * At 100 TB: fps/sigs are a few dozen bytes per doc; shingle rows are
+    * the big half and exist to serve x49's EXACT verify — production can
+    * swap the verify to estimated Jaccard from the carried signatures
+    * and keep only fps+sigs as state. */
+  def incrementalDedupStep(batch: DataFrame, idCol: String, textCol: String,
+                           indexDir: String, shingleK: Int = 2,
+                           numHashes: Int = 12, rowsPerBand: Int = 3,
+                           candTau: Double = 0.25,
+                           jaccardTau: Double = 0.2): DataFrame = {
+    val spark = batch.sparkSession
+    val hasIndex = new java.io.File(s"$indexDir/fps").exists
+    val docs0 = batch.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), col(textCol)).dropDuplicates(idCol)
+    val docsPlan =
+      if (!hasIndex) docs0
+      else docs0.join(spark.read.parquet(s"$indexDir/fps").select(col(idCol)),
+        Seq(idCol), "left_anti")
+    // Materialize the unseen batch ONCE and cut its lineage: it feeds the
+    // fp probe, the signature probe, the verify AND the three index
+    // appends — and its plan reads the very fps parquet the first append
+    // mutates, so any re-evaluation after that append would anti-join the
+    // batch against itself and silently append nothing. localCheckpoint
+    // (eager) pins the computed rows; a cache() would leave a
+    // recompute-on-miss hole.
+    val docs = docsPlan.localCheckpoint(true)
+    val fpNew = docs.select(col(idCol),
+      graft.text.TextOps.fingerprint(col(textCol)).as("fp"))
+    val shNew = graft.text.TextOps.shingleRows(docs, idCol, textCol, shingleK)
+      .cache()
+    val sigNew = graft.dedup.Dedup.signatureOfShingles(shNew, idCol, numHashes)
+
+    val verdicts =
+      if (!hasIndex)
+        fpNew.select(col(idCol), lit(false).as("exact_dup"),
+          lit(false).as("near_dup"), lit(true).as("accept"))
+      else {
+        val idxFps = spark.read.parquet(s"$indexDir/fps")
+          .select(col("fp")).distinct().withColumn("__e", lit(true))
+        val exact = fpNew.join(broadcast(idxFps), Seq("fp"), "left")
+          .select(col(idCol), coalesce(col("__e"), lit(false)).as("exact_dup"))
+        val idxSigs = spark.read.parquet(s"$indexDir/sigs")
+        val cands = graft.dedup.Dedup.lshPairsBetween(
+            sigNew, idxSigs, idCol, numHashes, rowsPerBand, candTau)
+          .select(col("id_a"), col("id_b"))
+        val idxSh = spark.read.parquet(s"$indexDir/shingles")
+        val near = graft.dedup.Dedup.jaccardForShingles(
+            shNew.unionByName(idxSh), idCol, cands)
+          .filter(col("jaccard") >= jaccardTau)
+          .select(col("id_a").as(idCol)).distinct()
+          .withColumn("__n", lit(true))
+        exact.join(near, Seq(idCol), "left")
+          .select(col(idCol), col("exact_dup"),
+            coalesce(col("__n"), lit(false)).as("near_dup"))
+          .withColumn("accept", !col("exact_dup") && !col("near_dup"))
+      }
+    // Materialize verdicts BEFORE the appends mutate the index parquet
+    // their lineage reads — localCheckpoint (eager) truncates the plan to
+    // the computed partitions, so no later action can re-evaluate against
+    // the post-append index (a plain cache() is not enough: a cache miss
+    // would silently recompute over an index that now contains the batch
+    // itself, anti-joining every verdict away).
+    val out = verdicts.localCheckpoint(true)
+    val mode = if (hasIndex) "append" else "overwrite"
+    fpNew.write.mode(mode).parquet(s"$indexDir/fps")
+    shNew.write.mode(mode).parquet(s"$indexDir/shingles")
+    sigNew.write.mode(mode).parquet(s"$indexDir/sigs")
+    shNew.unpersist()
+    out
+  }
+
+  /** The streaming face: each micro-batch runs [[incrementalDedupStep]] and
+    * appends the verdict rows to `outPath` — x49 as a continuously-fed
+    * gate whose standing index grows with accepted AND rejected docs
+    * (rejected docs index too: a second copy of a near-dup must flag
+    * against the first copy, not sneak past because the first was
+    * rejected). */
+  def streamingIncrementalDedup(stream: DataFrame, idCol: String,
+                                textCol: String, indexDir: String,
+                                outPath: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        incrementalDedupStep(batch, idCol, textCol, indexDir)
+          .write.mode("append").parquet(outPath)
+    }
+
   /** Watermark-bounded form of [[streamingContaminationFlags]]: same
     * winnow probe, but the redelivery dedup is
     * `dropDuplicatesWithinWatermark` keyed on the doc id, so per-id state

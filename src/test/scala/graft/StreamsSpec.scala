@@ -164,6 +164,90 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingIncrementalDedup: stream output ≡ the x49 batch chain per micro-batch, redelivery-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    import graft.text.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup").toString
+    val (indexDir, outPath) = (s"$dir/index", s"$dir/out")
+    // corpus: docs 0-9 seed the standing index; batches arrive as new docs
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" < 10).select($"doc_id", $"text")
+    Streams.seedDedupIndex(corpus, "doc_id", "text", indexDir)
+    val base = corpus.as[(Long, String)].collect().toMap
+    // batch 1: an exact dup of doc 3, a near-dup of doc 5 (one word
+    // changed), and a fresh doc; batch 2: exact dup of a BATCH-1 doc
+    // (the growing-index property x49's one-shot form cannot see)
+    val b1 = Seq(
+      (100L, base(3L)),
+      (101L, base(5L).replaceFirst("\\w+", "zzz")),
+      (102L, "a genuinely novel document with words shared by nobody else here"))
+    val b2 = Seq(
+      (200L, b1(2)._2), // exact dup of 102 — only the grown index flags it
+      (201L, "another entirely fresh document nothing like the others at all"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.streamingIncrementalDedup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", indexDir, outPath)
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b1.head, b2.head) // pure redelivery micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outPath)
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+
+    // batch-mode reference: the x49 operator chain applied increment by
+    // increment against the SAME growing corpus (corpus, then corpus+b1)
+    def x49Step(newDocs: Seq[(Long, String)],
+                standing: org.apache.spark.sql.DataFrame) = {
+      val nd = newDocs.toDF("doc_id", "text")
+      val all = standing.unionByName(nd)
+      val fpAll = all.select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      val isBatch = $"doc_id".isin(newDocs.map(_._1): _*)
+      val fpCorpus = fpAll.filter(!isBatch).select($"fp").distinct()
+        .withColumn("__e", lit(true))
+      val exact = fpAll.filter(isBatch)
+        .join(org.apache.spark.sql.functions.broadcast(fpCorpus), Seq("fp"), "left")
+        .select($"doc_id", coalesce($"__e", lit(false)).as("exact_dup"))
+      val sh = TextOps.shingleRows(all, "doc_id", "text", 2).cache()
+      val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cache()
+      val cands = Dedup.lshPairsBetween(
+          signed.filter(isBatch),
+          signed.filter(!isBatch), "doc_id", 12, 3, 0.25)
+        .select($"id_a", $"id_b")
+      val near = Dedup.jaccardForShingles(sh, "doc_id", cands)
+        .filter($"jaccard" >= 0.2).select($"id_a".as("doc_id")).distinct()
+        .withColumn("__n", lit(true))
+      exact.join(near, Seq("doc_id"), "left")
+        .select($"doc_id", $"exact_dup",
+          coalesce($"__n", lit(false)).as("near_dup"))
+        .withColumn("accept", !$"exact_dup" && !$"near_dup")
+        .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    }
+    val ref1 = x49Step(b1, corpus)
+    spark.catalog.clearCache()
+    val ref2 = x49Step(b2, corpus.unionByName(
+      b1.toDF("doc_id", "text")))
+    spark.catalog.clearCache()
+    assert(got == (ref1 ++ ref2).sortBy(_._1),
+      s"stream $got != batch chain ${(ref1 ++ ref2).sortBy(_._1)}")
+    // semantic spot checks + redelivery: 5 verdicts total (no re-emits),
+    // exact dup of corpus, near dup of corpus, exact dup of a b1 doc
+    assert(got.map(_._1) == Seq(100L, 101L, 102L, 200L, 201L))
+    assert(got == Seq(
+      (100L, true, true, false),  // exact copy is also a trivial near-dup
+      (101L, false, true, false), // one word off doc 5
+      (102L, false, false, true),
+      (200L, true, true, false),  // dup of 102 — caught only by the grown index
+      (201L, false, false, true)))
+    // the redelivered docs appended nothing: one fp row per distinct doc
+    val fpIds = spark.read.parquet(s"$indexDir/fps")
+      .groupBy($"doc_id").count().filter($"count" > 1).count()
+    assert(fpIds == 0)
+  }
+
   test("streamingDedupWithinWatermark: in-window duplicates collapse to first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
