@@ -36,6 +36,27 @@ class CatalogPreflightSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries without oracleSql: ${missing.toSeq.sorted}")
   }
 
+  test("preflight: the last driver correctness round recorded zero failures") {
+    // Full Verify runs exit 0 by driver contract even when errors.json is
+    // non-empty (the driver keeps its own tally), so a silent driver-side
+    // miss would otherwise surface nowhere build-failing. This closes the
+    // loop: the NEXT `sbt test` fails if the latest committed
+    // CORRECTNESS_r{N}.json contains any err / rows / schema / hash
+    // failure. Dependency-free check: the driver file is flat
+    // one-object-per-query JSON, so a conservative string scan suffices —
+    // any `false` or non-null err anywhere in it is a failure.
+    val files = Option(new java.io.File(".").listFiles()).get
+      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json")).sortBy(_.getName)
+    assert(files.nonEmpty, "no CORRECTNESS_r*.json committed yet")
+    val latest = files.last
+    val content = new String(
+      java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+    assert(!content.contains("false"),
+      s"${latest.getName} records at least one rows/schema/hash mismatch")
+    assert(!content.contains("\"err\": \"") && !content.contains("\"err\":\""),
+      s"${latest.getName} records at least one thrown query")
+  }
+
   test("preflight: no catalog query outputs a narrow numeric type") {
     // The driver's compare hashes TYPED values and DuckDB widens
     // aggressively (integer SUM → HUGEINT, least/greatest INTEGER →
