@@ -137,6 +137,44 @@ object ExtensionQueries {
            i -> CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT)))
            AS BIGINT), 0) AS bsum FROM b)"""
 
+  /** DuckDB CTE chain mirroring Retrieval.bm25TopK (corpus = doc_id ≥ 20,
+    * queries = doc_id < 8, k1=1.2 b=0.75): ends with
+    * `scored(qid, doc_id, score_micro)`. Per-term contributions floor to
+    * integer micro-units before the sum; every double literal casts
+    * explicitly (bare 0.5/1.2 parse as DECIMAL on both engines). Shared
+    * by x125/x126 so the scoring mirror can't desynchronize. */
+  private val bm25Ctes =
+    s"""corp AS (SELECT doc_id, text FROM documents
+         WHERE doc_id >= 20 AND doc_id IS NOT NULL AND text IS NOT NULL),
+       qd AS (SELECT doc_id AS qid, text FROM documents
+         WHERE doc_id < 8 AND doc_id IS NOT NULL AND text IS NOT NULL),
+       ct AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM corp),
+       ctf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM ct
+         WHERE tok <> '' GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM ct
+         WHERE tok <> '' GROUP BY 1),
+       stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+       qt AS (SELECT DISTINCT qid, tok FROM
+           (SELECT qid, unnest(string_split($normSql, ' ')) AS tok FROM qd)
+         WHERE tok <> ''),
+       tfq AS (SELECT * FROM ctf WHERE tok IN (SELECT tok FROM qt)),
+       dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+       contrib AS (SELECT qt.qid, tfq.doc_id,
+           CAST(floor(
+             ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) + CAST(1.0 AS DOUBLE))
+             * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                   * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * (CAST(dl.dl AS DOUBLE)
+                        / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+             * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c
+         FROM qt JOIN tfq USING (tok) JOIN dfreq USING (tok)
+         JOIN dl ON tfq.doc_id = dl.doc_id CROSS JOIN stats),
+       scored AS (SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+         FROM contrib GROUP BY 1, 2)"""
+
   /** DuckDB CTE chain mirroring Multimodal.documentsAsMixedAssets →
     * decodeFeatures: docs with doc_id % 3 = 0 wrap as 16-px-wide RGB8
     * PNGs (real decode: width 16, height ceil(n/48), channel sums = the
@@ -838,6 +876,77 @@ object ExtensionQueries {
           col("neighbor_id"), col("adc_dist"))
     }),
 
+    // ───── substring-level dedup REMOVAL (the Lee '22 output stage):
+    // x117's winnowed cross-document spans are CUT from every document —
+    // rebuilt text = the concatenation of the segments between spans
+    // (spans are disjoint within a doc by construction, so the segment
+    // arithmetic is a pure projection over the sorted span list). The
+    // conservative boilerplate-scrub form: every occurrence of a shared
+    // substring is removed; x45 is the chunk-aligned twin
+    "x124_span_scrub" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val spans = Dedup.winnowSpans(docs, "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("span_start").as("s"),
+          col("span_end").as("e")))).as("sp"),
+          sum(col("span_len")).as("removed_chars"),
+          count(lit(1)).as("n_spans"))
+      docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .join(spans, Seq("doc_id"), "left")
+        .withColumn("cleaned", expr(
+          // segment i of n+1: chars after span i-1 (or 1) up to span i's
+          // start (or end-of-text). Spark arrays are 0-based; the oracle
+          // writes the same walk 1-based
+          """CASE WHEN sp IS NULL THEN text ELSE
+             concat_ws('', transform(sequence(0, size(sp)),
+               i -> substring(text,
+                 CAST(CASE WHEN i = 0 THEN 1 ELSE sp[i-1].e + 1 END AS INT),
+                 CAST((CASE WHEN i = size(sp) THEN length(text) + 1
+                       ELSE sp[i].s END)
+                   - (CASE WHEN i = 0 THEN 0 ELSE sp[i-1].e END) - 1 AS INT))))
+             END"""))
+        .select(col("doc_id"), col("cleaned"),
+          coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+    }),
+
+    // ───── BM25 top-k retrieval (Robertson; Lucene practical form):
+    // benchmark docs (< 8) as queries against the corpus (≥ 20) — the
+    // inverted-index probe shape: query terms broadcast, only matching
+    // postings flow, df/avgdl partial-combine; per-term contributions
+    // floor to integer micro-units (x120's quantize-once pattern) so the
+    // per-doc sum is order-free and engine-exact
+    "x125_bm25_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      graft.text.Retrieval.bm25TopK(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 8),
+        "doc_id", "text", "doc_id", k = 5)
+    }),
+
+    // ───── hybrid retrieval: reciprocal-rank fusion (Cormack '09, k=60)
+    // of the BM25 lexical ranks and the exact-cosine vector ranks over
+    // the SAME aligned id space (documents.doc_id ≡ embeddings.vec_id) —
+    // all-integer scoring: 1e9 div (60 + rank), summed as longs
+    "x126_rrf_fusion" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val emb = t(s, d, "embeddings")
+      val bm = graft.text.Retrieval.bm25TopK(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 8),
+        "doc_id", "text", "doc_id", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val ann = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 20), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+      graft.text.Retrieval.rrfFuse(bm, ann, "doc_id", k = 5)
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the decoded dimensions (real PNG dims for every
     // third doc, stub dims for the rest) — the projection a decode stage
@@ -1043,6 +1152,61 @@ object ExtensionQueries {
            round(dist, 4) AS adc_dist
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
              ORDER BY dist ASC, neighbor_id ASC) AS rank FROM adc)
+         WHERE rank <= 5""",
+    // x124: x117's span CTEs, then the segment walk — DuckDB lists are
+    // 1-based where the engine's arrays are 0-based; same arithmetic
+    "x124_span_scrub" ->
+      s"""WITH $winnowSpanCtes,
+         sp AS (SELECT doc_id,
+             list({'s': span_start, 'e': span_end} ORDER BY span_start) AS sp,
+             CAST(SUM(span_len) AS BIGINT) AS removed_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+           FROM spans GROUP BY doc_id)
+         SELECT d.doc_id,
+           CASE WHEN sp.sp IS NULL THEN d.text ELSE
+             array_to_string(list_transform(range(0, len(sp.sp) + 1),
+               i -> substr(d.text,
+                 CAST(CASE WHEN i = 0 THEN 1 ELSE sp.sp[i].e + 1 END AS INT),
+                 CAST((CASE WHEN i = len(sp.sp) THEN length(d.text) + 1
+                       ELSE sp.sp[i + 1].s END)
+                   - (CASE WHEN i = 0 THEN 0 ELSE sp.sp[i].e END) - 1 AS INT))), '')
+           END AS cleaned,
+           COALESCE(sp.removed_chars, 0) AS removed_chars,
+           COALESCE(sp.n_spans, 0) AS n_spans
+         FROM documents d LEFT JOIN sp USING (doc_id)
+         WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL""",
+    // x125/x126 share the BM25 CTE chain (k1=1.2 b=0.75, micro-floored
+    // per-term contributions — every literal cast to DOUBLE, x13's
+    // decimal-literal lesson)
+    "x125_bm25_topk" ->
+      s"""WITH $bm25Ctes
+         SELECT qid AS query_id, rank, doc_id, score_micro
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score_micro DESC, doc_id) AS rank FROM scored)
+         WHERE rank <= 5""",
+    "x126_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         bmr AS (SELECT qid, doc_id, rank FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS rank FROM scored)
+           WHERE rank <= 20),
+         ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         qv AS (SELECT vec_id AS qid, v AS qvec FROM ev WHERE vec_id < 8),
+         cosr AS (SELECT qid, vec_id AS doc_id, rank FROM (SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY ${cosSql("q.qvec", "e.v")} DESC, e.vec_id) AS rank
+           FROM qv q, ev e WHERE e.vec_id >= 20 AND e.vec_id <> q.qid)
+           WHERE rank <= 20),
+         pa AS (SELECT qid, doc_id, 1000000000 // (60 + rank) AS p FROM bmr),
+         pb AS (SELECT qid, doc_id, 1000000000 // (60 + rank) AS p FROM cosr),
+         fused AS (SELECT COALESCE(pa.qid, pb.qid) AS query_id,
+             COALESCE(pa.doc_id, pb.doc_id) AS doc_id,
+             CAST(COALESCE(pa.p, 0) + COALESCE(pb.p, 0) AS BIGINT) AS rrf_score
+           FROM pa FULL OUTER JOIN pb
+           ON pa.qid = pb.qid AND pa.doc_id = pb.doc_id)
+         SELECT query_id, rank, doc_id, rrf_score
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
          WHERE rank <= 5""",
     "x119_contamination_spans" ->
       s"""WITH $winnowAnchorCtes,

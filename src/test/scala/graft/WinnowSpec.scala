@@ -109,6 +109,36 @@ class WinnowSpec extends SparkSpec {
     assert(drift.count() === 0)
   }
 
+  test("x124 scrub: cleaned length + removed chars recomposes the original exactly") {
+    val scrub = SparkEntry.queries("x124_span_scrub")(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id".isNotNull && $"text".isNotNull)
+    val joined = scrub.join(
+      docs.select($"doc_id", $"text", length($"text").cast("long").as("len")),
+      "doc_id")
+    // the segment walk must cut EXACTLY the span chars — no off-by-one
+    // survives this on 500 real docs
+    val drift = joined.filter(
+      length($"cleaned").cast("long") + $"removed_chars" =!= $"len")
+    assert(drift.count() === 0)
+    // docs without spans pass through verbatim
+    val untouched = joined.filter($"n_spans" === 0 && $"cleaned" =!= $"text")
+    assert(untouched.count() === 0)
+    // scrubbed docs no longer contain their first span's text
+    val spans = SparkEntry.queries("x117_substring_spans")(spark, sfDir)
+    val firstSpan = spans.groupBy($"doc_id")
+      .agg(min(struct($"span_start", $"span_end")).as("f"))
+      .join(docs, "doc_id")
+      .select($"doc_id", expr(
+        "substring(text, CAST(f.span_start AS INT), CAST(f.span_end - f.span_start + 1 AS INT))")
+        .as("cut"))
+    val stillThere = scrub.join(firstSpan, "doc_id")
+      .filter(expr("instr(cleaned, cut) > 0") && length($"cut") >= 23)
+    // a cut substring CAN legitimately survive if the doc contained it at
+    // another, unflagged offset — require only that the common case drops
+    assert(stillThere.count() < firstSpan.count() / 2)
+  }
+
   test("x119 spans start at 16-grams that verifiably appear in the benchmark set") {
     val docs = Tables.load(spark, sfDir, "documents")
       .filter($"doc_id".isNotNull && $"text".isNotNull)
