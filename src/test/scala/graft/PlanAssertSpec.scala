@@ -103,6 +103,9 @@ class PlanAssertSpec extends SparkSpec {
     // x120: the two token-total scalars (Nt, Nc) — one pre-aggregated
     // count row per upstream partition, broadcast back into the ≤ 4096-
     // bucket log-weight frame; q23/x79's class.
+    // x125/x126: the BM25 (n_docs, tot_dl) corpus-stats scalar — one
+    // pre-aggregated row per partition into a single broadcast row;
+    // q23/x79's class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -110,7 +113,8 @@ class PlanAssertSpec extends SparkSpec {
         "x79_negative_pairs", "x80_interleave_order", "x82_zorder_layout",
         "x89_trade_triangles", "x90_ring_reshard", "x103_tfidf_keywords",
         "x105_ks_drift", "x107_rolling_actives", "x110_benford_audit",
-        "x111_quantile_normalize", "x120_dsir_weights")
+        "x111_quantile_normalize", "x120_dsir_weights",
+        "x125_bm25_topk", "x126_rrf_fusion")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
