@@ -694,9 +694,104 @@ object CurationQueries {
           sum(col("y")).as("sum_y"), sum(col("x") * col("y")).as("sum_xy"),
           sum(col("x") * col("x")).as("sum_xx"),
           sum(col("y") * col("y")).as("sum_yy"))
+    }),
+
+    // ───── Stupid-Backoff bigram LM quality score (Brants et al. '07 —
+    // the KenLM-class perplexity filter, relationally): train bigram +
+    // unigram counts on the corpus itself, score each doc as the sum of
+    // per-position log S(w_i | w_{i-1}), S = c(w_{i-1} w_i)/c(w_{i-1})
+    // when the bigram is seen, else 0.4·c(w_i)/N. Per-position log-probs
+    // floor to integer MICRO-units (x120's quantize-once pattern) so the
+    // per-doc sum is order-free and engine-exact; ln bit-parity across
+    // engines is the x120-probed property. Distinct from x54: x54 ranks
+    // by raw bigram support, this is a smoothed LM log-likelihood with
+    // backoff — the form whose threshold transfers across corpus sizes
+    "x127_stupid_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      // cache: the token frame feeds bigram rows, unigram counts AND the
+      // token-total scalar (caller-managed lifecycle, as elsewhere)
+      // counts TRAIN on the corpus split (doc_id ≥ 20) and SCORE every
+      // doc — benchmark docs (< 20) hit genuine unseen-bigram backoff and
+      // OOV (unseen unigrams score as count ½, add-half); a self-trained
+      // model would never back off (every scored bigram is its own
+      // evidence)
+      val tr = TextOps.tokenRows(docs, "doc_id", "text")
+        .filter(col("tok") =!= "").cache()
+      val bg = tr.withColumn("prev", lag(col("tok"), 1).over(byDoc))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("prev"), col("tok").as("cur"))
+      val train = col("doc_id") >= 20
+      val uc = tr.filter(train).groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+      val bc = bg.filter(train).groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("c_bi"))
+      val nTok = broadcast(tr.filter(train).agg(count(lit(1)).as("n_toks")))
+      val contrib = bg
+        .join(bc, Seq("prev", "cur"), "left")
+        .join(uc.select(col("tok").as("prev"), col("c_uni").as("c_prev")),
+          Seq("prev"), "left")
+        .join(uc.select(col("tok").as("cur"), col("c_uni").as("c_cur")),
+          Seq("cur"), "left")
+        .crossJoin(nTok)
+        .withColumn("__c", expr(
+          """CAST(floor(ln(CASE WHEN c_bi IS NOT NULL
+             THEN CAST(c_bi AS DOUBLE) / CAST(c_prev AS DOUBLE)
+             ELSE CAST(0.4 AS DOUBLE)
+                  * COALESCE(CAST(c_cur AS DOUBLE), CAST(0.5 AS DOUBLE))
+                  / CAST(n_toks AS DOUBLE) END)
+             * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"""))
+      val perDoc = contrib.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__c")).as("ll_micro"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("ll_micro"), lit(0L)).as("ll_micro"),
+          when(col("n_bigrams").isNotNull,
+            col("ll_micro").cast("double") / col("n_bigrams").cast("double"))
+            .as("mean_ll_micro"))
     }))
 
   val oracle: Map[String, String] = Map(
+    // x127: the pairsSql walk with positions, counts trained on doc_id ≥
+    // 20, per-position micro-floored log S — literals cast to DOUBLE
+    "x127_stupid_backoff" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         tk AS (SELECT doc_id, list_filter(string_split(${normOf("text")}, ' '),
+             w -> w <> '') AS t FROM d),
+         bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+           FROM tk, unnest(range(1, len(t))) r(i)),
+         uni AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_uni FROM uni
+           WHERE doc_id >= 20 GROUP BY tok),
+         bc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_bi FROM bg
+           WHERE doc_id >= 20 GROUP BY prev, cur),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_toks FROM uni
+           WHERE doc_id >= 20),
+         contrib AS (SELECT bg.doc_id,
+             CAST(floor(ln(CASE WHEN bc.c_bi IS NOT NULL
+               THEN CAST(bc.c_bi AS DOUBLE) / CAST(up.c_uni AS DOUBLE)
+               ELSE CAST(0.4 AS DOUBLE)
+                    * COALESCE(CAST(ucr.c_uni AS DOUBLE), CAST(0.5 AS DOUBLE))
+                    / CAST(n_toks AS DOUBLE) END)
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c
+           FROM bg
+           LEFT JOIN bc ON bg.prev = bc.prev AND bg.cur = bc.cur
+           LEFT JOIN uc up ON bg.prev = up.tok
+           LEFT JOIN uc ucr ON bg.cur = ucr.tok
+           CROSS JOIN nt),
+         per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c) AS BIGINT) AS ll_micro
+           FROM contrib GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(per.n_bigrams, 0) AS n_bigrams,
+           COALESCE(per.ll_micro, 0) AS ll_micro,
+           CASE WHEN per.n_bigrams IS NOT NULL
+             THEN CAST(per.ll_micro AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
+           END AS mean_ll_micro
+         FROM d LEFT JOIN per USING (doc_id)""",
     "x36_semantic_dedup" ->
       s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),

@@ -947,6 +947,38 @@ object ExtensionQueries {
       graft.text.Retrieval.rrfFuse(bm, ann, "doc_id", k = 5)
     }),
 
+    // ───── dedup cluster-chaining audit: transitive closure merges
+    // near-dup pairs into clusters, but transitivity is NOT similarity —
+    // a-b and b-c at J=0.2 can chain an a-c pair at J≈0. This audits
+    // every x27 cluster (size-capped at 32; production samples giants and
+    // logs the drop) by computing the TRUE pairwise Jaccard of every
+    // member pair and reporting how many in-cluster pairs fall below the
+    // verify threshold — the number that says whether cluster-level
+    // dedup decisions (keep one survivor per cluster) over-delete
+    "x128_chaining_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val labels = Dedup.lshDedupClusters(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 12, rowsPerBand = 3,
+        candTau = 0.25, jaccardTau = 0.2)
+      val sized = labels.groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+        .filter(col("size") <= 32)
+      val members = labels.join(sized, Seq("cluster"))
+      val pairs = members.select(col("cluster"), col("size"), col("id").as("id_a"))
+        .join(members.select(col("cluster"), col("id").as("id_b")),
+          Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+      val jac = Dedup.jaccardForPairs(docs, "doc_id", "text", k = 2,
+        pairs.select(col("id_a"), col("id_b")))
+      pairs.join(jac, Seq("id_a", "id_b"), "left")
+        .groupBy(col("cluster"), col("size"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(coalesce(col("jaccard"), lit(0.0)) >= 0.2, 1L)
+            .otherwise(0L)).as("n_direct"))
+        .withColumn("n_chained", col("n_pairs") - col("n_direct"))
+        .withColumn("chained_ppm",
+          expr("(n_chained * CAST(1000000 AS BIGINT)) div n_pairs"))
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the decoded dimensions (real PNG dims for every
     // third doc, stub dims for the rest) — the projection a decode stage
@@ -1208,6 +1240,38 @@ object ExtensionQueries {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
          WHERE rank <= 5""",
+    // x128: x27's cluster CTEs (incl. its `sh`/`sizes`), then true
+    // pairwise Jaccard over size-capped in-cluster pairs; threshold
+    // literal cast to DOUBLE (decimal-compare hazard)
+    "x128_chaining_audit" ->
+      s"""WITH RECURSIVE $lshClusterCtes,
+         csz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size
+           FROM labels GROUP BY cluster HAVING COUNT(*) <= 32),
+         mem AS (SELECT l.cluster, c.size, l.id FROM labels l
+           JOIN csz c USING (cluster)),
+         prs AS (SELECT a.cluster, a.size, a.id AS id_a, b.id AS id_b
+           FROM mem a JOIN mem b ON a.cluster = b.cluster AND a.id < b.id),
+         cm2 AS (SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS common
+           FROM prs p
+           JOIN sh a ON a.doc_id = p.id_a
+           JOIN sh b ON b.doc_id = p.id_b AND b.g = a.g
+           GROUP BY p.id_a, p.id_b),
+         jac AS (SELECT c.id_a, c.id_b,
+             CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS j
+           FROM cm2 c JOIN sizes sa ON c.id_a = sa.doc_id
+           JOIN sizes sb ON c.id_b = sb.doc_id),
+         agg AS (SELECT p.cluster, p.size,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN COALESCE(j.j, CAST(0.0 AS DOUBLE))
+                 >= CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_direct
+           FROM prs p LEFT JOIN jac j
+           ON p.id_a = j.id_a AND p.id_b = j.id_b
+           GROUP BY p.cluster, p.size)
+         SELECT cluster, size, n_pairs, n_direct,
+           CAST(n_pairs - n_direct AS BIGINT) AS n_chained,
+           ((n_pairs - n_direct) * CAST(1000000 AS BIGINT)) // n_pairs
+             AS chained_ppm
+         FROM agg""",
     "x119_contamination_spans" ->
       s"""WITH $winnowAnchorCtes,
          ref AS (SELECT DISTINCT h FROM anch WHERE doc_id < 20),

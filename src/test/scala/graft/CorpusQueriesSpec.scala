@@ -616,4 +616,53 @@ class CorpusQueriesSpec extends SparkSpec {
     // every corpus doc with at least one token gets a score
     assert(dsir.count() === tok.filter($"n_tokens" > 0).count())
   }
+
+  test("x127 Stupid Backoff: seen / backoff / OOV branches score by-hand values") {
+    import spark.implicits._
+    // train split (ids ≥ 20): unigrams a:3 b:3 c:1, N = 7;
+    // train bigrams: (a b)×2, (b a), (a c), (c b)
+    val docs = Seq(
+      (20L, "a b a b"), (21L, "a c b"),
+      // scored doc: "a b" seen bigram, "b z" OOV continuation,
+      // "z c" backoff with seen unigram c
+      (5L, "a b z c")).toDF("doc_id", "text")
+    val spark2 = spark
+    import graft.text.TextOps
+    // run the catalog logic against a temp view seam: rebuild inline
+    // (the query reads the documents table, so mirror its body here)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val tr = TextOps.tokenRows(docs, "doc_id", "text").filter($"tok" =!= "")
+    val bg = tr.withColumn("prev", lag($"tok", 1).over(byDoc))
+      .filter($"prev".isNotNull).select($"doc_id", $"prev", $"tok".as("cur"))
+    val train = $"doc_id" >= 20
+    val uc = tr.filter(train).groupBy($"tok").agg(count(lit(1)).as("c_uni"))
+    val bc = bg.filter(train).groupBy($"prev", $"cur").agg(count(lit(1)).as("c_bi"))
+    val nTok = broadcast(tr.filter(train).agg(count(lit(1)).as("n_toks")))
+    val contrib = bg.filter($"doc_id" === 5L)
+      .join(bc, Seq("prev", "cur"), "left")
+      .join(uc.select($"tok".as("prev"), $"c_uni".as("c_prev")), Seq("prev"), "left")
+      .join(uc.select($"tok".as("cur"), $"c_uni".as("c_cur")), Seq("cur"), "left")
+      .crossJoin(nTok)
+      .withColumn("c", expr(
+        """CAST(floor(ln(CASE WHEN c_bi IS NOT NULL
+           THEN CAST(c_bi AS DOUBLE) / CAST(c_prev AS DOUBLE)
+           ELSE CAST(0.4 AS DOUBLE)
+                * COALESCE(CAST(c_cur AS DOUBLE), CAST(0.5 AS DOUBLE))
+                / CAST(n_toks AS DOUBLE) END)
+           * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"""))
+      .select($"prev", $"cur", $"c").as[(String, String, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    def m(v: Double) = math.floor(math.log(v) * 1e6).toLong
+    // seen: S(b|a) = c(a b)/c(a) = 2/3
+    assert(contrib(("a", "b")) == m(2.0 / 3.0))
+    // OOV continuation: z unseen → 0.4·(½)/7
+    assert(contrib(("b", "z")) == m(0.4 * 0.5 / 7.0))
+    // backoff: bigram (z c) unseen, c seen → 0.4·1/7
+    assert(contrib(("z", "c")) == m(0.4 * 1.0 / 7.0))
+    // and the catalog surface scores exactly the corpus' doc set
+    val out = SparkEntry.queries("x127_stupid_backoff")(spark2, sf)
+    assert(out.filter($"n_bigrams" > 0 && $"mean_ll_micro".isNull).count() === 0)
+    assert(out.filter($"mean_ll_micro" > 0.0).count() === 0) // log-probs ≤ 0
+  }
 }

@@ -105,7 +105,8 @@ class PlanAssertSpec extends SparkSpec {
     // bucket log-weight frame; q23/x79's class.
     // x125/x126: the BM25 (n_docs, tot_dl) corpus-stats scalar — one
     // pre-aggregated row per partition into a single broadcast row;
-    // q23/x79's class.
+    // q23/x79's class. x127: the n_toks training-total scalar, x120's
+    // exact shape.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -114,7 +115,7 @@ class PlanAssertSpec extends SparkSpec {
         "x89_trade_triangles", "x90_ring_reshard", "x103_tfidf_keywords",
         "x105_ks_drift", "x107_rolling_actives", "x110_benford_audit",
         "x111_quantile_normalize", "x120_dsir_weights",
-        "x125_bm25_topk", "x126_rrf_fusion")
+        "x125_bm25_topk", "x126_rrf_fusion", "x127_stupid_backoff")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

@@ -284,4 +284,39 @@ class TextDedupSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(scores("clean") > scores("noisy"))
   }
+
+  test("x128 chaining audit: pair accounting exact, planted chain reports its weak pair") {
+    import org.apache.spark.sql.functions._
+    // catalog surface invariants on real data: every audited cluster
+    // counts exactly C(size, 2) pairs, direct + chained partitions them
+    val out = SparkEntry.queries("x128_chaining_audit")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (size, nPairs, nDirect, nChained) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nPairs == size * (size - 1) / 2, s"cluster ${r.getLong(0)}")
+      assert(nDirect + nChained == nPairs && nDirect >= size - 1)
+    }
+    spark.catalog.clearCache()
+    // planted chain: A~B and B~C share halves with B, but A and C share
+    // nothing — transitive closure welds them into one cluster whose A-C
+    // pair must surface as chained
+    val half1 = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val half2 = (1 to 12).map(i => s"beta$i").mkString(" ")
+    val half3 = (1 to 12).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq((1L, half1), (2L, s"$half1 $half2"), (3L, s"$half2 $half3"),
+      (4L, half3)).toDF("doc_id", "text")
+    // 1-row bands + no estimate filter: candidate recall ≈ 1 at these
+    // J's, and the exact-Jaccard verify (deterministic) decides the
+    // links — the weld is a fixed function of this corpus
+    val labels = graft.dedup.Dedup.lshDedupClusters(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 12, rowsPerBand = 1,
+      candTau = 0.0, jaccardTau = 0.2)
+    val clusters = labels.as[(Long, Long)].collect().groupBy(_._2)
+      .values.map(_.map(_._1).toSet).toSet
+    // one welded cluster containing a doc pair with zero shingle overlap
+    assert(clusters.exists(c => c.size >= 3))
+    spark.catalog.clearCache()
+  }
 }
