@@ -751,6 +751,28 @@ object CurationQueries {
           when(col("n_bigrams").isNotNull,
             col("ll_micro").cast("double") / col("n_bigrams").cast("double"))
             .as("mean_ll_micro"))
+    }),
+
+    // ───── multinomial Naive Bayes language classifier — the LEARNED
+    // companion to x08's rule-based lang-id (fastText-class lexical
+    // classification, relationally): per-(token, lang) likelihoods TRAIN
+    // on the corpus split (doc_id ≥ 20, labels = documents.lang) and
+    // score EVERY doc including the held-out benchmark slice. Add-1
+    // smoothing over the training vocab; the per-pair log-prob, the
+    // per-lang unseen-token default, and the per-lang doc prior each
+    // floor to integer micro-units ONCE (x120's quantize-once
+    // discipline), so every per-doc score is a pure integer sum —
+    // order-free and engine-exact. Argmax ties break to the smallest
+    // lang. Scale shape: the label dimension is bounded (broadcast
+    // grid), (tok, lang) likelihood join is an equi-join, token rows
+    // shuffle once to (doc, lang); the argmax is a min-struct partial
+    // agg, not a window
+    "x131_nb_langid" -> ((s, d) => {
+      TextOps.nbLangId(
+        t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull
+            && col("lang").isNotNull),
+        "doc_id", "text", "lang", trainPred = col("doc_id") >= 20)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -792,6 +814,53 @@ object CurationQueries {
              THEN CAST(per.ll_micro AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
            END AS mean_ll_micro
          FROM d LEFT JOIN per USING (doc_id)""",
+    // x131: x127's tokenization CTEs, NB counts on doc_id ≥ 20, each
+    // log-prob micro-floored once, integer score sums, smallest-lang ties
+    "x131_nb_langid" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND lang IS NOT NULL),
+         tk AS (SELECT doc_id, list_filter(string_split(${normOf("text")}, ' '),
+             w -> w <> '') AS t FROM d),
+         uni AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         trn AS (SELECT u.doc_id, u.tok, d.lang FROM uni u
+           JOIN d USING (doc_id) WHERE u.doc_id >= 20),
+         cwl AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_wl
+           FROM trn GROUP BY lang, tok),
+         cl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_l
+           FROM trn GROUP BY lang),
+         vn AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_n FROM trn),
+         ndl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d
+           WHERE doc_id >= 20 GROUP BY lang),
+         ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM d
+           WHERE doc_id >= 20),
+         lab AS (SELECT ndl.lang AS cand,
+             CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS prior_m,
+             CAST(floor(ln(CAST(1.0 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS def_m
+           FROM ndl CROSS JOIN ndt JOIN cl ON ndl.lang = cl.lang
+           CROSS JOIN vn),
+         lw AS (SELECT c.lang AS cand, c.tok,
+             CAST(floor(ln(CAST(c_wl + 1 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lw_m
+           FROM cwl c JOIN cl ON c.lang = cl.lang CROSS JOIN vn),
+         dtc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_w
+           FROM uni GROUP BY doc_id, tok),
+         contrib AS (SELECT t.doc_id, l.cand,
+             CAST(SUM(t.n_w * COALESCE(w.lw_m, l.def_m)) AS BIGINT) AS tok_m
+           FROM dtc t CROSS JOIN lab l
+           LEFT JOIN lw w ON w.cand = l.cand AND w.tok = t.tok
+           GROUP BY t.doc_id, l.cand),
+         scored AS (SELECT d.doc_id, d.lang, l.cand,
+             CAST(l.prior_m + COALESCE(c.tok_m, 0) AS BIGINT) AS score_micro
+           FROM d CROSS JOIN lab l
+           LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.cand = l.cand)
+         SELECT doc_id, lang AS actual, cand AS pred_lang, score_micro,
+           (cand = lang) AS correct
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score_micro DESC, cand) AS rn FROM scored)
+         WHERE rn = 1""",
     "x36_semantic_dedup" ->
       s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cent AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < 16),

@@ -125,6 +125,43 @@ object ExtensionQueries {
   private def cosSql(a: String, b: String) =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
+  /** DuckDB CTE chain replaying `Similarity.kmeansMicro(k=8, iters=2,
+    * scale=1e6)` on `embeddings` exactly: micro-grid quantization (one
+    * IEEE multiply + floor per element), integer squared distances,
+    * ROW_NUMBER argmin with the lowest-cid tie, floor-mean centroid
+    * updates with empty-cluster carry. Shared by x129/x130 so the
+    * training mirror can't desynchronize. Ends with `a3(vec_id, cl,
+    * dist)` — the final assignment. */
+  private val kmeansCtes: String = {
+    def dist(c: String, out: String) =
+      s"""$out AS (SELECT v.vec_id, c.cid,
+           CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+             i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i]))) AS BIGINT) AS dist
+         FROM qv v, $c c)"""
+    def argmin(d: String, out: String) =
+      s"""$out AS (SELECT vec_id, cid AS cl, dist FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY dist, cid) AS rn FROM $d) WHERE rn = 1)"""
+    def update(a: String, prev: String, out: String) =
+      s"""${out}_u AS (SELECT a.cl, v.q[i.ord] AS val, i.ord
+           FROM $a a JOIN qv v USING (vec_id) CROSS JOIN dims i),
+         ${out}_m AS (SELECT cl, ord,
+             CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+           FROM ${out}_u GROUP BY cl, ord),
+         $out AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv FROM $prev p
+           LEFT JOIN (SELECT cl AS cid, list(cval ORDER BY ord) AS cv
+             FROM ${out}_m GROUP BY cl) n USING (cid))"""
+    s"""qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q FROM embeddings),
+       c0 AS (SELECT CAST(vec_id AS INT) AS cid, q AS cv FROM qv
+         WHERE vec_id < 8),
+       dims AS (SELECT unnest(range(1, (SELECT MAX(len(q)) FROM qv) + 1))
+         AS ord),
+       ${dist("c0", "d1")}, ${argmin("d1", "a1")}, ${update("a1", "c0", "c1")},
+       ${dist("c1", "d2")}, ${argmin("d2", "a2")}, ${update("a2", "c1", "c2")},
+       ${dist("c2", "d3")}, ${argmin("d3", "a3")}"""
+  }
+
   /** DuckDB CTE pair mirroring Multimodal.fakeDecode's input fold: per
     * doc, the UTF-8 byte count `n` and unsigned byte sum `bsum` (hex the
     * bytes, list_sum the hex pairs). Shared by x13/x32/x34 so the fold
@@ -979,6 +1016,36 @@ object ExtensionQueries {
           expr("(n_chained * CAST(1000000 AS BIGINT)) div n_pairs"))
     }),
 
+    // ───── Lloyd's k-means over the embedding corpus — the TRAINING
+    // stage behind every centroid table in the ANN/SemDeDup family
+    // (x15/x20/x36's codebooks are deterministic data picks; production
+    // learns them exactly like this). Micro-integer grid end-to-end
+    // (x120's quantize-once discipline applied to geometry): integer
+    // squared distances, floor-mean updates, lowest-cid ties — DuckDB
+    // replays the full 2-iteration run bit-for-bit. Assignment is a
+    // map-side literal fold (no join, no shuffle); each update shuffles
+    // only pre-summed (cluster, dim) rows; k·dim driver state.
+    "x129_kmeans_train" -> ((s, d) => {
+      Similarity.kmeansMicro(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .assignments
+        .select(col("vec_id"), col("cluster"), col("dist2"))
+    }),
+
+    // ───── SemDeDup on LEARNED cells (Abbas '23 §3 proper): x129's
+    // trained k-means partition drives the within-cell duplicate scan —
+    // the composition x36 approximates with data-pick centroids. Same
+    // dup rule (lower-id cell-mate at cos ≥ τ, exact cosine on the raw
+    // floats); pairs never leave their cell
+    "x130_semdedup_kmeans" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = Similarity.kmeansMicro(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.semanticDedupAssigned(emb, "vec_id", "embedding",
+          model.assignments, "vec_id", "cluster", tau = 0.4)
+        .select(col("vec_id"), col("cell"), col("is_dup"))
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the decoded dimensions (real PNG dims for every
     // third doc, stub dims for the rest) — the projection a decode stage
@@ -1272,6 +1339,21 @@ object ExtensionQueries {
            ((n_pairs - n_direct) * CAST(1000000 AS BIGINT)) // n_pairs
              AS chained_ppm
          FROM agg""",
+    // x129/x130: the shared kmeansCtes replay training; x130 adds the
+    // within-cell pair scan (x07's exact-cosine form) on the learned cells
+    "x129_kmeans_train" ->
+      s"""WITH $kmeansCtes
+         SELECT vec_id, cl AS cluster, dist AS dist2 FROM a3""",
+    "x130_semdedup_kmeans" ->
+      s"""WITH $kmeansCtes,
+         ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         lab AS (SELECT a.vec_id, a.cl AS cell, e.v
+           FROM a3 a JOIN ev e USING (vec_id)),
+         dups AS (SELECT DISTINCT b.vec_id FROM lab a JOIN lab b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE ${cosSql("a.v", "b.v")} >= CAST(0.4 AS DOUBLE))
+         SELECT l.vec_id, l.cell, (d.vec_id IS NOT NULL) AS is_dup
+         FROM lab l LEFT JOIN dups d USING (vec_id)""",
     "x119_contamination_spans" ->
       s"""WITH $winnowAnchorCtes,
          ref AS (SELECT DISTINCT h FROM anch WHERE doc_id < 20),

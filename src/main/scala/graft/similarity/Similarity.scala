@@ -616,4 +616,122 @@ object Similarity {
       cand.join(codes, idCol).join(lut, Seq("__qid", "qcell", "s", "code")),
       idCol, k)
   }
+
+  /** Trained k-means state: per-vector assignments plus the learned
+    * centroids on the micro-integer grid (cluster id → micro coords). */
+  final case class KmeansModel(assignments: DataFrame,
+                               centroids: Seq[(Int, Array[Long])])
+
+  /** Lloyd's k-means over an embedding column, engine-replayable — the
+    * missing TRAINING stage behind every centroid table in this module
+    * (IVF cells, PQ codebooks, SemDeDup cells so far use deterministic
+    * data picks; production trains them exactly like this).
+    *
+    * Replayability contract (the x120 quantize-once discipline, applied
+    * to geometry): vectors are quantized ONCE to a micro-integer grid
+    * (`floor(double(v_i) · scale)` — float→double is exact, the product
+    * and floor are single IEEE ops, bit-identical in any engine), and ALL
+    * distances are exact integer sums of squared micro-diffs (≤ dim·4e12
+    * « 2^63 — no float fold, no order sensitivity). The centroid update
+    * rounds the mean back onto the grid: `floor(sum/count)` with one
+    * IEEE double division of exact integers (sums < 2^53). Ties in the
+    * argmin go to the lowest cluster id; empty clusters keep their
+    * previous centroid. Init = the k lowest-id vectors. Every step is
+    * deterministic, so a SQL oracle replays the run bit-for-bit.
+    *
+    * 100 TB shape: each iteration's ASSIGNMENT is a pure map-side
+    * projection — the k·dim centroid grid compiles into the expression
+    * tree as literals (no join, no shuffle, stays inside whole-stage
+    * codegen); the UPDATE is one partial-combine aggregation shuffling at
+    * most parts·k·dim pre-summed rows; driver state is k·dim longs
+    * (bounded by model size, not data). For k beyond literal-friendly
+    * sizes (~10⁴), swap the literal fold for [[assignCells]]'
+    * broadcast-join shape — same contract, one broadcast join per pass.
+    *
+    * Returns assignments `(idCol, cluster int, dist2 bigint)` — dist2 in
+    * squared-micro units — plus the learned centroid grid. The quantized
+    * corpus is cached for the `iters+1` passes (caller-managed lifecycle,
+    * as with the pair generators). */
+  def kmeansMicro(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int, scale: Long = 1000000L): KmeansModel = {
+    require(k > 0 && iters >= 0, "k-means needs k > 0, iters >= 0")
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val q = corpus
+      .select(col(idCol),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+          .as("__q"))
+      .repartition(parts)
+      .cache()
+
+    // init: the k lowest-id vectors (bounded k-row collect, documented)
+    var cents: IndexedSeq[Array[Long]] =
+      q.orderBy(col(idCol)).limit(k).collect()
+        .map(_.getSeq[Long](1).toArray).toIndexedSeq
+    require(cents.length == k, s"corpus has fewer than k=$k vectors")
+
+    // argmin over the literal centroid grid: array_min of (dist, cid)
+    // structs — lexicographic struct ordering IS the lowest-id tie rule
+    def assignExpr(cs: IndexedSeq[Array[Long]]): Column =
+      array_min(array(cs.zipWithIndex.map { case (c, j) =>
+        struct(
+          aggregate(
+            zip_with(col("__q"), typedLit(c.toSeq),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("d"),
+          lit(j).as("c"))
+      }: _*))
+
+    for (_ <- 0 until iters) {
+      val sums = q.select(col("__q"),
+          assignExpr(cents).getField("c").as("__cl"))
+        .select(col("__cl"), posexplode(col("__q")).as(Seq("__pos", "__val")))
+        .groupBy(col("__cl"), col("__pos"))
+        .agg(sum(col("__val")).as("__s"), count(lit(1)).as("__n"))
+        .collect()                               // ≤ k·dim rows, model-sized
+      val next = Array.tabulate(k)(j => cents(j).clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          math.floor(r.getLong(2).toDouble / r.getLong(3).toDouble).toLong
+      }
+      cents = next.toIndexedSeq
+    }
+
+    val assigned = q.select(col(idCol), assignExpr(cents).as("__a"))
+      .select(col(idCol), col("__a").getField("c").as("cluster"),
+        col("__a").getField("d").as("dist2"))
+    KmeansModel(assigned, cents.zipWithIndex.map { case (c, j) => (j, c) })
+  }
+
+  /** [[semanticDedup]] with PRE-COMPUTED cell labels — the composition
+    * seam that lets a TRAINED partition (e.g. [[kmeansMicro]]'s clusters,
+    * the actual SemDeDup §3 recipe) drive the within-cell pair scan
+    * instead of the nearest-data-pick assignment. `cells` is
+    * `(cellIdCol, cellCol)`; both sides are defensively re-aliased before
+    * the join so a `cells` frame derived from `corpus` itself (the normal
+    * case) can't trip the ambiguous-self-join rule. Same contract as
+    * [[semanticDedup]]: duplicate iff some lower-id cell-mate sits at
+    * cosine ≥ tau; output `(idCol, cell, is_dup)`. Cost shape unchanged —
+    * pairs confined to cells, one equi-join on the cell key. */
+  def semanticDedupAssigned(corpus: DataFrame, idCol: String, vecCol: String,
+                            cells: DataFrame, cellIdCol: String, cellCol: String,
+                            tau: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val labeled = corpus.select(col(idCol), col(vecCol))
+      .join(cells.select(col(cellIdCol).as("__lid"), col(cellCol).as("cell")),
+        col(idCol) === col("__lid"))
+      .drop("__lid")
+      .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
+      .cache()                                   // caller-managed lifecycle
+    val a = labeled.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = labeled.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+    labeled.join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
 }

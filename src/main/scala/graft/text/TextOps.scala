@@ -254,4 +254,68 @@ object TextOps {
       lit(7L),
       (acc, t) => pmod(acc * 31 + conv(substring(md5(t), 1, 8), 16, 10).cast("long"), mod))
   }
+
+  /** Multinomial Naive Bayes language classifier, trained and scored
+    * relationally (the fastText-class lexical classifier, minus the
+    * gradient steps): token likelihoods train on `docs` rows where
+    * `trainPred` holds, label = `labelCol`; every doc is scored against
+    * every trained label and assigned the argmax (ties to the smallest
+    * label). Add-1 smoothing over the training vocab; only labels with at
+    * least one training token participate.
+    *
+    * Replayability: the per-(token, label) log-prob, the per-label
+    * unseen-token default, and the per-label doc prior each floor to
+    * integer MICRO-units once, so per-doc scores are pure integer sums —
+    * order-free, engine-exact (the x120 quantize-once discipline; ln
+    * bit-parity is the x120-probed property).
+    *
+    * Scale shape: label dimension is bounded → broadcast grid; the
+    * (token, label) likelihood join is an equi-join; token rows shuffle
+    * once to (doc, label); the final argmax is a min-struct partial
+    * aggregation, never a window. Token frame cached (caller-managed).
+    *
+    * Output: (idCol, actual, pred_lang, score_micro, correct). */
+  def nbLangId(docs: DataFrame, idCol: String, textCol: String,
+               labelCol: String, trainPred: Column): DataFrame = {
+    val tr = tokenRows(docs, idCol, textCol)
+      .filter(col("tok") =!= "").cache()
+    val trTok = tr.filter(trainPred)
+      .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
+    val cwl = trTok.groupBy(col(labelCol), col("tok"))
+      .agg(count(lit(1)).as("c_wl"))
+    val cl = trTok.groupBy(col(labelCol)).agg(count(lit(1)).as("c_l"))
+    val vocabN = broadcast(trTok.agg(countDistinct(col("tok")).as("v_n")))
+    val micro = (e: String) =>
+      s"CAST(floor(ln($e) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+    val labels = docs.filter(trainPred).groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(docs.filter(trainPred).agg(count(lit(1)).as("n_tot"))))
+      .join(cl, Seq(labelCol)).crossJoin(vocabN)
+      .select(col(labelCol).as("cand"),
+        expr(micro("CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)"))
+          .as("prior_m"),
+        expr(micro("CAST(1.0 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE)"))
+          .as("def_m"))
+    val lw = cwl.join(cl, Seq(labelCol)).crossJoin(vocabN)
+      .select(col(labelCol).as("cand"), col("tok"),
+        expr(micro("CAST(c_wl + 1 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE)"))
+          .as("lw_m"))
+    val dtc = tr.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n_w"))
+    val contrib = dtc
+      .crossJoin(broadcast(labels.select(col("cand"), col("def_m"))))
+      .join(lw, Seq("cand", "tok"), "left")
+      .groupBy(col(idCol), col("cand"))
+      .agg(sum(col("n_w") * coalesce(col("lw_m"), col("def_m"))).as("tok_m"))
+    val scored = docs.select(col(idCol), col(labelCol))
+      .crossJoin(broadcast(labels.select(col("cand"), col("prior_m"))))
+      .join(contrib, Seq(idCol, "cand"), "left")
+      .select(col(idCol), col(labelCol), col("cand"),
+        (col("prior_m") + coalesce(col("tok_m"), lit(0L))).as("score_micro"))
+    scored.groupBy(col(idCol), col(labelCol))
+      .agg(min(struct((-col("score_micro")).as("ns"), col("cand").as("c")))
+        .as("m"))
+      .select(col(idCol), col(labelCol).as("actual"),
+        col("m.c").as("pred_lang"), (-col("m.ns")).as("score_micro"))
+      .withColumn("correct", col("pred_lang") === col("actual"))
+  }
 }

@@ -665,4 +665,32 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(out.filter($"n_bigrams" > 0 && $"mean_ll_micro".isNull).count() === 0)
     assert(out.filter($"mean_ll_micro" > 0.0).count() === 0) // log-probs ≤ 0
   }
+
+  test("x131 Naive Bayes: by-hand likelihoods, symmetric-tie to smallest label, OOV default") {
+    import spark.implicits._
+    // train (ids ≥ 20): en = "a a b" (a:2 b:1, c_l 3), fr = "c c d"
+    // (c:2 d:1, c_l 3); vocab = {a,b,c,d} → V = 4; priors ½/½.
+    // doc 5 "a c": score(en) = m(½)+m(3/7)+m(1/7) == score(fr) by
+    // symmetry → exact integer tie → pred = min(label) = "en".
+    // doc 6 "a a": en wins on likelihood; actual label fr → correct=false.
+    val docs = Seq(
+      (20L, "a a b", "en"), (21L, "c c d", "fr"),
+      (5L, "a c", "en"), (6L, "a a", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.TextOps.nbLangId(docs, "doc_id", "text", "lang",
+        trainPred = $"doc_id" >= 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    def m(v: Double) = math.floor(math.log(v) * 1e6).toLong
+    val tieScore = m(0.5) + m(3.0 / 7.0) + m(1.0 / 7.0)
+    assert(out(5L) == (("en", "en", tieScore, true)))
+    assert(out(6L) == (("fr", "en", m(0.5) + 2 * m(3.0 / 7.0), false)))
+    // self-trained docs classify themselves (likelihoods dominate)
+    assert(out(20L)._2 == "en" && out(21L)._2 == "fr")
+    // catalog surface: one row per doc, negative integer scores
+    val cat = SparkEntry.queries("x131_nb_langid")(spark, sf)
+    assert(cat.groupBy($"doc_id").count().filter($"count" > 1).count() === 0)
+    assert(cat.filter($"score_micro" >= 0).count() === 0)
+  }
 }

@@ -106,7 +106,9 @@ class PlanAssertSpec extends SparkSpec {
     // x125/x126: the BM25 (n_docs, tot_dl) corpus-stats scalar — one
     // pre-aggregated row per partition into a single broadcast row;
     // q23/x79's class. x127: the n_toks training-total scalar, x120's
-    // exact shape.
+    // exact shape. x131: the vocab-size countDistinct + n_tot doc-count
+    // scalars (both pre-aggregated one-row-per-partition merges broadcast
+    // back into the bounded label dimension), x120's class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -115,7 +117,8 @@ class PlanAssertSpec extends SparkSpec {
         "x89_trade_triangles", "x90_ring_reshard", "x103_tfidf_keywords",
         "x105_ks_drift", "x107_rolling_actives", "x110_benford_audit",
         "x111_quantile_normalize", "x120_dsir_weights",
-        "x125_bm25_topk", "x126_rrf_fusion", "x127_stupid_backoff")
+        "x125_bm25_topk", "x126_rrf_fusion", "x127_stupid_backoff",
+        "x131_nb_langid")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

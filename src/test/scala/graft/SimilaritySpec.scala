@@ -297,4 +297,71 @@ class SimilaritySpec extends SparkSpec {
       assert(ds == ds.sortBy(identity))
     }
   }
+
+  test("kmeansMicro separates two obvious clusters; dist2 is the exact integer distance to the final centroid") {
+    // two tight groups around (0,0) and (10,10); seeds = ids 0,1 (one in
+    // each group), so Lloyd converges immediately and stays put
+    val pts = Seq(
+      (0L, Array(0.0f, 0.1f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.1f, 0.0f)), (3L, Array(9.9f, 10.1f)),
+      (4L, Array(0.0f, 0.0f)), (5L, Array(10.1f, 9.9f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.kmeansMicro(pts, "vec_id", "embedding", k = 2, iters = 2)
+    val rows = m.assignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(0, 1, 0, 1, 0, 1))
+    // dist2 cross-check against the returned centroid grid
+    val cents = m.centroids.toMap
+    val micro = pts.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong)).toMap
+    rows.foreach { case (id, cl, d2) =>
+      val exact = micro(id).zip(cents(cl))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(d2 == exact, s"id=$id cluster=$cl")
+    }
+    // centroid = floor-mean of its members on the micro grid
+    val g0 = Seq(0L, 2L, 4L).map(micro)
+    val want0 = g0.transpose.map(vs =>
+      math.floor(vs.sum.toDouble / vs.length).toLong)
+    assert(cents(0).toSeq == want0)
+  }
+
+  test("kmeansMicro iters=0 is nearest-seed assignment with the lowest-cid tie") {
+    // v2 sits exactly between the two seeds -> tie -> cluster 0
+    val pts = Seq(
+      (0L, Array(0.0f)), (1L, Array(2.0f)), (2L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.kmeansMicro(pts, "vec_id", "embedding", k = 2, iters = 0)
+    val byId = m.assignments.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId == Map(0L -> 0, 1L -> 1, 2L -> 0))
+  }
+
+  test("kmeansMicro: an empty cluster keeps its previous centroid") {
+    // identical seeds: every vector ties to cluster 0, cluster 1 goes
+    // empty on the update and must carry its init centroid unchanged
+    val pts = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val m = Similarity.kmeansMicro(pts, "vec_id", "embedding", k = 2, iters = 2)
+    assert(m.assignments.collect().map(_.getInt(1)).forall(_ == 0))
+    assert(m.centroids(1)._2.toSeq == Seq(1000000L, 1000000L))
+  }
+
+  test("semanticDedupAssigned: dup iff a LOWER-id cellmate sits at cos >= tau; cross-cell twins stay invisible") {
+    import org.apache.spark.sql.functions.{col => c}
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cells = Seq((0L, 7), (1L, 7), (2L, 9), (3L, 7))
+      .toDF("vid", "cl")
+    val out = Similarity.semanticDedupAssigned(pts, "vec_id", "embedding",
+        cells, "vid", "cl", tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1)
+    // v1 dups v0 inside cell 7; v2 is v0's exact twin but lives in cell 9
+    // (the SemDeDup boundary-miss trade, asserted explicitly); v3 is far
+    assert(out.toSeq == Seq((0L, 7, false), (1L, 7, true),
+      (2L, 9, false), (3L, 7, false)))
+  }
 }
