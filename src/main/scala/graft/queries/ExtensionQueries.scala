@@ -1046,6 +1046,31 @@ object ExtensionQueries {
         .select(col("vec_id"), col("cell"), col("is_dup"))
     }),
 
+    // ───── character-level Shannon entropy over the normalized text —
+    // the gibberish/low-diversity quality signal x09's ratio features
+    // don't capture (all-same-char spam scores 0 bits; natural text sits
+    // ~3-4). Per-(doc, char) terms floor to micro-units ONCE (x120's
+    // quantize-once discipline — each term is a few IEEE ops on the two
+    // integer counts), so the per-doc entropy is an order-free integer
+    // sum. One narrow (doc, char) shuffle with partial combine
+    "x133_char_entropy" -> ((s, d) => {
+      TextOps.charEntropy(
+        t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", "text")
+    }),
+
+    // ───── PCA top-component projection (Mu & Viswanath '18 dominant-
+    // direction analysis): distributed integer scatter matrix (each row
+    // streams its dim² outer product through a double-posexplode
+    // pipeline, partial-combined — no self-join), exact BigInt power
+    // iteration on the driver (2 steps, integer-grid renormalization),
+    // per-row projection as DECIMAL(38,0) — embedding preprocessing
+    // made engine-replayable
+    "x132_pca_power" -> ((s, d) => {
+      Similarity.pcaPowerProjection(t(s, d, "embeddings"), "vec_id", "embedding")
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the decoded dimensions (real PNG dims for every
     // third doc, stub dims for the rest) — the projection a decode stage
@@ -1354,6 +1379,64 @@ object ExtensionQueries {
            WHERE ${cosSql("a.v", "b.v")} >= CAST(0.4 AS DOUBLE))
          SELECT l.vec_id, l.cell, (d.vec_id IS NOT NULL) AS is_dup
          FROM lab l LEFT JOIN dups d USING (vec_id)""",
+    // x133: per-char counts over the shared normalization, micro-floored
+    // p·log2(1/p) terms, integer sums; empty-normalized docs report 0
+    "x133_char_entropy" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         nm AS (SELECT doc_id, $normSql AS t FROM d),
+         idx AS (SELECT unnest(range(1, (SELECT MAX(len(t)) FROM nm) + 1))
+           AS ord),
+         ch AS (SELECT doc_id, t[ord] AS ch FROM nm CROSS JOIN idx
+           WHERE ord <= len(t)),
+         cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+           FROM ch GROUP BY doc_id, ch),
+         tt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+           FROM cc GROUP BY doc_id),
+         tm AS (SELECT cc.doc_id,
+             CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * (ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                  / ln(CAST(2.0 AS DOUBLE)))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS term,
+             tt.n, tt.n_distinct
+           FROM cc JOIN tt USING (doc_id)),
+         agg AS (SELECT doc_id, MAX(n) AS n_chars_norm,
+             MAX(n_distinct) AS n_distinct,
+             CAST(SUM(term) AS BIGINT) AS entropy_micro
+           FROM tm GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(a.n_chars_norm, 0) AS n_chars_norm,
+           COALESCE(a.n_distinct, 0) AS n_distinct,
+           COALESCE(a.entropy_micro, 0) AS entropy_micro,
+           CAST(COALESCE(a.entropy_micro, 0) AS DOUBLE)
+             / CAST(1000000.0 AS DOUBLE) AS entropy_bits
+         FROM d LEFT JOIN agg a USING (doc_id)""",
+    // x132: milli-grid quantize → floor-mean center → integer scatter →
+    // the same two power steps (w1 = S·1, floor(w1/2^10), w2 = S·w1′) →
+    // exact DECIMAL(38,0) projection; HUGEINT internally (int128 ⊇ the
+    // documented magnitude bounds)
+    "x132_pca_power" ->
+      s"""WITH qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x * 1000) AS BIGINT)) AS q FROM embeddings),
+         dims AS (SELECT unnest(range(1, (SELECT MAX(len(q)) FROM qv) + 1))
+           AS ord),
+         md AS (SELECT i.ord,
+             CAST(floor(CAST(SUM(q[i.ord]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mu
+           FROM qv CROSS JOIN dims i GROUP BY i.ord),
+         cd AS (SELECT v.vec_id, i.ord, v.q[i.ord] - m.mu AS c
+           FROM qv v CROSS JOIN dims i JOIN md m ON m.ord = i.ord),
+         sm AS (SELECT a.ord AS i, b.ord AS j, CAST(SUM(a.c * b.c) AS BIGINT)
+             AS s
+           FROM cd a JOIN cd b USING (vec_id) GROUP BY a.ord, b.ord),
+         w1 AS (SELECT i, CAST(SUM(s) AS BIGINT) AS w FROM sm GROUP BY i),
+         w1n AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / 1024.0) AS BIGINT)
+             AS w FROM w1),
+         w2 AS (SELECT sm.i, SUM(CAST(sm.s AS HUGEINT) * w1n.w) AS w
+           FROM sm JOIN w1n ON sm.j = w1n.i GROUP BY sm.i)
+         SELECT c.vec_id,
+           CAST(SUM(CAST(c.c AS HUGEINT) * w2.w) AS DECIMAL(38,0)) AS pc1_proj
+         FROM cd c JOIN w2 ON w2.i = c.ord GROUP BY c.vec_id""",
     "x119_contamination_spans" ->
       s"""WITH $winnowAnchorCtes,
          ref AS (SELECT DISTINCT h FROM anch WHERE doc_id < 20),

@@ -702,6 +702,80 @@ object Similarity {
     KmeansModel(assigned, cents.zipWithIndex.map { case (c, j) => (j, c) })
   }
 
+  /** Principal-component projection via a distributed integer scatter
+    * matrix + two driver-side power-iteration steps — the embedding
+    * preprocessing stage (PCA whitening / dominant-direction removal,
+    * Mu & Viswanath '18 style) done engine-replayably.
+    *
+    * Contract (all integer, overflow-loud under ANSI):
+    *  1. quantize once to a MILLI grid (`floor(double(v_i)·1000)`);
+    *  2. center on the floor-mean per dim (integer grid, k-means' rule);
+    *  3. scatter S = Σ_rows c·cᵀ — computed as a double-posexplode
+    *     pipeline (no self-join: each row streams its dim² outer product
+    *     into a partial-combine aggregation, so at most parts·dim² rows
+    *     shuffle), collected at dim² rows — model-sized, not data-sized;
+    *  4. power iteration on the driver in exact BigInt: w1 = S·1,
+    *     renormalized ONTO THE INTEGER GRID as floor(w1/2^10) (power
+    *     iteration renormalizes every step anyway — flooring keeps it
+    *     engine-exact), then w2 = S·w1′;
+    *  5. per-row projection p = Σ c_i·w2_i as DECIMAL(38,0) — exact, the
+    *     analytics family's decimal discipline. Broadcast w2 (dim rows),
+    *     one partial-combined group-by on the row id.
+    *
+    * Output: (idCol, pc1_proj decimal(38,0)). Deterministic throughout —
+    * a SQL oracle replays steps 1-5 verbatim. */
+  def pcaPowerProjection(corpus: DataFrame, idCol: String, vecCol: String,
+                         scale: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, StructField, StructType, IntegerType}
+    val spark = corpus.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val q = corpus
+      .select(col(idCol),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+          .as("__q"))
+      .repartition(parts)
+      .cache()                                   // caller-managed lifecycle
+    // floor-mean per dim: one partial-combined pass, dim rows collected
+    val mu0 = q.select(posexplode(col("__q")).as(Seq("__i", "__v")))
+      .groupBy(col("__i"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        math.floor(r.getLong(1).toDouble / r.getLong(2).toDouble).toLong)
+      .toMap
+    val dim = mu0.size
+    val mu = (0 until dim).map(mu0)
+    val cent = q.select(col(idCol),
+      zip_with(col("__q"), typedLit(mu), (a, b) => a - b).as("__c"))
+    // scatter: posexplode twice carrying the array — a generate pipeline,
+    // partial-combined to ≤ parts·dim² rows before the one shuffle
+    val s = cent
+      .select(posexplode(col("__c")).as(Seq("__i", "__ci")), col("__c"))
+      .select(col("__i"), col("__ci"), posexplode(col("__c")).as(Seq("__j", "__cj")))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__ci") * col("__cj")).as("__s"))
+      .collect()                                 // dim² rows — model-sized
+      .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2)))
+      .toMap
+    // exact BigInt power iteration with integer-grid renormalization
+    val w1 = (0 until dim).map(i => (0 until dim).map(j => s((i, j))).sum)
+    val w1n = w1.map(w =>
+      BigInt(math.floor(w.toDouble / 1024.0).toLong))
+    val w2 = (0 until dim).map(i =>
+      (0 until dim).map(j => s((i, j)) * w1n(j)).sum)
+    import scala.jdk.CollectionConverters._
+    val w2df = broadcast(spark.createDataFrame(
+      (0 until dim).map(i => org.apache.spark.sql.Row(
+        i, new java.math.BigDecimal(w2(i).bigInteger))).asJava,
+      StructType(Seq(StructField("__i", IntegerType, nullable = false),
+        StructField("__w", DecimalType(38, 0), nullable = false)))))
+    cent.select(col(idCol), posexplode(col("__c")).as(Seq("__i", "__ci")))
+      .join(w2df, Seq("__i"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__ci").cast(DecimalType(38, 0)) * col("__w"))
+        .cast(DecimalType(38, 0)).as("pc1_proj"))
+  }
+
   /** [[semanticDedup]] with PRE-COMPUTED cell labels — the composition
     * seam that lets a TRAINED partition (e.g. [[kmeansMicro]]'s clusters,
     * the actual SemDeDup §3 recipe) drive the within-cell pair scan

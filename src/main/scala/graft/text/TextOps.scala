@@ -255,6 +255,43 @@ object TextOps {
       (acc, t) => pmod(acc * 31 + conv(substring(md5(t), 1, 8), 16, 10).cast("long"), mod))
   }
 
+  /** Character-level Shannon entropy over the normalized text — the
+    * gibberish/low-diversity quality signal the ratio features don't
+    * capture (all-same-char spam scores 0 bits; natural English sits
+    * ~3-4). Per-(doc, char) terms `p·log2(1/p)` floor to integer
+    * micro-units ONCE (each term is a few IEEE ops on the two integer
+    * counts — engine-exact), so the per-doc entropy is an order-free
+    * integer sum; empty-normalized docs report 0. One narrow (doc, char)
+    * shuffle with partial combine.
+    *
+    * Output: (idCol, n_chars_norm, n_distinct, entropy_micro,
+    * entropy_bits). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs.select(col(idCol),
+        explode(split(normalize(col(textCol)), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    val agg = counts.join(totals, Seq(idCol))
+      .withColumn("term", expr(
+        """CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           * (ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+              / ln(CAST(2.0 AS DOUBLE)))
+           * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"""))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_chars_norm"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(col("term")).as("entropy_micro"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars_norm"), lit(0L)).as("n_chars_norm"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
+      .withColumn("entropy_bits",
+        col("entropy_micro").cast("double") / expr("CAST(1000000.0 AS DOUBLE)"))
+  }
+
   /** Multinomial Naive Bayes language classifier, trained and scored
     * relationally (the fastText-class lexical classifier, minus the
     * gradient steps): token likelihoods train on `docs` rows where

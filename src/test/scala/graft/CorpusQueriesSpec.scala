@@ -693,4 +693,32 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(cat.groupBy($"doc_id").count().filter($"count" > 1).count() === 0)
     assert(cat.filter($"score_micro" >= 0).count() === 0)
   }
+
+  test("x133 char entropy: uniform/degenerate/empty cases score their exact micro values") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),       // one symbol -> 0 bits
+      (2L, "aabb"),       // two equiprobable -> exactly 1.0 bits
+      (3L, "abcd"),       // four equiprobable -> exactly 2.0 bits
+      (4L, "a b"),        // three symbols incl. the space
+      (5L, "!!!"))        // normalizes to empty -> all zeros
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def term(c: Long, n: Long) = math.floor(
+      (c.toDouble / n.toDouble)
+        * (math.log(n.toDouble / c.toDouble) / math.log(2.0)) * 1e6).toLong
+    assert(out(1L) == ((4L, 1L, 0L, 0.0)))
+    assert(out(2L) == ((4L, 2L, 1000000L, 1.0)))
+    assert(out(3L) == ((4L, 4L, 2000000L, 2.0)))
+    val t3 = 3 * term(1, 3)
+    assert(out(4L) == ((3L, 3L, t3, t3.toDouble / 1e6)))
+    assert(out(5L) == ((0L, 0L, 0L, 0.0)))
+    // catalog surface: bounded by the 37-symbol normalized alphabet
+    val cat = SparkEntry.queries("x133_char_entropy")(spark, sf)
+    assert(cat.filter($"entropy_bits" < 0.0
+      || $"entropy_bits" > math.log(37.0) / math.log(2.0)).count() === 0)
+    assert(cat.filter($"n_distinct" > 37).count() === 0)
+  }
 }

@@ -348,6 +348,30 @@ class SimilaritySpec extends SparkSpec {
     assert(m.centroids(1)._2.toSeq == Seq(1000000L, 1000000L))
   }
 
+  test("pcaPowerProjection: planted 1-D data projects linearly (odd, ordered, equally spaced) and matches the BigInt replay") {
+    // points t·(3,4), t ∈ {-2,-1,0,1,2}: mean 0, scatter rank-1 along
+    // (3,4) — the projection must be an odd, strictly increasing, exactly
+    // equally-spaced linear function of t
+    val pts = Seq(-2, -1, 0, 1, 2).map(t =>
+      (t.toLong + 2L, Array(3.0f * t, 4.0f * t))).toDF("vec_id", "embedding")
+    val out = Similarity.pcaPowerProjection(pts, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger))
+      .toMap
+    val p = (-2 to 2).map(t => out(t.toLong + 2L))
+    assert(p(2) == 0)                              // proj(0) = 0
+    assert(p.zip(p.tail).forall { case (a, b) => a < b })
+    assert(p(0) == -p(4) && p(1) == -p(3))         // odd
+    assert(p(4) == p(3) * 2)                       // equally spaced
+    // independent BigInt replay of the contract (quantize → center →
+    // scatter → w1 → floor/1024 → w2 → project) for t = 1
+    val qs = Seq(-2, -1, 0, 1, 2).map(t => Seq(BigInt(3000 * t), BigInt(4000 * t)))
+    val s = Array.tabulate(2, 2)((i, j) => qs.map(v => v(i) * v(j)).sum)
+    val w1 = (0 until 2).map(i => s(i)(0) + s(i)(1))
+    val w1n = w1.map(w => BigInt(math.floor(w.toDouble / 1024.0).toLong))
+    val w2 = (0 until 2).map(i => s(i)(0) * w1n(0) + s(i)(1) * w1n(1))
+    assert(out(3L) == BigInt(3000) * w2(0) + BigInt(4000) * w2(1))
+  }
+
   test("semanticDedupAssigned: dup iff a LOWER-id cellmate sits at cos >= tau; cross-cell twins stay invisible") {
     import org.apache.spark.sql.functions.{col => c}
     val pts = Seq(
