@@ -2,9 +2,11 @@ package graft.mm
 
 /** Dependency-free image decoding for the multimodal decode stage: PNG
   * (8-bit gray/RGB/RGBA, all five scanline filters, zlib IDAT via the
-  * JDK's `Inflater`), BMP (24-bit uncompressed, the BITMAPINFOHEADER
-  * layout) and PPM (P6 binary / P3 ASCII, maxval ≤ 255). Real formats,
-  * real pixels — this replaces the "decode is a stub by contract" gap:
+  * JDK's `Inflater`), baseline JPEG (ITU-T T.81 sequential DCT — Huffman
+  * entropy decode, integer IDCT, 4:4:4/4:2:2/4:2:0 chroma, restart
+  * markers), BMP (24-bit uncompressed, the BITMAPINFOHEADER layout) and
+  * PPM (P6 binary / P3 ASCII, maxval ≤ 255). Real formats, real pixels —
+  * this replaces the "decode is a stub by contract" gap:
   * [[Multimodal.decodeFeatures]] sniffs these formats first and only
   * falls back to the deterministic byte-fold stub for payloads that are
   * not images (e.g. the text-backed synthetic assets the oracle replays).
@@ -16,8 +18,8 @@ package graft.mm
   * 8-byte PNG signature plus per-chunk CRC32 make a false PNG positive
   * practically impossible.
   *
-  * JPEG/video stay out of scope (their codecs are not in this
-  * environment); the decode seam (`bytes → Option[DecodedImage]`) is
+  * Only video stays out of scope (no dependency-free container/codec is
+  * reasonable here); the decode seam (`bytes → Option[DecodedImage]`) is
   * exactly where a JNI/FFI codec bridge would slot in.
   */
 object ImageCodecs {
@@ -35,10 +37,13 @@ object ImageCodecs {
 
   private val MaxDim = 1 << 14 // 16384 — reject absurd headers early
 
-  /** Sniff + decode: PNG (8-byte signature), BMP ("BM"), P6, or P3; None
-    * when the payload is not a (supported, well-formed) image. */
+  /** Sniff + decode: PNG (8-byte signature), JPEG (SOI + marker), BMP
+    * ("BM"), P6, or P3; None when the payload is not a (supported,
+    * well-formed) image. */
   def decode(bytes: Array[Byte]): Option[DecodedImage] =
     if (bytes.length >= 8 && isPngSignature(bytes)) decodePng(bytes)
+    else if (bytes.length >= 3 && u8(bytes(0)) == 0xff &&
+      u8(bytes(1)) == 0xd8 && u8(bytes(2)) == 0xff) decodeJpeg(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P' &&
       (bytes(1) == '6' || bytes(1) == '3')) decodePpm(bytes)
@@ -339,5 +344,366 @@ object ImageCodecs {
       y += 1
     }
     encodePng(width, height, colorType = 2, raw)
+  }
+
+  // ───────────────────────── JPEG ─────────────────────────
+
+  /** Recoverable parse failure — stackless by design: decode strictness
+    * is the normal path when sniffing arbitrary payloads. */
+  private object JpegFail extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Zigzag position → natural (row-major frequency) index, T.81 Fig. A.6. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** 15-bit fixed-point DCT-III basis with the ¼ normalization folded in:
+    * `CosT(u)(x) = round(c(u)·cos((2x+1)uπ/16)·0.5·2^15)`, c(0)=1/√2.
+    * A LITERAL grid (not computed at runtime) so the decode arithmetic is
+    * bit-identical across languages — tools/make_jpeg_fixtures.py embeds
+    * the same 64 integers to replay expected pixel sums independently. */
+  private val CosT: Array[Array[Long]] = Array(
+    Array(11585L, 11585L, 11585L, 11585L, 11585L, 11585L, 11585L, 11585L),
+    Array(16069L, 13623L, 9102L, 3196L, -3196L, -9102L, -13623L, -16069L),
+    Array(15137L, 6270L, -6270L, -15137L, -15137L, -6270L, 6270L, 15137L),
+    Array(13623L, -3196L, -16069L, -9102L, 9102L, 16069L, 3196L, -13623L),
+    Array(11585L, -11585L, -11585L, 11585L, 11585L, -11585L, -11585L, 11585L),
+    Array(9102L, -16069L, 3196L, 13623L, -13623L, -3196L, 16069L, -9102L),
+    Array(6270L, -15137L, 15137L, -6270L, -6270L, 15137L, -15137L, 6270L),
+    Array(3196L, -9102L, 13623L, -16069L, 16069L, -13623L, 9102L, -3196L))
+
+  /** Canonical Huffman table (T.81 F.2.2.3 DECODE tables): mincode /
+    * maxcode / valptr per code length, built from the DHT BITS counts. */
+  private final class JpegHuff(bits: Array[Int], vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        if (bits(l - 1) > 0) {
+          code += bits(l - 1); k += bits(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+      if (k != vals.length) throw JpegFail
+    }
+    def decode(r: JpegBits): Int = {
+      var l = 1
+      var code = r.nextBit()
+      while (maxcode(l) < 0 || code > maxcode(l)) {
+        l += 1
+        if (l > 16) throw JpegFail
+        code = (code << 1) | r.nextBit()
+      }
+      vals(valptr(l) + code - mincode(l))
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded scan with 0xFF00
+    * byte-stuffing removal; any bare marker inside coefficient data is a
+    * hard fail (restart markers are consumed between MCUs via
+    * [[expectRestart]], byte-aligned per T.81 E.2.4). */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) throw JpegFail
+        var v = u8(b(pos)); pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) throw JpegFail
+          if (u8(b(pos)) == 0x00) pos += 1 // stuffed 0xFF data byte
+          else throw JpegFail              // marker inside a block
+        }
+        cur = v; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker. */
+    def expectRestart(n: Int): Unit = {
+      nbits = 0
+      if (pos + 2 > b.length || u8(b(pos)) != 0xff ||
+        u8(b(pos + 1)) != (0xd0 + (n & 7))) throw JpegFail
+      pos += 2
+    }
+  }
+
+  /** DC difference / AC magnitude sign extension (T.81 F.2.2.1 EXTEND). */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final class JpegComp(val id: Int, val hS: Int, val vS: Int,
+                               val tq: Int) {
+    var dcTab = 0
+    var acTab = 0
+    var pred = 0
+    var plane: Array[Int] = null
+    var planeW = 0
+  }
+
+  /** Baseline sequential DCT JPEG (ITU-T T.81 Annex F): marker walk,
+    * canonical Huffman decode with byte-stuffing + RSTn restart handling,
+    * dequantization, fixed-point integer IDCT ([[CosT]], descale
+    * `(s + 2^29) >> 30` then level-shift +128), nearest-neighbor chroma
+    * upsampling and 16-bit fixed-point JFIF YCbCr→RGB
+    * (R += 91881·Cr, G −= 22554·Cb + 46802·Cr, B += 116130·Cb, all
+    * `(… + 32768) >> 16`). Supported: 8-bit precision, 1 component
+    * (grayscale) or 3 components (YCbCr) interleaved in one scan,
+    * sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0). Progressive (SOF2),
+    * arithmetic coding, 12-bit, hierarchical and multi-scan files return
+    * None — strictness over coverage, the PNG/BMP contract.
+    *
+    * Every arithmetic step is integer, so the decode is bit-exact across
+    * languages: the checked-in fixtures' expected channel sums are
+    * produced by an independent replay of this contract over the same
+    * quantized coefficients (tools/make_jpeg_fixtures.py). */
+  private[mm] def decodeJpeg(b: Array[Byte]): Option[DecodedImage] = {
+    if (b.length < 4 || u8(b(0)) != 0xff || u8(b(1)) != 0xd8 ||
+      u8(b(2)) != 0xff) return None
+    try {
+      val quant = new Array[Array[Int]](4)         // zigzag order, as read
+      val dcTabs = new Array[JpegHuff](4)
+      val acTabs = new Array[JpegHuff](4)
+      var restartInterval = 0
+      var w = 0; var h = 0
+      var comps: Array[JpegComp] = null
+      var pos = 2
+      var scanStart = -1
+
+      def be16(off: Int): Int = {
+        if (off + 2 > b.length) throw JpegFail
+        (u8(b(off)) << 8) | u8(b(off + 1))
+      }
+
+      while (scanStart < 0) {
+        if (pos + 2 > b.length || u8(b(pos)) != 0xff) throw JpegFail
+        var m = u8(b(pos + 1)); pos += 2
+        while (m == 0xff) { if (pos >= b.length) throw JpegFail; m = u8(b(pos)); pos += 1 }
+        m match {
+          case 0xd8 => ()                          // stray SOI: ignore
+          case 0xc0 =>                             // SOF0 baseline
+            val len = be16(pos)
+            if (u8(b(pos + 2)) != 8) throw JpegFail // precision
+            h = be16(pos + 3); w = be16(pos + 5)
+            if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) throw JpegFail
+            val nc = u8(b(pos + 7))
+            if (nc != 1 && nc != 3) throw JpegFail
+            if (len != 8 + 3 * nc) throw JpegFail
+            comps = Array.tabulate(nc) { i =>
+              val o = pos + 8 + 3 * i
+              val hs = u8(b(o + 1)) >> 4
+              val vs = u8(b(o + 1)) & 0xf
+              if (hs < 1 || hs > 2 || vs < 1 || vs > 2) throw JpegFail
+              val tq = u8(b(o + 2))
+              if (tq > 3) throw JpegFail
+              new JpegComp(u8(b(o)), hs, vs, tq)
+            }
+            pos += len
+          case 0xc4 =>                             // DHT (1+ tables)
+            val len = be16(pos)
+            var o = pos + 2
+            while (o < pos + len) {
+              val tc = u8(b(o)) >> 4
+              val th = u8(b(o)) & 0xf
+              if (tc > 1 || th > 3) throw JpegFail
+              val bits = Array.tabulate(16)(i => u8(b(o + 1 + i)))
+              val n = bits.sum
+              if (o + 17 + n > pos + len) throw JpegFail
+              val vals = Array.tabulate(n)(i => u8(b(o + 17 + i)))
+              val t = new JpegHuff(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              o += 17 + n
+            }
+            if (o != pos + len) throw JpegFail
+            pos += len
+          case 0xdb =>                             // DQT (1+ tables)
+            val len = be16(pos)
+            var o = pos + 2
+            while (o < pos + len) {
+              val pq = u8(b(o)) >> 4
+              val tq = u8(b(o)) & 0xf
+              if (pq != 0 || tq > 3) throw JpegFail // 8-bit tables only
+              if (o + 65 > pos + len) throw JpegFail
+              quant(tq) = Array.tabulate(64)(i => u8(b(o + 1 + i)))
+              o += 65
+            }
+            if (o != pos + len) throw JpegFail
+            pos += len
+          case 0xdd =>                             // DRI
+            if (be16(pos) != 4) throw JpegFail
+            restartInterval = be16(pos + 2)
+            pos += 4
+          case 0xda =>                             // SOS
+            val len = be16(pos)
+            if (comps == null) throw JpegFail
+            val ns = u8(b(pos + 2))
+            if (ns != comps.length || len != 6 + 2 * ns) throw JpegFail
+            var i = 0
+            while (i < ns) {
+              val cid = u8(b(pos + 3 + 2 * i))
+              val c = comps.find(_.id == cid).getOrElse(throw JpegFail)
+              c.dcTab = u8(b(pos + 4 + 2 * i)) >> 4
+              c.acTab = u8(b(pos + 4 + 2 * i)) & 0xf
+              if (c.dcTab > 3 || c.acTab > 3) throw JpegFail
+              i += 1
+            }
+            // spectral selection 0..63, approximation 0 (baseline)
+            if (u8(b(pos + 3 + 2 * ns)) != 0 ||
+              u8(b(pos + 4 + 2 * ns)) != 63 ||
+              u8(b(pos + 5 + 2 * ns)) != 0) throw JpegFail
+            scanStart = pos + len
+          case 0xd9 => throw JpegFail              // EOI before any scan
+          case x if x >= 0xc1 && x <= 0xcf => throw JpegFail // non-baseline SOF
+          case _ =>                                // APPn / COM / other
+            pos += be16(pos)
+        }
+      }
+
+      val hmax = comps.map(_.hS).max
+      val vmax = comps.map(_.vS).max
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      comps.foreach { c =>
+        c.planeW = mcusX * 8 * c.hS
+        c.plane = new Array[Int](c.planeW * mcusY * 8 * c.vS)
+        if (quant(c.tq) == null) throw JpegFail
+      }
+
+      val r = new JpegBits(b, scanStart)
+      val coef = new Array[Int](64)                // natural order, dequantized
+
+      def decodeBlock(c: JpegComp, blockRow: Int, blockCol: Int): Unit = {
+        val dc = dcTabs(c.dcTab); val ac = acTabs(c.acTab)
+        if (dc == null || ac == null) throw JpegFail
+        val qt = quant(c.tq)
+        java.util.Arrays.fill(coef, 0)
+        val s0 = dc.decode(r)
+        if (s0 > 11) throw JpegFail
+        c.pred += extend(r.receive(s0), s0)
+        coef(0) = c.pred * qt(0)
+        var k = 1
+        while (k < 64) {
+          val rs = ac.decode(r)
+          val run = rs >> 4; val size = rs & 0xf
+          if (size == 0) {
+            if (run == 15) k += 16                 // ZRL
+            else k = 64                            // EOB
+          } else {
+            k += run
+            if (k > 63) throw JpegFail
+            coef(ZigZag(k)) = extend(r.receive(size), size) * qt(k)
+            k += 1
+          }
+        }
+        // fixed-point IDCT + level shift, straight from the basis grid
+        val base = blockRow * 8 * c.planeW + blockCol * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0L
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              val tvy = CosT(v)(y)
+              while (u < 8) {
+                val f = coef(v * 8 + u)
+                if (f != 0) s += f * CosT(u)(x) * tvy
+                u += 1
+              }
+              v += 1
+            }
+            var p = (((s + (1L << 29)) >> 30) + 128).toInt
+            if (p < 0) p = 0 else if (p > 255) p = 255
+            c.plane(base + y * c.planeW + x) = p
+            x += 1
+          }
+          y += 1
+        }
+      }
+
+      var mcu = 0
+      var rstN = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            r.expectRestart(rstN)
+            rstN = (rstN + 1) & 7
+            comps.foreach(_.pred = 0)
+          }
+          comps.foreach { c =>
+            var v0 = 0
+            while (v0 < c.vS) {
+              var h0 = 0
+              while (h0 < c.hS) {
+                decodeBlock(c, my * c.vS + v0, mx * c.hS + h0)
+                h0 += 1
+              }
+              v0 += 1
+            }
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+
+      // upsample + color conversion + channel sums
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      if (comps.length == 1) {
+        val c = comps(0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = c.plane(y * c.planeW + x)
+            sumR += g; sumG += g; sumB += g
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        val cy = comps(0); val cb = comps(1); val cr = comps(2)
+        def sample(c: JpegComp, x: Int, y: Int): Int =
+          c.plane((y * c.vS / vmax) * c.planeW + (x * c.hS / hmax))
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val yy = sample(cy, x, y) << 16
+            val pb = sample(cb, x, y) - 128
+            val pr = sample(cr, x, y) - 128
+            def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+            sumR += cl((yy + 91881 * pr + 32768) >> 16)
+            sumG += cl((yy - 22554 * pb - 46802 * pr + 32768) >> 16)
+            sumB += cl((yy + 116130 * pb + 32768) >> 16)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some(DecodedImage("jpeg", w, h, sumR, sumG, sumB, 255))
+    } catch {
+      case JpegFail => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
   }
 }

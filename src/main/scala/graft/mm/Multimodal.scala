@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   *
   * The decode step ([[decode]]) reads REAL formats where a dependency-free
   * parser can: PNG (8-bit gray/RGB/RGBA, zlib inflate + all five scanline
-  * filters), BMP (24-bit) and PPM (P6/P3) payloads yield actual
-  * dimensions and pixel statistics ([[ImageCodecs]], fixture images under
-  * data/fixtures). Formats whose codecs are not in this environment
-  * (JPEG/video) fall back to a clearly-marked deterministic
-  * stub ([[fakeDecode]]); everything around the seam — schema contract,
-  * batch iteration, partition sizing, output shape — is the real Spark
-  * plumbing a decode stage needs, and is what the tests cover.
+  * filters), baseline JPEG (T.81 sequential DCT — Huffman entropy decode,
+  * integer IDCT, chroma subsampling, restart markers), BMP (24-bit) and
+  * PPM (P6/P3) payloads yield actual dimensions and pixel statistics
+  * ([[ImageCodecs]], fixture images under data/fixtures). Only video —
+  * where no dependency-free container/codec is reasonable — falls back to
+  * the clearly-marked deterministic stub ([[fakeDecode]]), which also
+  * replays non-media payloads; everything around the seam — schema
+  * contract, batch iteration, partition sizing, output shape — is the
+  * real Spark plumbing a decode stage needs, and is what the tests cover.
   *
   * Scale notes: media processing is CPU-bound per row and must never
   * shuffle payloads. [[decodeFeatures]] is a mapPartitions over the scan —
@@ -71,12 +73,12 @@ object Multimodal {
       case None => fakeDecode(id, mediaType, payload)
     }
 
-  /** STUB DECODER — stands in for codecs not present in this environment
-    * (JPEG decode + resize + embed). Deterministic in the payload bytes;
-    * [[decode]] routes real BMP/PPM payloads to [[ImageCodecs]] instead.
-    * Replace with a codec bridge (JNI/FFI or vectorized Python via Arrow)
-    * in production; the signature (bytes → features) and the batching
-    * around it are the contract. */
+  /** STUB DECODER — stands in for what no dependency-free parser covers
+    * (video decode + resize + embed) and replays non-media payloads
+    * deterministically. [[decode]] routes real PNG/JPEG/BMP/PPM payloads
+    * to [[ImageCodecs]] instead. Replace with a codec bridge (JNI/FFI or
+    * vectorized Python via Arrow) in production; the signature (bytes →
+    * features) and the batching around it are the contract. */
   def fakeDecode(id: Long, mediaType: String, payload: Array[Byte]): AssetFeatures = {
     val n = payload.length
     val sum = payload.foldLeft(0L)((a, b) => a + (b & 0xff))

@@ -117,6 +117,52 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodecs.decode(good.take(8)).isEmpty)
   }
 
+  // ───── baseline JPEG (checked-in fixtures from
+  // tools/make_jpeg_fixtures.py; each expected sum is an INDEPENDENT
+  // integer replay of the decode contract from the encoder's own
+  // quantized coefficients — if the Huffman/marker/IDCT path drops or
+  // misreads a single coefficient, the sums cannot match)
+
+  test("JPEG grayscale: marker walk + Huffman + integer IDCT reproduce the replayed sums") {
+    val img = ImageCodecs.decode(fixture("dct_gray.jpg")).get
+    assert(img.format == "jpeg" && img.width == 8 && img.height == 8)
+    assert((img.sumR, img.sumG, img.sumB) == ((6528L, 6528L, 6528L)))
+    assert(img.maxVal == 255)
+  }
+
+  test("JPEG 4:4:4 color: three interleaved components + fixed-point YCbCr->RGB") {
+    val img = ImageCodecs.decode(fixture("dct_rgb444.jpg")).get
+    assert(img.format == "jpeg" && img.width == 16 && img.height == 16)
+    assert((img.sumR, img.sumG, img.sumB) == ((23124L, 49833L, 30841L)))
+  }
+
+  test("JPEG 4:2:0 odd dims: MCU padding cropped, chroma upsampled by the shared subscript rule") {
+    val img = ImageCodecs.decode(fixture("dct_rgb420.jpg")).get
+    assert(img.format == "jpeg" && img.width == 24 && img.height == 17)
+    assert((img.sumR, img.sumG, img.sumB) == ((46936L, 39271L, 48615L)))
+  }
+
+  test("JPEG restart markers: RSTn consumed byte-aligned, DC predictors reset") {
+    val img = ImageCodecs.decode(fixture("dct_rst.jpg")).get
+    assert(img.format == "jpeg" && img.width == 32 && img.height == 8)
+    assert((img.sumR, img.sumG, img.sumB) == ((30465L, 30465L, 30465L)))
+  }
+
+  test("JPEG strictness: truncation, corrupt scan, and non-baseline SOF all reject") {
+    val good = fixture("dct_rgb444.jpg")
+    assert(ImageCodecs.decode(good).isDefined)
+    // truncated entropy stream → bit reader runs dry → None
+    assert(ImageCodecs.decode(good.take(good.length - 40)).isEmpty)
+    // SOI alone is not an image
+    assert(ImageCodecs.decode(good.take(3)).isEmpty)
+    // rewrite SOF0 (FFC0) to progressive SOF2 (FFC2) → unsupported → None
+    val prog = good.clone()
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(ImageCodecs.decode(prog).isEmpty)
+  }
+
   test("wrapRgbPng round trip: decode recovers byte-position channel sums") {
     val bytes = (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
     val png = ImageCodecs.wrapRgbPng(bytes) // 16 wide → stride 48 → h=3
