@@ -1071,6 +1071,33 @@ object ExtensionQueries {
       Similarity.pcaPowerProjection(t(s, d, "embeddings"), "vec_id", "embedding")
     }),
 
+    // ───── IVF ANN over LEARNED centroids — the end-to-end train→index
+    // composition (x15 indexes on data-pick cells; production trains the
+    // coarse quantizer exactly like x129 and THEN builds the cell index).
+    // Centroids come off the micro-integer grid as exact floats (micro
+    // magnitudes « 2^24, so float carries them losslessly and the oracle
+    // replays the cast bit-for-bit); cosine cell assignment is
+    // scale-invariant, so the micro scaling cancels
+    "x134_kmeans_ivf" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
+      val emb = t(s, d, "embeddings")
+      val model = Similarity.kmeansMicro(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val cent = s.createDataFrame(
+        model.centroids.map { case (j, c) =>
+          org.apache.spark.sql.Row(j, c.map(_.toFloat).toSeq)
+        }.asJava,
+        StructType(Seq(StructField("cid", IntegerType, nullable = false),
+          StructField("cvec", ArrayType(FloatType), nullable = false))))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+          cent, "cid", "cvec", k = 5, probes = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos_sim"))
+    }),
+
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the decoded dimensions (real PNG dims for every
     // third doc, stub dims for the rest) — the projection a decode stage
@@ -1411,6 +1438,30 @@ object ExtensionQueries {
            CAST(COALESCE(a.entropy_micro, 0) AS DOUBLE)
              / CAST(1000000.0 AS DOUBLE) AS entropy_bits
          FROM d LEFT JOIN agg a USING (doc_id)""",
+    // x134: the shared kmeansCtes train the coarse book; c2's micro grid
+    // casts to DOUBLE (exact) and drives x15's assignment/probe/rank SQL
+    "x134_kmeans_ivf" ->
+      s"""WITH $kmeansCtes,
+         ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cent AS (SELECT cid, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv
+           FROM c2),
+         assign AS (SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS rn
+           FROM ev e, cent c),
+         cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+         qcells AS (SELECT vec_id AS qid, cid AS cell FROM assign
+           WHERE vec_id < 8 AND rn <= 2),
+         sc AS (SELECT qc.qid AS query_id, ce.vec_id AS neighbor_id,
+             ${cosSql("q.v", "c.v")} AS cos
+           FROM qcells qc
+           JOIN cells ce ON ce.cell = qc.cell AND ce.vec_id <> qc.qid
+           JOIN ev q ON q.vec_id = qc.qid
+           JOIN ev c ON c.vec_id = ce.vec_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+         WHERE rank <= 5""",
     // x132: milli-grid quantize → floor-mean center → integer scatter →
     // the same two power steps (w1 = S·1, floor(w1/2^10), w2 = S·w1′) →
     // exact DECIMAL(38,0) projection; HUGEINT internally (int128 ⊇ the

@@ -372,6 +372,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) == BigInt(3000) * w2(0) + BigInt(4000) * w2(1))
   }
 
+  test("x134 learned-centroid IVF: scores agree with brute force on every returned pair") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, "qid", "qvec", k = 499)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val out = SparkEntry.queries("x134_kmeans_ivf")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 8 * 5)
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bf(key) == r.getDouble(3), s"score drift at $key")
+    }
+    // per-query: ranks are 1..n and scores non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val ds = sorted.map(_.getDouble(3)).toSeq
+      assert(ds == ds.sorted.reverse)
+    }
+  }
+
   test("semanticDedupAssigned: dup iff a LOWER-id cellmate sits at cos >= tau; cross-cell twins stay invisible") {
     import org.apache.spark.sql.functions.{col => c}
     val pts = Seq(
