@@ -253,6 +253,76 @@ object Dedup {
     * linear in the LSH output. Pairs sharing zero shingles simply drop out
     * (their Jaccard is 0 — below any meaningful threshold).
     * Input pairs: (id_a, id_b); output: (id_a, id_b, jaccard). */
+  /** EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    * al. ICDE'06; Bayardo et al. WWW'07 All-Pairs; the filter behind
+    * Xiao et al.'s PPJoin): every document-pair with token-set Jaccard ≥
+    * tauNum/tauDen is returned — no recall loss, unlike LSH — yet the
+    * candidate join touches only PREFIX tokens.
+    *
+    * The filter: order every document's distinct tokens by one global
+    * canonical order (document frequency ascending, then token — rarest
+    * first, so prefixes carry the most selective tokens); a document of
+    * size s keeps a prefix of `s − ⌈τ·s⌉ + 1` tokens. Any pair with
+    * J ≥ τ has |x∩y| ≥ τ·|x∪y| ≥ ⌈τ·max(s_x, s_y)⌉, and by pigeonhole
+    * two canonically-ordered sets that overlap that much MUST share a
+    * prefix token — so the prefix equi-join loses nothing, and exact
+    * Jaccard verification runs candidate-only (the x27 shape, with
+    * exactness instead of recall).
+    *
+    * τ is a RATIONAL (tauNum/tauDen): the prefix length is exact integer
+    * arithmetic (`⌈n·s/d⌉ = (n·s + d − 1) div d`), so the oracle replays
+    * the boundary rows bit-for-bit.
+    *
+    * 100 TB shape: df counts and ranks are one shuffle on the doc id;
+    * the candidate join shuffles only the ~(1−τ)·s prefix rows per doc,
+    * keyed by token — rare-first ordering keeps those postings short
+    * (the df-hottest tokens never enter a prefix unless a doc is nearly
+    * all-stopwords); verification is candidate-only. Skew guard: a
+    * pathological corpus where one token floods every prefix routes
+    * through the same [[graft.ops.Skew]] census machinery as the LSH
+    * band join if needed. Token frame cached (caller-managed).
+    *
+    * The set unit is the distinct k-shingle ([[TextOps.shingleRows]]) —
+    * the df-ordered prefix only prunes when the element vocabulary is
+    * rich; word UNIGRAMS on a small-vocabulary corpus degenerate to
+    * near-quadratic candidates (measured: this corpus has 31 distinct
+    * tokens — token-level postings put ~60% of the corpus behind every
+    * prefix element, 134M candidate pairs at sf0.1; trigram shingles
+    * have a 27k vocabulary and prune 24×).
+    *
+    * Output: (id_a, id_b, jaccard) over DISTINCT k-shingle sets. */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+                               textCol: String, k: Int,
+                               tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum < tauDen,
+      "tau must be a proper fraction")
+    import org.apache.spark.sql.expressions.Window
+    val td = TextOps.shingleRows(docs, idCol, textCol, k)
+      .select(col(idCol), col("g")).cache()
+    val dfc = td.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("g"))
+    val ranked = td.join(dfc, Seq("g"))
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val pref = ranked.filter(col("__pos") <=
+        col("__sz") - expr(s"($tauNum * __sz + $tauDen - 1) div $tauDen")
+          + 1)
+      .select(col(idCol), col("g"), col("__sz"))
+    // length filter (the All-Pairs size bound): J >= tau forces
+    // tau*max(sz) <= |x∩y| <= min(sz) — prune incompatible sizes before
+    // the distinct, exactness untouched
+    val cand = pref.select(col(idCol).as("id_a"), col("g"), col("__sz").as("__sa"))
+      .join(pref.select(col(idCol).as("id_b"), col("g"), col("__sz").as("__sb")),
+        Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(lit(tauNum) * greatest(col("__sa"), col("__sb")) <=
+        lit(tauDen) * least(col("__sa"), col("__sb")))
+      .select(col("id_a"), col("id_b")).distinct()
+    jaccardForShingles(td, idCol, cand)
+      .filter(col("jaccard") >=
+        expr(s"CAST($tauNum AS DOUBLE) / CAST($tauDen AS DOUBLE)"))
+  }
+
   def jaccardForPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, pairs: DataFrame): DataFrame =
     // NOTE cache lifecycle: as with minhashLshPairs, the pinned shingle

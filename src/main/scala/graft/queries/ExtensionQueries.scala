@@ -1071,6 +1071,20 @@ object ExtensionQueries {
       Similarity.pcaPowerProjection(t(s, d, "embeddings"), "vec_id", "embedding")
     }),
 
+    // ───── EXACT similarity self-join via prefix filtering (Bayardo '07
+    // All-Pairs / PPJoin's filter): the third dedup candidate generator —
+    // x02 is the quadratic exact baseline, x27 trades recall for the LSH
+    // band join, THIS keeps exactness at candidate-join cost. Distinct
+    // TRIGRAM-shingle sets (the prefix prunes by element rarity — the
+    // 27k-shingle vocabulary prunes 24×, where this corpus's 31 word
+    // unigrams would degenerate, see Dedup scaladoc), rarest-first
+    // canonical order, τ = 2/5 as exact integer prefix arithmetic,
+    // candidate-only verification
+    "x135_prefix_filter_join" -> ((s, d) => {
+      Dedup.prefixFilterJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 3, tauNum = 2, tauDen = 5)
+    }),
+
     // ───── IVF ANN over LEARNED centroids — the end-to-end train→index
     // composition (x15 indexes on data-pick cells; production trains the
     // coarse quantizer exactly like x129 and THEN builds the cell index).
@@ -1438,6 +1452,43 @@ object ExtensionQueries {
            CAST(COALESCE(a.entropy_micro, 0) AS DOUBLE)
              / CAST(1000000.0 AS DOUBLE) AS entropy_bits
          FROM d LEFT JOIN agg a USING (doc_id)""",
+    // x135: distinct trigram-shingle sets (TextOps.shingles k=3 incl. the
+    // short-document tail rule), df-asc/shingle canonical order, integer
+    // prefix bound ⌈2s/5⌉ via (2s+4)//5, prefix equi-join candidates,
+    // exact-Jaccard verify at τ = 2/5
+    "x135_prefix_filter_join" ->
+      s"""WITH tl AS (SELECT doc_id, string_split($normSql, ' ') AS t
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> CASE WHEN i + 2 <= len(t)
+                  THEN t[i] || '_' || t[i+1] || '_' || t[i+2]
+                  WHEN i + 1 <= len(t) THEN t[i] || '_' || t[i+1]
+                  ELSE t[i] END))) AS g FROM tl),
+         dfr AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tk
+           GROUP BY g),
+         rk AS (SELECT tk.doc_id, tk.g,
+             ROW_NUMBER() OVER (PARTITION BY tk.doc_id
+               ORDER BY dfr.df, tk.g) AS pos,
+             COUNT(*) OVER (PARTITION BY tk.doc_id) AS sz
+           FROM tk JOIN dfr USING (g)),
+         pref AS (SELECT doc_id, g, sz FROM rk
+           WHERE pos <= sz - (2 * sz + 4) // 5 + 1),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+           WHERE 2 * greatest(a.sz, b.sz) <= 5 * least(a.sz, b.sz)),
+         szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+           GROUP BY doc_id),
+         cm AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS common
+           FROM cand c JOIN tk a ON a.doc_id = c.id_a
+           JOIN tk b ON b.doc_id = c.id_b AND b.g = a.g
+           GROUP BY c.id_a, c.id_b)
+         SELECT cm.id_a, cm.id_b,
+           CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+         FROM cm JOIN szs sa ON cm.id_a = sa.doc_id
+         JOIN szs sb ON cm.id_b = sb.doc_id
+         WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common)
+           >= CAST(2 AS DOUBLE) / CAST(5 AS DOUBLE)""",
     // x134: the shared kmeansCtes train the coarse book; c2's micro grid
     // casts to DOUBLE (exact) and drives x15's assignment/probe/rank SQL
     "x134_kmeans_ivf" ->

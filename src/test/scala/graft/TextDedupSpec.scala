@@ -319,4 +319,58 @@ class TextDedupSpec extends SparkSpec {
     assert(clusters.exists(c => c.size >= 3))
     spark.catalog.clearCache()
   }
+
+  test("x135 prefix filter returns EXACTLY the brute-force >= tau pairs (no recall loss), boundary included") {
+    // trigram-shingle sets with the short-doc tail rule, mirrored here
+    def sh3(text: String): Set[String] = {
+      val t = text.split(" ").toVector
+      (0 to math.max(t.length - 3, 0))
+        .map(i => t.slice(i, math.min(i + 3, t.length)).mkString("_")).toSet
+    }
+    val texts = Map(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the rug",  // 3 of 5 trigrams shared: J = 0.6
+      3L -> "dogs run far away now",   // disjoint
+      4L -> "the cat sat",             // tail-rule single shingle, J(1,4)=0.25
+      6L -> "the cat sat on the mat",  // J(1,6) = 1.0
+      7L -> "a b c d e",
+      8L -> "a b c d x y")             // J(7,8) = 2/5 — the exact boundary
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val out = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        k = 3, tauNum = 2, tauDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sets = texts.view.mapValues(sh3).toMap
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= 0.4
+    } yield (a, b) -> j).toMap
+    assert(out == expect)
+    assert(expect.contains((7L, 8L)) && expect((7L, 8L)) == 0.4) // boundary in
+    assert(expect.size < texts.size * (texts.size - 1) / 2)
+    spark.catalog.clearCache()
+  }
+
+  test("x135 on the corpus table equals the quadratic shingle-set self-join") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents")
+    val out = SparkEntry.queries("x135_prefix_filter_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force: all-pairs over the same distinct trigram-shingle sets
+    val td = TextOps.shingleRows(docs, "doc_id", "text", 3)
+      .select($"doc_id", $"g")
+    val sizes = td.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val brute = td.select($"doc_id".as("id_a"), $"g")
+      .join(td.select($"doc_id".as("id_b"), $"g"), Seq("g"))
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), Seq("id_a"))
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        ($"common".cast("double") / ($"na" + $"nb" - $"common")).as("j"))
+      .filter($"j" >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == brute && out.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
