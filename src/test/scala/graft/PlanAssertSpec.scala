@@ -74,6 +74,20 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window sort crept into group top-k:\n$p")
   }
 
+  test("x129 k-means assignment: a pure projection — no joins, no windows in the scoring plan") {
+    // the centroid grid is compiled into the expression tree as literals;
+    // a regression to a join/window-based argmin shows up here
+    val p = plan("x129_kmeans_train")
+    assert(!p.contains("Join"), s"join crept into k-means assignment:\n$p")
+    assert(!p.contains("Window"), s"window crept into k-means assignment:\n$p")
+  }
+
+  test("x135 prefix filter: candidates come from an equi-join on shingles, never an all-pairs join") {
+    val p = plan("x135_prefix_filter_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join crept into the prefix filter:\n$p")
+  }
+
   test("catalog sweep: no cartesian products anywhere; single-partition exchanges only where documented") {
     // Documented exceptions. q15: only the max(id) scalar aggregate (one
     // pre-aggregated row per partition) — the allocation window itself is

@@ -261,4 +261,33 @@ class PropertySpec extends SparkSpec {
       assert((aAnch & bAnch).nonEmpty, s"seed=$seed")
     }
   }
+
+  test("prefix filter = brute-force shingle-set join for random corpora (exactness law)") {
+    // random docs over a small alphabet force heavy set overlap — the
+    // regime where a lossy prefix bound would actually drop pairs
+    val docGen: Gen[List[String]] = Gen.listOfN(14,
+      Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    def sh3(text: String): Set[String] = {
+      val t = text.split(" ").toVector
+      (0 to math.max(t.length - 3, 0))
+        .map(i => t.slice(i, math.min(i + 3, t.length)).mkString("_")).toSet
+    }
+    for (seed <- 1L to 4L) {
+      val texts = sample(docGen, seed).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val docs = texts.toDF("doc_id", "text")
+      val out = graft.dedup.Dedup
+        .prefixFilterJaccardPairs(docs, "doc_id", "text", k = 3,
+          tauNum = 2, tauDen = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sets = texts.toMap.view.mapValues(sh3).toMap
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble /
+          sets(a).union(sets(b)).size
+        if j >= 0.4
+      } yield (a, b) -> j).toMap
+      assert(out == expect, s"seed=$seed")
+      spark.catalog.clearCache()
+    }
+  }
 }
