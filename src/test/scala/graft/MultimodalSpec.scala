@@ -163,6 +163,34 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodecs.decode(prog).isEmpty)
   }
 
+  test("decode never throws on adversarial bytes: mutated containers and random noise return None or a valid image") {
+    // deterministic PRNG — the sniff/parse path must be total: any input
+    // either decodes to a well-formed image or returns None, never throws
+    val rnd = new scala.util.Random(42)
+    val seeds = Seq(fixture("dct_rgb444.jpg"), fixture("dct_gray.jpg"),
+      fixture("gradient.png"), fixture("gradient.bmp"))
+    for (_ <- 1 to 300) {
+      val base = seeds(rnd.nextInt(seeds.length)).clone()
+      // random single-byte mutations + random truncation keep the magic
+      // bytes plausible so the real parsers engage
+      for (_ <- 0 to rnd.nextInt(6))
+        base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte
+      val bytes = if (rnd.nextBoolean()) base.take(rnd.nextInt(base.length + 1)) else base
+      val out = ImageCodecs.decode(bytes) // must not throw
+      out.foreach { img =>
+        assert(img.width > 0 && img.height > 0 &&
+          img.sumR >= 0 && img.sumG >= 0 && img.sumB >= 0)
+      }
+    }
+    // pure noise with a JPEG SOI prefix: the marker walk must reject
+    for (seed <- 1 to 50) {
+      val r2 = new scala.util.Random(seed)
+      val noise = Array.fill(256)(r2.nextInt(256).toByte)
+      noise(0) = 0xff.toByte; noise(1) = 0xd8.toByte; noise(2) = 0xff.toByte
+      ImageCodecs.decode(noise) // must not throw; result irrelevant
+    }
+  }
+
   test("wrapRgbPng round trip: decode recovers byte-position channel sums") {
     val bytes = (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
     val png = ImageCodecs.wrapRgbPng(bytes) // 16 wide → stride 48 → h=3
