@@ -1593,7 +1593,39 @@ object CorpusQueries {
             .as("n_correct"))
         .withColumn("accuracy_ppm",
           expr("(n_correct * CAST(1000000 AS BIGINT)) div n_events"))
+    }),
+
+    // ───── recency-weighted per-user EWMA over event values — the
+    // feature-engineering decay score (last-16-events window, λ = 0.9).
+    // Engine-exactness trick: the decay grid floor(0.9^r·1e6) is
+    // evaluated ONCE in [[ewmaWeights]] and interpolated as LITERAL
+    // integers into BOTH the DataFrame expression and the oracle SQL —
+    // no cross-engine pow() parity assumption. Per-event contributions
+    // floor to integers (x120's quantize-once), so the per-user sums are
+    // order-free; one shuffle on user_id shared by the window and the
+    // aggregation
+    "x137_recency_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .withColumn("r", row_number().over(w) - 1)
+        .filter(col("r") < ewmaWeights.length)
+        .withColumn("w", element_at(typedLit(ewmaWeights), col("r") + 1))
+        .withColumn("contrib", expr("CAST(floor(value * w) AS BIGINT)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_used"),
+          sum(col("contrib")).as("ewma_num"),
+          sum(col("w")).as("ewma_den"))
+        .withColumn("ewma",
+          col("ewma_num").cast("double") / col("ewma_den").cast("double"))
     }))
+
+  /** Recency-decay weight grid for x137: floor(0.9^r · 1e6), r ∈ [0, 16).
+    * Evaluated once here and shared by the engine expression and the
+    * oracle SQL as literal integers. */
+  private val ewmaWeights: IndexedSeq[Long] =
+    (0 until 16).map(r => math.floor(math.pow(0.9, r) * 1e6).toLong)
 
   /** The bounded blocklist lexicon behind x96 — phrases over the corpus
     * vocabulary, including self-overlapping ("batch batch") and
@@ -1604,6 +1636,27 @@ object CorpusQueries {
     "key order sort", "slow", "join")
 
   val oracle: Map[String, String] = Map(
+    // x137: the same literal weight grid (interpolated from ewmaWeights),
+    // reverse rank per user with the event_id tiebreak, integer sums
+    "x137_recency_ewma" -> {
+      val vals = ewmaWeights.zipWithIndex
+        .map { case (wt, r) => s"($r, $wt)" }.mkString(", ")
+      s"""WITH e AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         rk AS (SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) - 1 AS r
+           FROM e),
+         wt AS (SELECT * FROM (VALUES $vals) AS t(r, w)),
+         c AS (SELECT user_id, CAST(floor(value * w) AS BIGINT) AS contrib,
+             CAST(w AS BIGINT) AS w
+           FROM rk JOIN wt USING (r))
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_used,
+           CAST(SUM(contrib) AS BIGINT) AS ewma_num,
+           CAST(SUM(w) AS BIGINT) AS ewma_den,
+           CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS ewma
+         FROM c GROUP BY user_id"""
+    },
     "x75_filter_cascade" ->
       s"""WITH $cascadeSql
          SELECT * FROM casc""",

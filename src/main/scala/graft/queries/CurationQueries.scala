@@ -753,6 +753,28 @@ object CurationQueries {
             .as("mean_ll_micro"))
     }),
 
+    // ───── per-source adaptive quality floor (CCNet-style per-domain
+    // selection): rank every doc INSIDE its source by the x09 quality
+    // score and keep those above the source's bottom quartile — the
+    // group-relative cut that a single corpus-wide threshold gets wrong
+    // when sources have different quality baselines (x111 normalizes the
+    // whole corpus; this selects within groups). The cut is pure integer
+    // arithmetic (4·rank > n — no percentile doubles), ties broken by
+    // doc_id; one shuffle on source, both windows share it
+    "x136_source_quality_floor" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("source").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("src_rank", row_number().over(w).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(n))
+        .withColumn("kept", col("src_rank") * 4 > col("n_src"))
+    }),
+
     // ───── multinomial Naive Bayes language classifier — the LEARNED
     // companion to x08's rule-based lang-id (fastText-class lexical
     // classification, relationally): per-(token, lang) likelihoods TRAIN
@@ -814,6 +836,26 @@ object CurationQueries {
              THEN CAST(per.ll_micro AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
            END AS mean_ll_micro
          FROM d LEFT JOIN per USING (doc_id)""",
+    // x136: x09's quality expression verbatim, per-source ROW_NUMBER with
+    // the doc_id tiebreak, integer quartile cut 4·rank > n
+    "x136_source_quality_floor" -> {
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END"
+      val digit = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END"
+      s"""WITH q AS (SELECT doc_id, source,
+           least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+             + (1.0 - least(($punct) * 5.0, 1.0)) * 0.3
+             + (1.0 - least(($digit) * 5.0, 1.0)) * 0.3 AS quality
+           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND source IS NOT NULL)
+         SELECT doc_id, source, quality,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY quality, doc_id) AS src_rank,
+           COUNT(*) OVER (PARTITION BY source) AS n_src,
+           (ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY quality, doc_id) * 4
+             > COUNT(*) OVER (PARTITION BY source)) AS kept
+         FROM q"""
+    },
     // x131: x127's tokenization CTEs, NB counts on doc_id ≥ 20, each
     // log-prob micro-floored once, integer score sums, smallest-lang ties
     "x131_nb_langid" ->

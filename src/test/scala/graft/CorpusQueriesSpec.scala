@@ -721,4 +721,43 @@ class CorpusQueriesSpec extends SparkSpec {
       || $"entropy_bits" > math.log(37.0) / math.log(2.0)).count() === 0)
     assert(cat.filter($"n_distinct" > 37).count() === 0)
   }
+
+  test("x136 source quality floor: per source, kept = top (n - n/4) by (quality, doc_id)") {
+    val rows = SparkEntry.queries("x136_source_quality_floor")(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val n = g.length
+      assert(g.forall(_._5 == n))                  // n_src consistent
+      assert(g.count(_._6) == n - n / 4)           // quartile cut exact
+      // the kept set is exactly the suffix of the (quality, doc_id) order
+      val sorted = g.sortBy(t => (t._3, t._2))
+      assert(sorted.map(_._4).toSeq == (1L to n).toSeq)
+      assert(sorted.drop(n / 4).forall(_._6) && sorted.take(n / 4).forall(!_._6))
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("x137 recency EWMA: full independent replay from the raw events table") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x137_recency_ewma")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val wts = (0 until 16).map(r => math.floor(math.pow(0.9, r) * 1e6).toLong)
+    val ev = Tables.load(spark, sf, "events")
+      .filter($"value".isNotNull && $"user_id".isNotNull)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._1).map { case (uid, g) =>
+      val last = g.sortBy(t => (-t._2, -t._3)).take(16)
+      val contribs = last.zipWithIndex.map { case (t, r) =>
+        math.floor(t._4 * wts(r)).toLong }
+      val den = last.indices.map(wts).sum
+      uid -> ((last.length.toLong, contribs.sum, den,
+        contribs.sum.toDouble / den.toDouble))
+    }
+    assert(out == expect && out.nonEmpty)
+  }
 }
