@@ -1071,6 +1071,20 @@ object ExtensionQueries {
       Similarity.pcaPowerProjection(t(s, d, "embeddings"), "vec_id", "embedding")
     }),
 
+    // ───── language-mix segmentation (code-switch detection): x08's
+    // stopword-profile vote per 50-token CHUNK instead of per doc —
+    // mixed-language documents are invisible to a whole-doc argmax but
+    // poison monolingual training sets. Per-doc roll-up: chunk count,
+    // distinct non-und chunk langs, dominant lang (most chunks, ties
+    // alphabetical via min-struct — no window), minority share in ppm
+    // (integer div). One shuffle to (doc, chunk), partial-combined
+    "x138_lang_mix" -> ((s, d) => {
+      TextOps.langMix(
+        t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", "text", chunkTokens = 50)
+    }),
+
     // ───── EXACT similarity self-join via prefix filtering (Bayardo '07
     // All-Pairs / PPJoin's filter): the third dedup candidate generator —
     // x02 is the quadratic exact baseline, x27 trades recall for the LSH
@@ -1452,6 +1466,53 @@ object ExtensionQueries {
            CAST(COALESCE(a.entropy_micro, 0) AS DOUBLE)
              / CAST(1000000.0 AS DOUBLE) AS entropy_bits
          FROM d LEFT JOIN agg a USING (doc_id)""",
+    // x138: x08's stopword votes per 50-token chunk, min-struct dominant
+    // with alphabetical ties, integer minority ppm
+    "x138_lang_mix" -> {
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      val sw = TextOps.stopwords
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         tk0 AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM d),
+         toks AS (SELECT doc_id, t[i] AS tk, (i - 1) // 50 AS chunk
+           FROM tk0, unnest(range(1, len(t) + 1)) r(i) WHERE t[i] <> ''),
+         sc AS (SELECT doc_id, chunk,
+             COUNT(CASE WHEN tk IN (${inList(sw("de"))}) THEN 1 END) AS s_de,
+             COUNT(CASE WHEN tk IN (${inList(sw("en"))}) THEN 1 END) AS s_en,
+             COUNT(CASE WHEN tk IN (${inList(sw("es"))}) THEN 1 END) AS s_es,
+             COUNT(CASE WHEN tk IN (${inList(sw("fr"))}) THEN 1 END) AS s_fr
+           FROM toks GROUP BY doc_id, chunk),
+         cl AS (SELECT doc_id, chunk,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS clang
+           FROM sc),
+         cnt AS (SELECT doc_id, clang, CAST(COUNT(*) AS BIGINT) AS nc
+           FROM cl GROUP BY doc_id, clang),
+         tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+           FROM cl GROUP BY doc_id),
+         nu AS (SELECT * FROM cnt WHERE clang <> 'und'),
+         dm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(SUM(nc) AS BIGINT) AS n_lang_chunks
+           FROM nu GROUP BY doc_id),
+         pick AS (SELECT doc_id, clang AS dominant_lang, nc AS n_dom FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY nc DESC, clang) AS rn FROM nu) WHERE rn = 1)
+         SELECT d.doc_id,
+           COALESCE(t.n_chunks, 0) AS n_chunks,
+           COALESCE(m.n_langs, 0) AS n_langs,
+           COALESCE(p.dominant_lang, 'und') AS dominant_lang,
+           CASE WHEN COALESCE(m.n_lang_chunks, 0) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE ((m.n_lang_chunks - p.n_dom)
+                  * CAST(1000000 AS BIGINT)) // m.n_lang_chunks END
+             AS minority_ppm,
+           (COALESCE(m.n_langs, 0) > 1) AS mixed
+         FROM d LEFT JOIN tot t USING (doc_id)
+         LEFT JOIN dm m USING (doc_id) LEFT JOIN pick p USING (doc_id)"""
+    },
     // x135: distinct trigram-shingle sets (TextOps.shingles k=3 incl. the
     // short-document tail rule), df-asc/shingle canonical order, integer
     // prefix bound ⌈2s/5⌉ via (2s+4)//5, prefix equi-join candidates,

@@ -292,6 +292,57 @@ object TextOps {
         col("entropy_micro").cast("double") / expr("CAST(1000000.0 AS DOUBLE)"))
   }
 
+  /** Language-mix segmentation (code-switch detection): the stopword-
+    * profile vote of [[langIdDF]] applied per `chunkTokens`-token CHUNK
+    * instead of per document — mixed-language documents are invisible to
+    * a whole-doc argmax but poison monolingual training sets. Per-doc
+    * roll-up: chunk count, distinct non-und chunk langs, dominant lang
+    * (most chunks, alphabetical ties via min-struct — no window),
+    * minority share among non-und chunks in integer ppm. Deterministic
+    * and integer throughout; one shuffle to (doc, chunk), partial-
+    * combined.
+    *
+    * Output: (idCol, n_chunks, n_langs, dominant_lang, minority_ppm,
+    * mixed). Token-less docs report (0, 0, 'und', 0, false). */
+  def langMix(docs: DataFrame, idCol: String, textCol: String,
+              chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0)
+    val langs = stopwords.keys.toSeq.sorted
+    val tr = tokenRows(docs, idCol, textCol)
+      .filter(col("tok") =!= "")
+      .withColumn("chunk", expr(s"pos div $chunkTokens"))
+    val scores = langs.map(l => count(when(
+      col("tok").isInCollection(stopwords(l)), 1)).as(s"s_$l"))
+    val ch = tr.groupBy(col(idCol), col("chunk"))
+      .agg(scores.head, scores.tail: _*)
+    val mx = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pick = langs.foldRight(lit(langs.last)) { (l, rest) =>
+      when(col(s"s_$l") === mx, lit(l)).otherwise(rest)
+    }
+    val cl = ch.select(col(idCol),
+      when(mx === 0, lit("und")).otherwise(pick).as("clang"))
+    val cnt = cl.groupBy(col(idCol), col("clang")).agg(count(lit(1)).as("nc"))
+    val nu = cnt.filter(col("clang") =!= "und")
+    val dom = nu.groupBy(col(idCol))
+      .agg(min(struct((-col("nc")).as("n"), col("clang").as("l"))).as("m2"),
+        sum(col("nc")).as("n_lang_chunks"), count(lit(1)).as("n_langs"))
+      .select(col(idCol), col("m2.l").as("dominant_lang"),
+        (-col("m2.n")).as("n_dom"), col("n_lang_chunks"), col("n_langs"))
+    val tot = cl.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    docs.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(dom, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("dominant_lang"), lit("und")).as("dominant_lang"),
+        when(coalesce(col("n_lang_chunks"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr(
+            "((n_lang_chunks - n_dom) * CAST(1000000 AS BIGINT)) div n_lang_chunks"))
+          .as("minority_ppm"))
+      .withColumn("mixed", col("n_langs") > 1)
+  }
+
   /** Multinomial Naive Bayes language classifier, trained and scored
     * relationally (the fastText-class lexical classifier, minus the
     * gradient steps): token likelihoods train on `docs` rows where

@@ -739,6 +739,32 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("x138 lang mix: planted code-switch doc segments correctly; monolingual stays pure") {
+    import spark.implicits._
+    // chunkTokens = 2 so each vote window is tiny: doc 1 switches en→fr
+    // mid-document (4 chunks: en, en, fr, fr... with filler every chunk
+    // still holds one stopword), doc 2 is pure en, doc 3 has no
+    // stopwords at all (und), doc 4 is empty after normalization
+    val docs = Seq(
+      (1L, "the cat and dog le chat et chien"),   // en en fr fr
+      (2L, "the cat and dog"),                    // en en
+      (3L, "zzz qqq www rrr"),                    // und und
+      (4L, "!!!"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.langMix(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out(1L) == ((4L, 2L, "en", 500000L, true)))
+    assert(out(2L) == ((2L, 1L, "en", 0L, false)))
+    assert(out(3L) == ((2L, 0L, "und", 0L, false)))
+    assert(out(4L) == ((0L, 0L, "und", 0L, false)))
+    // catalog surface: minority_ppm < 1e6, dominant never 'und' when langs exist
+    val cat = SparkEntry.queries("x138_lang_mix")(spark, sf)
+    assert(cat.filter($"minority_ppm" >= 1000000L).count() === 0)
+    assert(cat.filter($"n_langs" > 0 && $"dominant_lang" === "und").count() === 0)
+  }
+
   test("x137 recency EWMA: full independent replay from the raw events table") {
     import spark.implicits._
     val out = SparkEntry.queries("x137_recency_ewma")(spark, sf)
