@@ -160,6 +160,30 @@ object Multimodal {
       }
   }
 
+  /** Energy-threshold voice-activity segments over per-window energy
+    * rows ([[audioWindowEnergies]]' shape): a window is ACTIVE iff
+    * `4·energy_sq ≥ peak(asset)` — a relative gate, scale-free and a
+    * pure integer compare — and consecutive active windows merge
+    * gaps-and-islands style (`window_idx − row_number`, the winnow-span
+    * technique on the time axis). Silent assets (peak 0) emit nothing.
+    * Output: (asset_id, seg_start, seg_end, n_windows, seg_energy_sq). */
+  def vadSegments(windows: DataFrame): DataFrame = {
+    val peak = windows.groupBy(col("asset_id"))
+      .agg(max(col("energy_sq")).as("__peak"))
+    val byAsset = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("asset_id")).orderBy(col("window_idx"))
+    windows.join(peak, Seq("asset_id"))
+      .filter(col("energy_sq") * 4 >= col("__peak") && col("__peak") > 0)
+      .withColumn("__grp", col("window_idx") - row_number().over(byAsset))
+      .groupBy(col("asset_id"), col("__grp"))
+      .agg(min(col("window_idx")).as("seg_start"),
+        max(col("window_idx")).as("seg_end"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy_sq")).as("seg_energy_sq"))
+      .select(col("asset_id"), col("seg_start"), col("seg_end"),
+        col("n_windows"), col("seg_energy_sq"))
+  }
+
   /** Adapt the synthetic `documents` table into an asset table whose
     * payloads are REAL WAV containers (document bytes wrapped as mono
     * PCM16 via [[AudioCodecs.wrapPcm16]]) — deterministic in the text, so

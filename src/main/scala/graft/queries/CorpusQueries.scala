@@ -1595,6 +1595,18 @@ object CorpusQueries {
           expr("(n_correct * CAST(1000000 AS BIGINT)) div n_events"))
     }),
 
+    // ───── energy-threshold voice-activity segments (VAD) over the x95
+    // window energies: a window is ACTIVE iff 4·energy ≥ its asset's
+    // peak (relative gate — scale-free, integer compare), consecutive
+    // active windows merge gaps-and-islands style (window_idx −
+    // row_number, the winnow-span technique on the time axis). Decode
+    // stays at the mapPartitions boundary; only fixed-width window rows
+    // shuffle
+    "x139_audio_vad" -> ((s, d) => {
+      Multimodal.vadSegments(Multimodal.audioWindowEnergies(
+        Multimodal.documentsAsWavAssets(t(s, d, "documents")), 256).toDF())
+    }),
+
     // ───── recency-weighted per-user EWMA over event values — the
     // feature-engineering decay score (last-16-events window, λ = 0.9).
     // Engine-exactness trick: the decay grid floor(0.9^r·1e6) is
@@ -1634,6 +1646,25 @@ object CorpusQueries {
   private val blocklistPatterns = Seq(
     "batch batch", "window window", "join order", "scan merge",
     "key order sort", "slow", "join")
+
+  /** DuckDB CTE chain shared by x95/x139: document bytes as the PCM16
+    * little-endian sample stream `sgn(asset_id, ns, i, s)` — the replay
+    * of `wrapPcm16` + `decodeWav`, kept in ONE place so the audio
+    * oracles cannot desynchronize. */
+  private val audioPcmCtes: String =
+    """raw AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) // 2 AS BIGINT) AS ns
+           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         smp AS (SELECT asset_id, ns, i,
+             CAST((strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 3, 1)) - 1) * 4096
+               + (strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 4, 1)) - 1) * 256
+               + (strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 2, 1)) - 1) AS BIGINT) AS u
+           FROM raw, unnest(range(1, CAST(ns AS INT) + 1)) AS t(i)
+           WHERE ns > 0),
+         sgn AS (SELECT asset_id, ns, i,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+           FROM smp)"""
 
   val oracle: Map[String, String] = Map(
     // x137: the same literal weight grid (interpolated from ewmaWeights),
@@ -2156,24 +2187,32 @@ object CorpusQueries {
     // casting proved version-fragile across DuckDB releases (r4 hash-red
     // with judge-verified-exact engine output), strpos+substr is not
     "x95_audio_energy" ->
-      """WITH raw AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
-           CAST(octet_length(encode(text)) // 2 AS BIGINT) AS ns
-           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-         smp AS (SELECT asset_id, ns, i,
-             CAST((strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 3, 1)) - 1) * 4096
-               + (strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 4, 1)) - 1) * 256
-               + (strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 1, 1)) - 1) * 16
-               + (strpos('0123456789ABCDEF', substr(hx, (i-1)*4 + 2, 1)) - 1) AS BIGINT) AS u
-           FROM raw, unnest(range(1, CAST(ns AS INT) + 1)) AS t(i)
-           WHERE ns > 0),
-         sgn AS (SELECT asset_id, ns, i,
-             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
-           FROM smp)
+      s"""WITH $audioPcmCtes
          SELECT asset_id, CAST(8000 AS INT) AS sample_rate,
            CAST(1 AS INT) AS channels, ns AS n_samples,
            CAST((i - 1) // 256 AS BIGINT) AS window_idx,
            CAST(SUM(s * s) AS BIGINT) AS energy_sq
          FROM sgn GROUP BY asset_id, ns, (i - 1) // 256""",
+    // x139: x95's window energies -> per-asset relative activity gate
+    // (4e >= peak) -> gaps-and-islands merge of consecutive windows
+    "x139_audio_vad" ->
+      s"""WITH $audioPcmCtes,
+         win AS (SELECT asset_id,
+             CAST((i - 1) // 256 AS BIGINT) AS window_idx,
+             CAST(SUM(s * s) AS BIGINT) AS energy_sq
+           FROM sgn GROUP BY asset_id, (i - 1) // 256),
+         pk AS (SELECT asset_id, MAX(energy_sq) AS peak FROM win
+           GROUP BY asset_id),
+         act AS (SELECT w.asset_id, w.window_idx, w.energy_sq,
+             ROW_NUMBER() OVER (PARTITION BY w.asset_id
+               ORDER BY w.window_idx) AS rn
+           FROM win w JOIN pk USING (asset_id)
+           WHERE w.energy_sq * 4 >= pk.peak AND pk.peak > 0)
+         SELECT asset_id, CAST(MIN(window_idx) AS BIGINT) AS seg_start,
+           CAST(MAX(window_idx) AS BIGINT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy_sq) AS BIGINT) AS seg_energy_sq
+         FROM act GROUP BY asset_id, window_idx - rn""",
     // x96: exact overlapping-occurrence counts — a position scan (does
     // the pattern start at i?), NOT the replace()-length trick, which
     // counts non-overlapping greedy matches and diverges on

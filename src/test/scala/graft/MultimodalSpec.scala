@@ -191,6 +191,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("vadSegments: planted loud/quiet windows merge into exact active islands, boundary at 4e = peak") {
+    import spark.implicits._
+    // peak 100 → active iff 4e >= 100 (e >= 25): idx 0,1 then 3,4,5 — the
+    // idx-5 window sits EXACTLY on the boundary and must be included;
+    // asset 2 is silent (peak 0) and emits nothing
+    val win = Seq(
+      (1L, 0L, 100L), (1L, 1L, 100L), (1L, 2L, 10L),
+      (1L, 3L, 100L), (1L, 4L, 100L), (1L, 5L, 25L),
+      (2L, 0L, 0L), (2L, 1L, 0L))
+      .toDF("asset_id", "window_idx", "energy_sq")
+    val out = Multimodal.vadSegments(win).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out == Set((1L, 0L, 1L, 2L, 200L), (1L, 3L, 5L, 3L, 225L)))
+  }
+
   test("wrapRgbPng round trip: decode recovers byte-position channel sums") {
     val bytes = (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
     val png = ImageCodecs.wrapRgbPng(bytes) // 16 wide → stride 48 → h=3
