@@ -1607,6 +1607,31 @@ object CorpusQueries {
         Multimodal.documentsAsWavAssets(t(s, d, "documents")), 256).toDF())
     }),
 
+    // ───── trailing-window spike detection over daily event volume —
+    // anomaly flagging without a single double: spike iff the day beats
+    // its trailing-7-observed-days mean by > 2σ, tested in cross-
+    // multiplied integer form ((7n − S)² > 4(7Q − S²), the x102 exact-
+    // moments idea applied to a window frame); days with fewer than 7
+    // trailing observations never flag. The global day ordering runs
+    // over the CALENDAR dimension (bounded whatever the corpus size —
+    // x107's class, allowlisted in the plan sweep)
+    "x140_spike_detection" -> ((s, d) => {
+      val dc = t(s, d, "events")
+        .filter(col("ts").isNotNull)
+        .select(expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+      val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      val dev = col("n_events") * 7 - col("trail_sum")
+      dc.withColumn("trail_n", count(col("n_events")).over(w))
+        .withColumn("trail_sum", coalesce(sum(col("n_events")).over(w), lit(0L)))
+        .withColumn("trail_sumsq",
+          coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+        .withColumn("spike",
+          col("trail_n") === 7 && dev > 0 &&
+            dev * dev >
+              (col("trail_sumsq") * 7 - col("trail_sum") * col("trail_sum")) * 4)
+    }),
+
     // ───── recency-weighted per-user EWMA over event values — the
     // feature-engineering decay score (last-16-events window, λ = 0.9).
     // Engine-exactness trick: the decay grid floor(0.9^r·1e6) is
@@ -1667,6 +1692,26 @@ object CorpusQueries {
            FROM smp)"""
 
   val oracle: Map[String, String] = Map(
+    // x140: x72's day convention, the trailing frame as a named WINDOW,
+    // the integer 2σ test cross-multiplied
+    "x140_spike_detection" ->
+      """WITH dc AS (SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM events WHERE ts IS NOT NULL GROUP BY 1)
+         SELECT day, n_events,
+           CAST(COUNT(n_events) OVER w AS BIGINT) AS trail_n,
+           CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS trail_sum,
+           CAST(COALESCE(SUM(n_events * n_events) OVER w, 0) AS BIGINT)
+             AS trail_sumsq,
+           (COUNT(n_events) OVER w = 7
+            AND n_events * 7 - COALESCE(SUM(n_events) OVER w, 0) > 0
+            AND (n_events * 7 - COALESCE(SUM(n_events) OVER w, 0))
+              * (n_events * 7 - COALESCE(SUM(n_events) OVER w, 0))
+              > (COALESCE(SUM(n_events * n_events) OVER w, 0) * 7
+                 - COALESCE(SUM(n_events) OVER w, 0)
+                   * COALESCE(SUM(n_events) OVER w, 0)) * 4) AS spike
+         FROM dc
+         WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)""",
     // x137: the same literal weight grid (interpolated from ewmaWeights),
     // reverse rank per user with the event_id tiebreak, integer sums
     "x137_recency_ewma" -> {

@@ -765,6 +765,26 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(cat.filter($"n_langs" > 0 && $"dominant_lang" === "und").count() === 0)
   }
 
+  test("x140 spike detection: full integer replay from daily counts; sub-7-day history never flags") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x140_spike_detection")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    val daily = Tables.load(spark, sf, "events").filter($"ts".isNotNull)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy($"day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    daily.zipWithIndex.foreach { case ((day, n), i) =>
+      val trail = daily.slice(math.max(0, i - 7), i).map(_._2)
+      val (s2, q) = (trail.sum, trail.map(v => v * v).sum)
+      val dev = n * 7 - s2
+      val spike = trail.length == 7 && dev > 0 && dev * dev > (q * 7 - s2 * s2) * 4
+      assert(out(day) == ((n, trail.length.toLong, s2, q, spike)), s"day=$day")
+    }
+    assert(out.size == daily.length && daily.take(7).forall(d => !out(d._1)._5))
+  }
+
   test("x137 recency EWMA: full independent replay from the raw events table") {
     import spark.implicits._
     val out = SparkEntry.queries("x137_recency_ewma")(spark, sf)

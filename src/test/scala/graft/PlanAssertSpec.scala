@@ -122,7 +122,10 @@ class PlanAssertSpec extends SparkSpec {
     // q23/x79's class. x127: the n_toks training-total scalar, x120's
     // exact shape. x131: the vocab-size countDistinct + n_tot doc-count
     // scalars (both pre-aggregated one-row-per-partition merges broadcast
-    // back into the bounded label dimension), x120's class.
+    // back into the bounded label dimension), x120's class. x140: the
+    // trailing-frame window runs over the day CALENDAR dimension (one
+    // pre-aggregated row per day — bounded by time span, not corpus),
+    // x107's class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -132,7 +135,7 @@ class PlanAssertSpec extends SparkSpec {
         "x105_ks_drift", "x107_rolling_actives", "x110_benford_audit",
         "x111_quantile_normalize", "x120_dsir_weights",
         "x125_bm25_topk", "x126_rrf_fusion", "x127_stupid_backoff",
-        "x131_nb_langid")
+        "x131_nb_langid", "x140_spike_detection")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
