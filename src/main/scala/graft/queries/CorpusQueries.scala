@@ -1208,7 +1208,9 @@ object CorpusQueries {
     // 9·(m·q − s²)  with m = trailing days present, s = Σcount,
     // q = Σcount² — no doubles, no sqrt, bit-stable in both engines.
     // Exact in BIGINT while per-day counts stay under ~1e8; past that
-    // the quadratic terms move to DECIMAL(38,0). Needs ≥ 3 baseline days
+    // the quadratic terms move to DECIMAL(38,0). Needs ≥ 3 baseline days.
+    // Contrast x140: corpus-wide volume, ROWS frame (observed days, gap-
+    // insensitive), strict 7-day history, 2σ — the frame-semantics twin
     "x100_rate_anomaly" -> ((s, d) => {
       val daily = t(s, d, "events")
         .filter(col("ts").isNotNull && col("event_type").isNotNull)
@@ -1608,13 +1610,15 @@ object CorpusQueries {
     }),
 
     // ───── trailing-window spike detection over daily event volume —
-    // anomaly flagging without a single double: spike iff the day beats
-    // its trailing-7-observed-days mean by > 2σ, tested in cross-
-    // multiplied integer form ((7n − S)² > 4(7Q − S²), the x102 exact-
-    // moments idea applied to a window frame); days with fewer than 7
-    // trailing observations never flag. The global day ordering runs
-    // over the CALENDAR dimension (bounded whatever the corpus size —
-    // x107's class, allowlisted in the plan sweep)
+    // x100's integer-σ technique on the DELIBERATELY CONTRASTING frame:
+    // x100 is per-event-type with a RANGE frame (calendar-aligned — a
+    // 3-day gap shrinks the baseline) and flags from 3 baseline days at
+    // 3σ; THIS is corpus-wide volume with a ROWS frame (trailing 7
+    // OBSERVED days — gaps don't thin the baseline) and a strict
+    // full-history gate at 2σ: spike iff (7n − S)² > 4(7Q − S²) with
+    // 7n > S. Which frame is right depends on whether absence of data
+    // IS data; the pair documents the choice. Day ordering runs over
+    // the calendar dimension (x107's bounded class, allowlisted)
     "x140_spike_detection" -> ((s, d) => {
       val dc = t(s, d, "events")
         .filter(col("ts").isNotNull)
