@@ -21,6 +21,16 @@ object CurationQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Poisson(1) inverse-CDF thresholds on the u32 grid for x142's
+    * bootstrap weights: `t_k = floor(P(X ≤ k) · 2^32)`, k = 0..5 (weight
+    * 6 beyond — P ≈ 6e-5). Evaluated once and shared as LITERAL integers
+    * by the engine expression and the oracle SQL. */
+  private val bootThresholds: IndexedSeq[Long] = {
+    val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L)
+    fact.scanLeft(0.0)((acc, f) => acc + math.exp(-1.0) / f).tail
+      .map(c => math.floor(c * 4294967296.0).toLong).toIndexedSeq
+  }
+
   /** DuckDB SQL fragment mirroring TextOps.normalize over an arbitrary
     * text expression (same normalization as ExtensionQueries.normSql —
     * duplicated privately to keep each query file self-contained). */
@@ -753,6 +763,40 @@ object CurationQueries {
             .as("mean_ll_micro"))
     }),
 
+    // ───── deterministic bootstrap CI for mean quality: 32 resamples
+    // with-replacement via per-(replicate, doc) Poisson(1) weights drawn
+    // by inverse-CDF over a 32-bit md5 slice — the CDF thresholds are
+    // evaluated ONCE ([[bootThresholds]]) and interpolated as literal
+    // integers into both engines (x137's literal-grid trick). Quality
+    // micro-floors once; each replicate's weighted mean is a ratio of
+    // exact integer sums. Consumers read the replicate spread as the CI
+    // (sort the 32 means); resampling itself is one ×32 projection and
+    // a 32-group partial-combined aggregation — no shuffle of documents
+    "x142_bootstrap_ci" -> ((s, d) => {
+      val thr = bootThresholds
+      val wCase = thr.zipWithIndex.foldRight(lit(6L): org.apache.spark.sql.Column) {
+        case ((t, k), rest) => when(col("u") < t, k.toLong).otherwise(rest)
+      }
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          floor(TextOps.qualityScore(col("text"))
+            * expr("CAST(1000000.0 AS DOUBLE)")).as("qm"))
+        .select(col("doc_id"), col("qm"),
+          explode(expr("sequence(0, 31)")).as("b"))
+        .withColumn("u", expr(
+          """CAST(conv(substring(md5(concat(CAST(b AS STRING), ':',
+             CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"""))
+        .withColumn("w", wCase)
+        .groupBy(col("b").cast("long").as("b"))
+        .agg(count(when(col("w") > 0, 1)).as("n_docs_used"),
+          sum(col("w")).as("sum_w"),
+          sum(col("w") * col("qm")).as("sum_wq"))
+        .withColumn("mean_quality",
+          col("sum_wq").cast("double") / col("sum_w").cast("double")
+            / expr("CAST(1000000.0 AS DOUBLE)"))
+    }),
+
     // ───── per-source adaptive quality floor (CCNet-style per-domain
     // selection): rank every doc INSIDE its source by the x09 quality
     // score and keep those above the source's bottom quartile — the
@@ -836,6 +880,36 @@ object CurationQueries {
              THEN CAST(per.ll_micro AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
            END AS mean_ll_micro
          FROM d LEFT JOIN per USING (doc_id)""",
+    // x142: x09's quality expression, the literal Poisson thresholds,
+    // the same md5-slice draw, 32-group integer sums
+    "x142_bootstrap_ci" -> {
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END"
+      val digit = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END"
+      val quality = s"""least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+             + (1.0 - least(($punct) * 5.0, 1.0)) * 0.3
+             + (1.0 - least(($digit) * 5.0, 1.0)) * 0.3"""
+      val wCase = bootThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         qm AS (SELECT doc_id,
+             CAST(floor(($quality) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+               AS qm
+           FROM d),
+         reps AS (SELECT doc_id, qm, b FROM qm, unnest(range(0, 32)) r(b)),
+         uw AS (SELECT b, qm,
+             CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':'
+               || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+           FROM reps),
+         ww AS (SELECT b, qm, CASE $wCase ELSE 6 END AS w FROM uw)
+         SELECT b,
+           CAST(COUNT(CASE WHEN w > 0 THEN 1 END) AS BIGINT) AS n_docs_used,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(w * qm) AS BIGINT) AS sum_wq,
+           CAST(SUM(w * qm) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             / CAST(1000000.0 AS DOUBLE) AS mean_quality
+         FROM ww GROUP BY b"""
+    },
     // x136: x09's quality expression verbatim, per-source ROW_NUMBER with
     // the doc_id tiebreak, integer quartile cut 4·rank > n
     "x136_source_quality_floor" -> {

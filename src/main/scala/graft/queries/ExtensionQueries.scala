@@ -1071,6 +1071,32 @@ object ExtensionQueries {
       Similarity.pcaPowerProjection(t(s, d, "embeddings"), "vec_id", "embedding")
     }),
 
+    // ───── cross-source copy matrix: x27's verified near-dup pairs
+    // joined to their documents' source labels and rolled up into a
+    // (source, source) provenance matrix — WHICH sources copy from which
+    // (the pair is normalized least/greatest so the matrix is upper-
+    // triangular). The per-pair work is x27's (banded candidates +
+    // exact-Jaccard verify); the roll-up adds two broadcast-size joins
+    "x141_source_copy_matrix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
+      val ver = Dedup.jaccardForPairs(docs, "doc_id", "text", k = 2,
+          cand.select(col("id_a"), col("id_b")))
+        .filter(col("jaccard") >= 0.2)
+      val src = docs.select(col("doc_id"), col("source"))
+      ver
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"))
+        .groupBy(col("source_x"), col("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("source_x") =!= col("source_y"))
+    }),
+
     // ───── language-mix segmentation (code-switch detection): x08's
     // stopword-profile vote per 50-token CHUNK instead of per doc —
     // mixed-language documents are invisible to a whole-doc argmax but
@@ -1466,6 +1492,18 @@ object ExtensionQueries {
            CAST(COALESCE(a.entropy_micro, 0) AS DOUBLE)
              / CAST(1000000.0 AS DOUBLE) AS entropy_bits
          FROM d LEFT JOIN agg a USING (doc_id)""",
+    // x141: x27's candidate/verify CTEs up to `ver`, then the source
+    // roll-up with the least/greatest pair normalization
+    "x141_source_copy_matrix" ->
+      s"""WITH RECURSIVE $lshClusterCtes
+         SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (least(da.source, db.source) <> greatest(da.source, db.source))
+             AS cross_source
+         FROM ver JOIN documents da ON da.doc_id = ver.id_a
+         JOIN documents db ON db.doc_id = ver.id_b
+         GROUP BY 1, 2""",
     // x138: x08's stopword votes per 50-token chunk, min-struct dominant
     // with alphabetical ties, integer minority ppm
     "x138_lang_mix" -> {

@@ -765,6 +765,29 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(cat.filter($"n_langs" > 0 && $"dominant_lang" === "und").count() === 0)
   }
 
+  test("x142 bootstrap: 32 replicates, Poisson(1)-mass weights, deterministic across runs") {
+    import spark.implicits._
+    val run1 = SparkEntry.queries("x142_bootstrap_ci")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    val nDocs = Tables.load(spark, sf, "documents")
+      .filter($"doc_id".isNotNull && $"text".isNotNull).count()
+    assert(run1.map(_._1).toSeq == (0L until 32L).toSeq)
+    run1.foreach { case (_, used, sw, _, mean) =>
+      assert(used <= nDocs)
+      // Σw concentrates around n (E[Poisson(1)] = 1): ±15% is ~7 sd at n=500
+      assert(math.abs(sw - nDocs) <= nDocs * 0.15, s"sum_w=$sw n=$nDocs")
+      assert(mean >= 0.0 && mean <= 1.0)
+    }
+    // replicates genuinely differ (different resamples)...
+    assert(run1.map(_._3).distinct.length > 1)
+    // ...and the whole thing is deterministic run-to-run
+    val run2 = SparkEntry.queries("x142_bootstrap_ci")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(run1.toSeq == run2.toSeq)
+  }
+
   test("x140 spike detection: full integer replay from daily counts; sub-7-day history never flags") {
     import spark.implicits._
     val out = SparkEntry.queries("x140_spike_detection")(spark, sf)

@@ -351,6 +351,26 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x141 copy matrix: totals equal the verified pair count; pairs normalized upper-triangular") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents")
+    val out = SparkEntry.queries("x141_source_copy_matrix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // normalization + flag consistency
+    out.foreach { case (x, y, n, cross) =>
+      assert(x <= y && n > 0 && cross == (x != y))
+    }
+    // total pairs == the independent candidate+verify count
+    val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
+    val nVer = Dedup.jaccardForPairs(docs, "doc_id", "text", k = 2,
+        cand.select($"id_a", $"id_b"))
+      .filter($"jaccard" >= 0.2).count()
+    assert(out.map(_._3).sum == nVer && nVer > 0)
+    spark.catalog.clearCache()
+  }
+
   test("x135 on the corpus table equals the quadratic shingle-set self-join") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.load(spark, sf, "documents")
