@@ -797,6 +797,56 @@ object CurationQueries {
             / expr("CAST(1000000.0 AS DOUBLE)"))
     }),
 
+    // ───── classifier confusion matrix: x131's NB predictions against
+    // the actual labels, with per-actual row totals and integer share
+    // ppm — the quality report a learned curation component ships with
+    "x143_nb_confusion" -> ((s, d) => {
+      val pred = TextOps.nbLangId(
+        t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull
+            && col("lang").isNotNull),
+        "doc_id", "text", "lang", trainPred = col("doc_id") >= 20)
+      val cm = pred.groupBy(col("actual"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cm.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
+      cm.join(tot, Seq("actual"))
+        .withColumn("share_ppm",
+          expr("(n * CAST(1000000 AS BIGINT)) div n_actual"))
+    }),
+
+    // ───── model agreement: Cohen's kappa between the RULE-BASED lang-id
+    // (x08) and the LEARNED NB classifier (x131) over the same docs —
+    // chance-corrected agreement from exact integer marginals
+    // (κ = (N·agree − Σ r_l·b_l) / (N² − Σ r_l·b_l); the degenerate
+    // both-constant case yields NULL in both engines). The disagreement
+    // surface is where a curation pipeline audits its classifiers
+    "x144_langid_agreement" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("lang").isNotNull)
+      val rule = TextOps.langIdDF(docs, "doc_id", "text")
+      val nb = TextOps.nbLangId(docs, "doc_id", "text", "lang",
+          trainPred = col("doc_id") >= 20)
+        .select(col("doc_id"), col("pred_lang").as("nb_pred"))
+      val j = rule.join(nb, Seq("doc_id")).cache() // caller-managed
+      val counts = j.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_pred") === col("nb_pred"), 1L).otherwise(0L))
+          .as("n_agree"))
+      val rl = j.groupBy(col("lang_pred").as("l")).agg(count(lit(1)).as("r"))
+      val bl = j.groupBy(col("nb_pred").as("l")).agg(count(lit(1)).as("b"))
+      val pe = rl.join(bl, Seq("l")).agg(sum(col("r") * col("b")).as("pe_num"))
+      counts.crossJoin(broadcast(pe))
+        .withColumn("pe_num", coalesce(col("pe_num"), lit(0L)))
+        .select(col("n_docs"), col("n_agree"),
+          expr("(n_agree * CAST(1000000 AS BIGINT)) div n_docs")
+            .as("agree_ppm"),
+          col("pe_num"),
+          expr("""CASE WHEN n_docs * n_docs = pe_num THEN NULL
+             ELSE CAST(n_docs * n_agree - pe_num AS DOUBLE)
+                / CAST(n_docs * n_docs - pe_num AS DOUBLE) END""")
+            .as("kappa"))
+    }),
+
     // ───── per-source adaptive quality floor (CCNet-style per-domain
     // selection): rank every doc INSIDE its source by the x09 quality
     // score and keep those above the source's bottom quartile — the
@@ -841,6 +891,51 @@ object CurationQueries {
         "doc_id", "text", "lang", trainPred = col("doc_id") >= 20)
     }))
 
+  /** DuckDB CTE chain replaying TextOps.nbLangId over `documents`
+    * (train doc_id >= 20, label = lang) up to `scored(doc_id, lang,
+    * cand, score_micro)` — shared by x131/x143/x144 so the classifier
+    * mirror cannot desynchronize. */
+  private val nbCtes: String =
+    s"""d AS (SELECT doc_id, text, lang FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND lang IS NOT NULL),
+         tk AS (SELECT doc_id, list_filter(string_split(${normOf("text")}, ' '),
+             w -> w <> '') AS t FROM d),
+         uni AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         trn AS (SELECT u.doc_id, u.tok, d.lang FROM uni u
+           JOIN d USING (doc_id) WHERE u.doc_id >= 20),
+         cwl AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_wl
+           FROM trn GROUP BY lang, tok),
+         cl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_l
+           FROM trn GROUP BY lang),
+         vn AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_n FROM trn),
+         ndl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d
+           WHERE doc_id >= 20 GROUP BY lang),
+         ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM d
+           WHERE doc_id >= 20),
+         lab AS (SELECT ndl.lang AS cand,
+             CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS prior_m,
+             CAST(floor(ln(CAST(1.0 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS def_m
+           FROM ndl CROSS JOIN ndt JOIN cl ON ndl.lang = cl.lang
+           CROSS JOIN vn),
+         lw AS (SELECT c.lang AS cand, c.tok,
+             CAST(floor(ln(CAST(c_wl + 1 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lw_m
+           FROM cwl c JOIN cl ON c.lang = cl.lang CROSS JOIN vn),
+         dtc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_w
+           FROM uni GROUP BY doc_id, tok),
+         contrib AS (SELECT t.doc_id, l.cand,
+             CAST(SUM(t.n_w * COALESCE(w.lw_m, l.def_m)) AS BIGINT) AS tok_m
+           FROM dtc t CROSS JOIN lab l
+           LEFT JOIN lw w ON w.cand = l.cand AND w.tok = t.tok
+           GROUP BY t.doc_id, l.cand),
+         scored AS (SELECT d.doc_id, d.lang, l.cand,
+             CAST(l.prior_m + COALESCE(c.tok_m, 0) AS BIGINT) AS score_micro
+           FROM d CROSS JOIN lab l
+           LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.cand = l.cand)"""
+
   val oracle: Map[String, String] = Map(
     // x127: the pairsSql walk with positions, counts trained on doc_id ≥
     // 20, per-position micro-floored log S — literals cast to DOUBLE
@@ -880,6 +975,66 @@ object CurationQueries {
              THEN CAST(per.ll_micro AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
            END AS mean_ll_micro
          FROM d LEFT JOIN per USING (doc_id)""",
+    // x143/x144: the shared nbCtes classifier replay; x144 adds x08's
+    // rule-based chain (duplicated privately, the normOf precedent) and
+    // the exact-integer kappa
+    "x143_nb_confusion" ->
+      s"""WITH $nbCtes,
+         pred AS (SELECT doc_id, lang AS actual, cand AS pred_lang FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, cand) AS rn FROM scored)
+           WHERE rn = 1),
+         cm AS (SELECT actual, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM pred GROUP BY 1, 2),
+         tot AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS n_actual
+           FROM cm GROUP BY actual)
+         SELECT cm.actual, cm.pred_lang, cm.n, t.n_actual,
+           (cm.n * CAST(1000000 AS BIGINT)) // t.n_actual AS share_ppm
+         FROM cm JOIN tot t USING (actual)""",
+    "x144_langid_agreement" -> {
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      val sw = TextOps.stopwords
+      s"""WITH $nbCtes,
+         nbp AS (SELECT doc_id, cand AS nb_pred FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, cand) AS rn FROM scored)
+           WHERE rn = 1),
+         rtoks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tk
+           FROM d),
+         rsc AS (SELECT d.doc_id,
+             COUNT(CASE WHEN tk IN (${inList(sw("de"))}) THEN 1 END) AS s_de,
+             COUNT(CASE WHEN tk IN (${inList(sw("en"))}) THEN 1 END) AS s_en,
+             COUNT(CASE WHEN tk IN (${inList(sw("es"))}) THEN 1 END) AS s_es,
+             COUNT(CASE WHEN tk IN (${inList(sw("fr"))}) THEN 1 END) AS s_fr
+           FROM d LEFT JOIN rtoks ON d.doc_id = rtoks.doc_id
+           GROUP BY d.doc_id),
+         rp AS (SELECT doc_id,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS rule_pred
+           FROM rsc),
+         j AS (SELECT r.doc_id, r.rule_pred, n.nb_pred
+           FROM rp r JOIN nbp n USING (doc_id)),
+         c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN rule_pred = nb_pred THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_agree FROM j),
+         rl AS (SELECT rule_pred AS l, CAST(COUNT(*) AS BIGINT) AS r
+           FROM j GROUP BY 1),
+         bl AS (SELECT nb_pred AS l, CAST(COUNT(*) AS BIGINT) AS b
+           FROM j GROUP BY 1),
+         pe AS (SELECT CAST(COALESCE(SUM(r * b), 0) AS BIGINT) AS pe_num
+           FROM rl JOIN bl USING (l))
+         SELECT c.n_docs, c.n_agree,
+           (c.n_agree * CAST(1000000 AS BIGINT)) // c.n_docs AS agree_ppm,
+           pe.pe_num,
+           CASE WHEN c.n_docs * c.n_docs = pe.pe_num THEN NULL
+                ELSE CAST(c.n_docs * c.n_agree - pe.pe_num AS DOUBLE)
+                   / CAST(c.n_docs * c.n_docs - pe.pe_num AS DOUBLE) END
+             AS kappa
+         FROM c CROSS JOIN pe"""
+    },
     // x142: x09's quality expression, the literal Poisson thresholds,
     // the same md5-slice draw, 32-group integer sums
     "x142_bootstrap_ci" -> {
@@ -933,45 +1088,7 @@ object CurationQueries {
     // x131: x127's tokenization CTEs, NB counts on doc_id ≥ 20, each
     // log-prob micro-floored once, integer score sums, smallest-lang ties
     "x131_nb_langid" ->
-      s"""WITH d AS (SELECT doc_id, text, lang FROM documents
-           WHERE doc_id IS NOT NULL AND text IS NOT NULL
-             AND lang IS NOT NULL),
-         tk AS (SELECT doc_id, list_filter(string_split(${normOf("text")}, ' '),
-             w -> w <> '') AS t FROM d),
-         uni AS (SELECT doc_id, unnest(t) AS tok FROM tk),
-         trn AS (SELECT u.doc_id, u.tok, d.lang FROM uni u
-           JOIN d USING (doc_id) WHERE u.doc_id >= 20),
-         cwl AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c_wl
-           FROM trn GROUP BY lang, tok),
-         cl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_l
-           FROM trn GROUP BY lang),
-         vn AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_n FROM trn),
-         ndl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d
-           WHERE doc_id >= 20 GROUP BY lang),
-         ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM d
-           WHERE doc_id >= 20),
-         lab AS (SELECT ndl.lang AS cand,
-             CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE))
-               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS prior_m,
-             CAST(floor(ln(CAST(1.0 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE))
-               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS def_m
-           FROM ndl CROSS JOIN ndt JOIN cl ON ndl.lang = cl.lang
-           CROSS JOIN vn),
-         lw AS (SELECT c.lang AS cand, c.tok,
-             CAST(floor(ln(CAST(c_wl + 1 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE))
-               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS lw_m
-           FROM cwl c JOIN cl ON c.lang = cl.lang CROSS JOIN vn),
-         dtc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_w
-           FROM uni GROUP BY doc_id, tok),
-         contrib AS (SELECT t.doc_id, l.cand,
-             CAST(SUM(t.n_w * COALESCE(w.lw_m, l.def_m)) AS BIGINT) AS tok_m
-           FROM dtc t CROSS JOIN lab l
-           LEFT JOIN lw w ON w.cand = l.cand AND w.tok = t.tok
-           GROUP BY t.doc_id, l.cand),
-         scored AS (SELECT d.doc_id, d.lang, l.cand,
-             CAST(l.prior_m + COALESCE(c.tok_m, 0) AS BIGINT) AS score_micro
-           FROM d CROSS JOIN lab l
-           LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.cand = l.cand)
+      s"""WITH $nbCtes
          SELECT doc_id, lang AS actual, cand AS pred_lang, score_micro,
            (cand = lang) AS correct
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id

@@ -765,6 +765,41 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(cat.filter($"n_langs" > 0 && $"dominant_lang" === "und").count() === 0)
   }
 
+  test("x143/x144: confusion diagonal equals x131 corrects; kappa replays from the component outputs") {
+    import spark.implicits._
+    val nb = SparkEntry.queries("x131_nb_langid")(spark, sf)
+      .select($"doc_id", $"actual", $"pred_lang", $"correct").collect()
+    val cm = SparkEntry.queries("x143_nb_confusion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // matrix cells == direct counts; diagonal == correct counts
+    val direct = nb.groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length.toLong).toMap
+    assert(cm.view.mapValues(_._1).toMap == direct)
+    val corrects = nb.count(_.getBoolean(3)).toLong
+    assert(cm.collect { case ((a, p), (n, _, _)) if a == p => n }.sum == corrects)
+    cm.groupBy(_._1._1).foreach { case (_, cells) =>
+      assert(cells.values.map(_._3).sum <= 1000000L) // shares bounded
+    }
+    // kappa from the two components, exactly as the catalog computes it
+    val docs = Tables.load(spark, sf, "documents")
+      .filter($"doc_id".isNotNull && $"text".isNotNull && $"lang".isNotNull)
+    val rule = graft.text.TextOps.langIdDF(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nbp = nb.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val keys = rule.keySet.intersect(nbp.keySet).toSeq
+    val n = keys.length.toLong
+    val agree = keys.count(k => rule(k) == nbp(k)).toLong
+    val rl = keys.groupBy(rule).view.mapValues(_.length.toLong)
+    val bl = keys.groupBy(nbp).view.mapValues(_.length.toLong)
+    val peNum = rl.map { case (l, r) => r * bl.getOrElse(l, 0L) }.sum
+    val out = SparkEntry.queries("x144_langid_agreement")(spark, sf)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(3)) == ((n, agree, peNum)))
+    assert(out.getDouble(4) ==
+      (n * agree - peNum).toDouble / (n * n - peNum).toDouble)
+  }
+
   test("x142 bootstrap: 32 replicates, Poisson(1)-mass weights, deterministic across runs") {
     import spark.implicits._
     val run1 = SparkEntry.queries("x142_bootstrap_ci")(spark, sf).collect()

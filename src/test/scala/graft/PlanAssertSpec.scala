@@ -125,7 +125,9 @@ class PlanAssertSpec extends SparkSpec {
     // back into the bounded label dimension), x120's class. x140: the
     // trailing-frame window runs over the day CALENDAR dimension (one
     // pre-aggregated row per day — bounded by time span, not corpus),
-    // x107's class.
+    // x107's class. x143/x144: x131's training scalars (and x144's
+    // whole-corpus agreement scalar — one pre-aggregated row per
+    // partition into the single kappa row), the same class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -135,7 +137,8 @@ class PlanAssertSpec extends SparkSpec {
         "x105_ks_drift", "x107_rolling_actives", "x110_benford_audit",
         "x111_quantile_normalize", "x120_dsir_weights",
         "x125_bm25_topk", "x126_rrf_fusion", "x127_stupid_backoff",
-        "x131_nb_langid", "x140_spike_detection")
+        "x131_nb_langid", "x140_spike_detection", "x143_nb_confusion",
+        "x144_langid_agreement")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
