@@ -1071,6 +1071,26 @@ object ExtensionQueries {
       Similarity.pcaPowerProjection(t(s, d, "embeddings"), "vec_id", "embedding")
     }),
 
+    // ───── deletion-impact audit (right-to-be-forgotten propagation):
+    // which x27 dedup clusters does deleting the benchmark slice
+    // (doc_id < 20) touch, and who becomes each cluster's survivor —
+    // the compliance question a dedup-curated corpus must answer before
+    // honoring a deletion (the deleted doc may BE the retained
+    // survivor). Only clusters with ≥ 1 deletion emit; a fully-deleted
+    // cluster reports a NULL new_survivor (its content leaves the corpus
+    // entirely). Singleton docs never enter clusters and need no audit
+    "x145_deletion_impact" -> ((s, d) => {
+      val labels = Dedup.lshDedupClusters(t(s, d, "documents"),
+        "doc_id", "text", shingleK = 2, numHashes = 12, rowsPerBand = 3,
+        candTau = 0.25, jaccardTau = 0.2)
+      val del = col("id") < 20
+      labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(del, 1L).otherwise(0L)).as("n_deleted"),
+          min(when(!del, col("id"))).as("new_survivor"))
+        .filter(col("n_deleted") > 0)
+    }),
+
     // ───── cross-source copy matrix: x27's verified near-dup pairs
     // joined to their documents' source labels and rolled up into a
     // (source, source) provenance matrix — WHICH sources copy from which
@@ -1492,6 +1512,16 @@ object ExtensionQueries {
            CAST(COALESCE(a.entropy_micro, 0) AS DOUBLE)
              / CAST(1000000.0 AS DOUBLE) AS entropy_bits
          FROM d LEFT JOIN agg a USING (doc_id)""",
+    // x145: x27's cluster labels, deletion roll-up with the surviving-
+    // minimum and the touched-clusters filter
+    "x145_deletion_impact" ->
+      s"""WITH RECURSIVE $lshClusterCtes
+         SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN id < 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           MIN(CASE WHEN id >= 20 THEN id END) AS new_survivor
+         FROM labels GROUP BY cluster
+         HAVING SUM(CASE WHEN id < 20 THEN 1 ELSE 0 END) > 0""",
     // x141: x27's candidate/verify CTEs up to `ver`, then the source
     // roll-up with the least/greatest pair normalization
     "x141_source_copy_matrix" ->

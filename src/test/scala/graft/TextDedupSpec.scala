@@ -371,6 +371,30 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x145 deletion impact: replay from the cluster labels; untouched clusters stay silent") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val labels = Dedup.lshDedupClusters(Tables.load(spark, sf, "documents"),
+        "doc_id", "text", shingleK = 2, numHashes = 12, rowsPerBand = 3,
+        candTau = 0.25, jaccardTau = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = labels.groupBy(_._2).flatMap { case (cl, g) =>
+      val del = g.count(_._1 < 20).toLong
+      if (del == 0) None
+      else Some(cl -> ((g.length.toLong, del,
+        g.collect { case (id, _) if id >= 20 => id }
+          .sorted.headOption)))
+    }
+    val out = SparkEntry.queries("x145_deletion_impact")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out == expect && out.nonEmpty)
+    // and the untouched clusters really are absent
+    val touched = labels.filter(_._1 < 20).map(_._2).toSet
+    assert(out.keySet == touched.intersect(labels.map(_._2).toSet))
+    spark.catalog.clearCache()
+  }
+
   test("x135 on the corpus table equals the quadratic shingle-set self-join") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.load(spark, sf, "documents")
