@@ -763,6 +763,40 @@ object CurationQueries {
             .as("mean_ll_micro"))
     }),
 
+    // ───── token-budget apportionment (largest-remainder / Hamilton
+    // method): split a 1M-token training budget across sources in
+    // proportion to their token mass, EXACTLY — integer quotas
+    // (w·T div W), then the leftover T − Σquota tokens go one each to
+    // the largest remainders (ties to the smaller source name). The
+    // follow-on step every mixture-weight design (x57) needs before a
+    // sampler can consume it: Σ alloc == T exactly, no rounding drift.
+    // Scalars + the ranking window run over the bounded source
+    // dimension (x57's allowlisted class)
+    "x146_token_apportionment" -> ((s, d) => {
+      val budget = 1000000L
+      val w = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("source").isNotNull)
+        .groupBy(col("source"))
+        .agg(sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+      val tot = w.agg(sum(col("n_tokens")).as("w_tot"))
+      val base = w.crossJoin(broadcast(tot))
+        .withColumn("base_alloc",
+          expr(s"(n_tokens * CAST($budget AS BIGINT)) div w_tot"))
+        .withColumn("remainder",
+          expr(s"(n_tokens * CAST($budget AS BIGINT)) % w_tot"))
+      val sumBase = base.agg(sum(col("base_alloc")).as("base_tot"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("remainder").desc, col("source"))
+      base.crossJoin(broadcast(sumBase))
+        .withColumn("extra",
+          when(row_number().over(rw) <= lit(budget) - col("base_tot"), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("n_tokens"), col("base_alloc"),
+          col("remainder"), col("extra"),
+          (col("base_alloc") + col("extra")).as("alloc"))
+    }),
+
     // ───── deterministic bootstrap CI for mean quality: 32 resamples
     // with-replacement via per-(replicate, doc) Poisson(1) weights drawn
     // by inverse-CDF over a 32-bit md5 slice — the CDF thresholds are
@@ -1035,6 +1069,26 @@ object CurationQueries {
              AS kappa
          FROM c CROSS JOIN pe"""
     },
+    // x146: x10's token counts per source, integer quotas, the
+    // largest-remainder window with the source tiebreak
+    "x146_token_apportionment" ->
+      s"""WITH w AS (SELECT source,
+           CAST(SUM(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens
+         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+           AND source IS NOT NULL GROUP BY source),
+         tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS w_tot FROM w),
+         base AS (SELECT source, n_tokens,
+             (n_tokens * CAST(1000000 AS BIGINT)) // w_tot AS base_alloc,
+             (n_tokens * CAST(1000000 AS BIGINT)) % w_tot AS remainder
+           FROM w CROSS JOIN tt),
+         sb AS (SELECT CAST(SUM(base_alloc) AS BIGINT) AS base_tot FROM base)
+         SELECT source, n_tokens, base_alloc, remainder, extra,
+           base_alloc + extra AS alloc
+         FROM (SELECT *,
+             CASE WHEN ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+                  <= 1000000 - base_tot
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS extra
+           FROM base CROSS JOIN sb)""",
     // x142: x09's quality expression, the literal Poisson thresholds,
     // the same md5-slice draw, 32-group integer sums
     "x142_bootstrap_ci" -> {

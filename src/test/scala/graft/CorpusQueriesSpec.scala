@@ -800,6 +800,27 @@ class CorpusQueriesSpec extends SparkSpec {
       (n * agree - peNum).toDouble / (n * n - peNum).toDouble)
   }
 
+  test("x146 apportionment: allocations sum EXACTLY to the budget, each within 1 of its exact share") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x146_token_apportionment")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val budget = 1000000L
+    assert(out.map(_._6).sum == budget)            // the Hamilton invariant
+    val wTot = out.map(_._2).sum
+    out.foreach { case (_, w, base, rem, extra, alloc) =>
+      assert(base == w * budget / wTot && rem == w * budget % wTot)
+      assert(extra == 0L || extra == 1L)
+      assert(alloc == base + extra)
+      // quota property: floor(share) <= alloc <= ceil(share) + nothing more
+      assert(alloc >= base && alloc <= base + 1)
+    }
+    // extras land on the LARGEST remainders
+    val sorted = out.sortBy(t => (-t._4, t._1))
+    val k = sorted.count(_._5 == 1L)
+    assert(sorted.take(k).forall(_._5 == 1L) && sorted.drop(k).forall(_._5 == 0L))
+  }
+
   test("x142 bootstrap: 32 replicates, Poisson(1)-mass weights, deterministic across runs") {
     import spark.implicits._
     val run1 = SparkEntry.queries("x142_bootstrap_ci")(spark, sf).collect()

@@ -127,7 +127,9 @@ class PlanAssertSpec extends SparkSpec {
     // pre-aggregated row per day — bounded by time span, not corpus),
     // x107's class. x143/x144: x131's training scalars (and x144's
     // whole-corpus agreement scalar — one pre-aggregated row per
-    // partition into the single kappa row), the same class.
+    // partition into the single kappa row), the same class. x146: the
+    // W/Σbase scalars and the largest-remainder window over the bounded
+    // source dimension — x57's exact class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -138,7 +140,7 @@ class PlanAssertSpec extends SparkSpec {
         "x111_quantile_normalize", "x120_dsir_weights",
         "x125_bm25_topk", "x126_rrf_fusion", "x127_stupid_backoff",
         "x131_nb_langid", "x140_spike_detection", "x143_nb_confusion",
-        "x144_langid_agreement")
+        "x144_langid_agreement", "x146_token_apportionment")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
