@@ -146,7 +146,7 @@ object CorpusQueries {
                WHEN NOT k_mix THEN 4 ELSE -1 END AS BIGINT) AS first_fail
            FROM k)"""
 
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val defs: Map[String, (SparkSession, String) => DataFrame] = phashDefs ++ Map(
 
     // ───── filter cascade with attribution (curation v3): five
     // independent keep rules over one tokenization, a passed-stage
@@ -621,7 +621,22 @@ object CorpusQueries {
     // (doc, version) fingerprints — change detection via lag, run close
     // via lead on the change rows only. Shuffles fingerprints on doc_id;
     // text never moves
-    "x83_scd2_history" -> ((s, d) => {
+    "x83_scd2_history" -> ((s, d) => scd2History(s, d)),
+
+    // ───── SCD2 point-in-time reconstruction: the state of every doc AS
+    // OF version 2, read from x83's history by the interval predicate
+    // valid_from <= v <= valid_to — the query side of the slowly-
+    // changing-dimension pair (x83 builds, THIS reads; the round-trip
+    // law "PIT(v) == snapshot v" is pinned in CorpusQueriesSpec)
+    "x147_scd2_pit" -> ((s, d) => {
+      scd2History(s, d)
+        .filter(col("valid_from") <= 2 && col("valid_to") >= 2)
+        .select(col("doc_id"), col("fp"))
+    }))
+
+  /** x83's SCD2 build (three synthetic snapshots -> fingerprint runs with
+    * presence gaps), shared with x147's point-in-time read. */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
       val docs = t(s, d, "documents").filter(col("doc_id").isNotNull)
       def snap(v: Int): DataFrame = {
         val rev =
@@ -657,8 +672,9 @@ object CorpusQueries {
           min(col("version")).as("valid_from"),
           max(col("version")).as("valid_to"))
         .select(col("doc_id"), col("fp"), col("valid_from"), col("valid_to"))
-    }),
+  }
 
+  private lazy val phashDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───── perceptual-hash near-dup over binary payloads (the image-dedup
     // shape on the multimodal columns): 64-bit aHash — bit_i = byte_i ≥
     // mean of the first 64 payload bytes, compared by integer
@@ -1695,6 +1711,33 @@ object CorpusQueries {
              CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
            FROM smp)"""
 
+  /** DuckDB CTE chain replaying [[scd2History]] up to `hist(doc_id, fp,
+    * valid_from, valid_to)` — shared by x83/x147 so the SCD2 mirror
+    * cannot desynchronize. */
+  private lazy val scd2Ctes: String =
+    s"""s1 AS (SELECT doc_id, 1 AS version,
+             md5(${normOf("CASE WHEN doc_id % 3 = 0 THEN text || ' r1' ELSE text END")}) AS fp
+           FROM documents WHERE doc_id IS NOT NULL AND doc_id % 13 <> 1),
+         s2 AS (SELECT doc_id, 2 AS version,
+             md5(${normOf("CASE WHEN doc_id % 2 = 0 THEN text || ' r2' ELSE text END")}) AS fp
+           FROM documents WHERE doc_id IS NOT NULL),
+         s3 AS (SELECT doc_id, 3 AS version, md5($normSql) AS fp
+           FROM documents WHERE doc_id IS NOT NULL AND doc_id % 17 <> 2),
+         v AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           UNION ALL SELECT * FROM s3),
+         r AS (SELECT doc_id, version, fp,
+             CASE WHEN lag(fp) OVER w IS NULL OR lag(fp) OVER w <> fp
+               OR lag(version) OVER w <> version - 1 THEN 1 ELSE 0 END AS new_run
+           FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+         ri AS (SELECT doc_id, version, fp,
+             SUM(new_run) OVER (PARTITION BY doc_id ORDER BY version
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+           FROM r),
+       hist AS (SELECT doc_id, min(fp) AS fp,
+           CAST(min(version) AS BIGINT) AS valid_from,
+           CAST(max(version) AS BIGINT) AS valid_to
+         FROM ri GROUP BY doc_id, run_id)"""
+
   val oracle: Map[String, String] = Map(
     // x140: x72's day convention, the trailing frame as a named WINDOW,
     // the integer 2σ test cross-multiplied
@@ -1928,28 +1971,13 @@ object CorpusQueries {
          WHERE bit_count(xor(wa.b0, wc.b0)) + bit_count(xor(wa.b1, wc.b1))
              + bit_count(xor(wa.b2, wc.b2)) + bit_count(xor(wa.b3, wc.b3)) <= 3""",
     "x83_scd2_history" ->
-      s"""WITH s1 AS (SELECT doc_id, 1 AS version,
-             md5(${normOf("CASE WHEN doc_id % 3 = 0 THEN text || ' r1' ELSE text END")}) AS fp
-           FROM documents WHERE doc_id IS NOT NULL AND doc_id % 13 <> 1),
-         s2 AS (SELECT doc_id, 2 AS version,
-             md5(${normOf("CASE WHEN doc_id % 2 = 0 THEN text || ' r2' ELSE text END")}) AS fp
-           FROM documents WHERE doc_id IS NOT NULL),
-         s3 AS (SELECT doc_id, 3 AS version, md5($normSql) AS fp
-           FROM documents WHERE doc_id IS NOT NULL AND doc_id % 17 <> 2),
-         v AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
-           UNION ALL SELECT * FROM s3),
-         r AS (SELECT doc_id, version, fp,
-             CASE WHEN lag(fp) OVER w IS NULL OR lag(fp) OVER w <> fp
-               OR lag(version) OVER w <> version - 1 THEN 1 ELSE 0 END AS new_run
-           FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
-         ri AS (SELECT doc_id, version, fp,
-             SUM(new_run) OVER (PARTITION BY doc_id ORDER BY version
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-           FROM r)
-         SELECT doc_id, min(fp) AS fp,
-           CAST(min(version) AS BIGINT) AS valid_from,
-           CAST(max(version) AS BIGINT) AS valid_to
-         FROM ri GROUP BY doc_id, run_id""",
+      s"""WITH $scd2Ctes
+         SELECT doc_id, fp, valid_from, valid_to FROM hist""",
+    // x147: the same history, read by the as-of interval predicate
+    "x147_scd2_pit" ->
+      s"""WITH $scd2Ctes
+         SELECT doc_id, fp FROM hist
+         WHERE valid_from <= 2 AND valid_to >= 2""",
     "x82_zorder_layout" -> {
       val zExpr = (0 until 8).map { i =>
         s"(((xb // ${1L << i}) % 2) << ${2 * i}) + (((yb // ${1L << i}) % 2) << ${2 * i + 1})"

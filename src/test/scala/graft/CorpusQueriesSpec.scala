@@ -821,6 +821,19 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(sorted.take(k).forall(_._5 == 1L) && sorted.drop(k).forall(_._5 == 0L))
   }
 
+  test("x147 SCD2 point-in-time: reconstruction at v2 equals the v2 snapshot exactly (round-trip law)") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x147_scd2_pit")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.load(spark, sf, "documents").filter($"doc_id".isNotNull)
+    val snap2 = docs.select($"doc_id",
+        graft.text.TextOps.fingerprint(
+          when($"doc_id" % 2 === 0, concat($"text", lit(" r2")))
+            .otherwise($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == snap2 && out.nonEmpty)
+  }
+
   test("x142 bootstrap: 32 replicates, Poisson(1)-mass weights, deterministic across runs") {
     import spark.implicits._
     val run1 = SparkEntry.queries("x142_bootstrap_ci")(spark, sf).collect()
