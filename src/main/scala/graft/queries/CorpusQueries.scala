@@ -1625,6 +1625,26 @@ object CorpusQueries {
         Multimodal.documentsAsWavAssets(t(s, d, "documents")), 256).toDF())
     }),
 
+    // ───── data-freshness audit: per event_type, the last-seen day and
+    // its lag behind the corpus watermark (max day over all types) —
+    // the staleness monitor an ingest pipeline alarms on (a feed that
+    // stopped while others kept flowing is invisible to global counts).
+    // Integer day arithmetic on x72's epoch-day convention; the corpus
+    // watermark is a one-row scalar broadcast back (q23/x79's class,
+    // allowlisted)
+    "x148_freshness_audit" -> ((s, d) => {
+      val byType = t(s, d, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("event_type"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("n_events"))
+      val wm = byType.agg(max(col("last_day")).as("watermark"))
+      byType.crossJoin(broadcast(wm))
+        .withColumn("lag_days", col("watermark") - col("last_day"))
+        .withColumn("stale", col("lag_days") > 7)
+    }),
+
     // ───── trailing-window spike detection over daily event volume —
     // x100's integer-σ technique on the DELIBERATELY CONTRASTING frame:
     // x100 is per-event-type with a RANGE frame (calendar-aligned — a
@@ -1739,6 +1759,19 @@ object CorpusQueries {
          FROM ri GROUP BY doc_id, run_id)"""
 
   val oracle: Map[String, String] = Map(
+    // x148: per-type max day vs the corpus watermark, integer lag
+    "x148_freshness_audit" ->
+      """WITH bt AS (SELECT event_type,
+           CAST(MAX(CAST(epoch_ms(ts) AS BIGINT) // 86400000) AS BIGINT)
+             AS last_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         GROUP BY event_type),
+         wm AS (SELECT CAST(MAX(last_day) AS BIGINT) AS watermark FROM bt)
+         SELECT event_type, last_day, n_events, watermark,
+           watermark - last_day AS lag_days,
+           (watermark - last_day > 7) AS stale
+         FROM bt CROSS JOIN wm""",
     // x140: x72's day convention, the trailing frame as a named WINDOW,
     // the integer 2σ test cross-multiplied
     "x140_spike_detection" ->

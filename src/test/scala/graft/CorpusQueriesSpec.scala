@@ -821,6 +821,24 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(sorted.take(k).forall(_._5 == 1L) && sorted.drop(k).forall(_._5 == 0L))
   }
 
+  test("x148 freshness audit: per-type last-seen and lag replay from raw events") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x148_freshness_audit")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val days = Tables.load(spark, sf, "events")
+      .filter($"ts".isNotNull && $"event_type".isNotNull)
+      .select($"event_type", expr("unix_millis(ts) div 86400000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = days.groupBy(_._1).view
+      .mapValues(g => (g.map(_._2).max, g.length.toLong)).toMap
+    val wm = byType.values.map(_._1).max
+    val expect = byType.map { case (t, (last, n)) =>
+      t -> ((last, n, wm, wm - last, wm - last > 7))
+    }
+    assert(out == expect && out.nonEmpty)
+  }
+
   test("x147 SCD2 point-in-time: reconstruction at v2 equals the v2 snapshot exactly (round-trip law)") {
     import spark.implicits._
     val out = SparkEntry.queries("x147_scd2_pit")(spark, sf)

@@ -129,7 +129,8 @@ class PlanAssertSpec extends SparkSpec {
     // whole-corpus agreement scalar — one pre-aggregated row per
     // partition into the single kappa row), the same class. x146: the
     // W/Σbase scalars and the largest-remainder window over the bounded
-    // source dimension — x57's exact class.
+    // source dimension — x57's exact class. x148: the corpus-watermark
+    // scalar over the bounded event-type dimension, q23/x79's class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -140,7 +141,8 @@ class PlanAssertSpec extends SparkSpec {
         "x111_quantile_normalize", "x120_dsir_weights",
         "x125_bm25_topk", "x126_rrf_fusion", "x127_stupid_backoff",
         "x131_nb_langid", "x140_spike_detection", "x143_nb_confusion",
-        "x144_langid_agreement", "x146_token_apportionment")
+        "x144_langid_agreement", "x146_token_apportionment",
+        "x148_freshness_audit")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
