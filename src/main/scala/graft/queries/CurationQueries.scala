@@ -763,6 +763,35 @@ object CurationQueries {
             .as("mean_ll_micro"))
     }),
 
+    // ───── per-source length Gini coefficient — the inequality
+    // diagnostic for corpus balance (a source where one giant doc holds
+    // 90% of the tokens behaves nothing like its doc count suggests,
+    // and x146's apportionment inherits that skew). Exact rank-weighted
+    // form: G = Σ(2i − n − 1)·x_(i) / (n·Σx) over the per-source sorted
+    // lengths (doc_id ties) — integer numerator via one ranking window,
+    // a single double division at the end. One shuffle on source
+    "x149_length_gini" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull
+          && col("source").isNotNull)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum((col("i") * 2 - 1) * col("n_chars")).as("rank_weighted"))
+        .withColumn("gini_num",
+          col("rank_weighted") - col("n_docs") * col("total_chars"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("gini_num"),
+          when(col("total_chars") === 0, lit(null).cast("double"))
+            .otherwise(col("gini_num").cast("double")
+              / (col("n_docs") * col("total_chars")).cast("double"))
+            .as("gini"))
+    }),
+
     // ───── token-budget apportionment (largest-remainder / Hamilton
     // method): split a 1M-token training budget across sources in
     // proportion to their token mass, EXACTLY — integer quotas
@@ -1069,6 +1098,26 @@ object CurationQueries {
              AS kappa
          FROM c CROSS JOIN pe"""
     },
+    // x149: the same rank-weighted integer Gini with the doc_id tiebreak
+    "x149_length_gini" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+             AND source IS NOT NULL),
+         rk AS (SELECT source, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS BIGINT) AS i
+           FROM d),
+         ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM((i * 2 - 1) * n_chars) AS BIGINT) AS rank_weighted
+           FROM rk GROUP BY source)
+         SELECT source, n_docs, total_chars,
+           rank_weighted - n_docs * total_chars AS gini_num,
+           CASE WHEN total_chars = 0 THEN NULL
+                ELSE CAST(rank_weighted - n_docs * total_chars
+                    AS DOUBLE)
+                  / CAST(n_docs * total_chars AS DOUBLE) END AS gini
+         FROM ag""",
     // x146: x10's token counts per source, integer quotas, the
     // largest-remainder window with the source tiebreak
     "x146_token_apportionment" ->

@@ -821,6 +821,29 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(sorted.take(k).forall(_._5 == 1L) && sorted.drop(k).forall(_._5 == 0L))
   }
 
+  test("x149 Gini: equal lengths score (n-1)/n-free zero-ish floor; planted extremes replay exactly") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x149_length_gini")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    // independent replay from the raw table
+    val docs = Tables.load(spark, sf, "documents")
+      .filter($"doc_id".isNotNull && $"n_chars".isNotNull && $"source".isNotNull)
+      .select($"source", $"doc_id", $"n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).map { case (src, g) =>
+      val xs = g.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val rw = xs.zipWithIndex.map { case (x, i0) => (2L * (i0 + 1) - 1) * x }.sum
+      val num = rw - n * tot
+      src -> ((n, tot, num, num.toDouble / (n * tot).toDouble))
+    }
+    assert(out == expect && out.nonEmpty)
+    // Gini bounds: [0, 1) up to the discrete floor
+    out.values.foreach { case (_, _, _, gmm) => assert(gmm >= 0.0 && gmm < 1.0) }
+  }
+
   test("x148 freshness audit: per-type last-seen and lag replay from raw events") {
     import spark.implicits._
     val out = SparkEntry.queries("x148_freshness_audit")(spark, sf)
