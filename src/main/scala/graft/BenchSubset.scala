@@ -21,11 +21,11 @@ object BenchSubset {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sf).write.format("noop")
         .mode("overwrite").save()
-      spark.catalog.clearCache()
+      graft.ops.InternalCaches.drainAll(spark)
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(once) // warm: codegen + file listing
-    spark.catalog.clearCache()
+    graft.ops.InternalCaches.drainAll(spark)
     val t1 = names.map(n => n -> once(n)).toMap
     val t2 = names.map(n => n -> once(n)).toMap
     names.foreach(n => println(f"$n%-28s ${math.min(t1(n), t2(n))}%.2f"))

@@ -31,10 +31,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
-      // several operators pin caller-managed caches (minhash signatures,
-      // banded norm/signature frames) — release them between queries so a
-      // 73-query session doesn't accumulate pinned storage
-      spark.catalog.clearCache()
+      // several operators pin internal caches (minhash signatures, banded
+      // norm/signature frames — all routed through InternalCaches) —
+      // release them between queries so a 187-query session doesn't
+      // accumulate pinned storage; clearCache additionally covers
+      // query-builder-level caches (x143/x144 style)
+      graft.ops.InternalCaches.drainAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.ops.Skew
+import graft.ops.{InternalCaches, Skew}
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -211,10 +211,9 @@ object Dedup {
     val sh = TextOps.shingleRows(docs, idCol, textCol, k, blockCols)
     // cache: the inverted index feeds BOTH sides of the self-join — without
     // it the whole tokenize→explode→window→distinct pipeline runs twice
-    val inv = sh.withColumn("n",
+    val inv = InternalCaches.register(sh.withColumn("n",
       count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
-      .cache()
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)))))
     val blockEq = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.g") === col("b.g") &&
@@ -297,8 +296,9 @@ object Dedup {
     require(tauNum > 0 && tauDen > 0 && tauNum < tauDen,
       "tau must be a proper fraction")
     import org.apache.spark.sql.expressions.Window
-    val td = TextOps.shingleRows(docs, idCol, textCol, k)
-      .select(col(idCol), col("g")).cache()
+    val td = InternalCaches.register(
+      TextOps.shingleRows(docs, idCol, textCol, k)
+        .select(col(idCol), col("g")))
     val dfc = td.groupBy(col("g")).agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("g"))
     val ranked = td.join(dfc, Seq("g"))
@@ -328,7 +328,8 @@ object Dedup {
     // NOTE cache lifecycle: as with minhashLshPairs, the pinned shingle
     // frame is caller-managed session state
     jaccardForShingles(
-      TextOps.shingleRows(docs, idCol, textCol, k).cache(), idCol, pairs)
+      InternalCaches.register(
+        TextOps.shingleRows(docs, idCol, textCol, k)), idCol, pairs)
 
   /** [[jaccardForPairs]] over already-materialized shingle rows. */
   def jaccardForShingles(sh: DataFrame, idCol: String,
@@ -360,8 +361,10 @@ object Dedup {
                        jaccardTau: Double = 0.2): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
-    val sh = TextOps.shingleRows(docs, idCol, textCol, shingleK).cache()
-    val signed = signatureOfShingles(sh, idCol, numHashes).cache()
+    val sh = InternalCaches.register(
+      TextOps.shingleRows(docs, idCol, textCol, shingleK))
+    val signed = InternalCaches.register(
+      signatureOfShingles(sh, idCol, numHashes))
     val cands = lshPairsFromSignatures(signed, idCol, numHashes, rowsPerBand, candTau)
       .select(col("id_a"), col("id_b"))
     val verified = jaccardForShingles(sh, idCol, cands)
@@ -687,7 +690,8 @@ object Dedup {
     // Caller-managed lifecycle, as with minhashLshPairs' signature
     // cache: Verify/Bench clear per query; long-running services must
     // unpersist.
-    val anchors = winnowAnchors(docs, idCol, textCol).cache()
+    val anchors = InternalCaches.register(
+      winnowAnchors(docs, idCol, textCol))
     // one exchange on h: countDistinct's partial aggregation dedups
     // (h, id) map-side, vs the distinct-then-groupBy form's two shuffles
     val dup = anchors.groupBy(col("h"))

@@ -134,7 +134,7 @@ object Skew {
     require(keyCols.nonEmpty, "at least one bucket key column")
     require(hotThreshold > 0 && blockSize > 0)
     val keys = keyCols.map(col)
-    val slim = rows.select((keys :+ col(idCol)): _*).cache()
+    val slim = InternalCaches.register(rows.select((keys :+ col(idCol)): _*))
     // hot-bucket census: tiny by definition (only buckets over threshold)
     val hot = slim.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
@@ -189,7 +189,7 @@ object Skew {
     // cache the standing-index side: census + the block join would
     // otherwise recompute its banding lineage twice (caller-managed
     // cache convention, as in boundedSelfPairs)
-    val r = right.select((keys :+ col(idCol)): _*).cache()
+    val r = InternalCaches.register(right.select((keys :+ col(idCol)): _*))
     val l = left.select((keys :+ col(idCol)): _*)
     val hot = r.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
@@ -249,8 +249,8 @@ object Skew {
     val payload =
       if (carryCols.isEmpty) lit(0).as("__pl")
       else struct(carryCols.map(col): _*).as("__pl")
-    val slim = wide.select(col(idCol).as("__id"),
-      array(bandCols.map(col): _*).as("__bv"), payload).cache()
+    val slim = InternalCaches.register(wide.select(col(idCol).as("__id"),
+      array(bandCols.map(col): _*).as("__bv"), payload))
     val bands = slim.select(col("__id"), col("__bv"), col("__pl"),
       posexplode(col("__bv")).as(Seq("__j", "__band")))
     // a pair appearing in band j survives only if no band j' < j also
@@ -345,7 +345,7 @@ object Skew {
       .select(col("__id"), col("__bv"), col("__pl"),
         posexplode(col("__bv")).as(Seq("__j", "__band")))
     val lb = explodeBands(left)
-    val rb = explodeBands(right).cache() // census + join both read it
+    val rb = InternalCaches.register(explodeBands(right)) // census + join both read it
     val firstMatch =
       if (bandCols.length == 1) lit(true)
       else col("__j") === least(bandCols.indices.map(j =>

@@ -1644,8 +1644,10 @@ object ExtensionQueries {
          WHERE rank <= 5""",
     // x132: milli-grid quantize → floor-mean center → integer scatter →
     // the same two power steps (w1 = S·1, floor(w1/2^10), w2 = S·w1′) →
-    // exact DECIMAL(38,0) projection; HUGEINT internally (int128 ⊇ the
-    // documented magnitude bounds)
+    // exact HUGEINT projection, emitted as the same lossless 2^62 split
+    // the engine uses (p = pc1_hi·2^62 + pc1_lo, lo ∈ [0, 2^62) via the
+    // ((p % L) + L) % L non-negative-mod identity) — BIGINT halves are
+    // hash-canonical where a 38-digit decimal was not (r7 driver red)
     "x132_pca_power" ->
       s"""WITH qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
              x -> CAST(floor(x * 1000) AS BIGINT)) AS q FROM embeddings),
@@ -1664,10 +1666,18 @@ object ExtensionQueries {
          w1n AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / 1024.0) AS BIGINT)
              AS w FROM w1),
          w2 AS (SELECT sm.i, SUM(CAST(sm.s AS HUGEINT) * w1n.w) AS w
-           FROM sm JOIN w1n ON sm.j = w1n.i GROUP BY sm.i)
-         SELECT c.vec_id,
-           CAST(SUM(CAST(c.c AS HUGEINT) * w2.w) AS DECIMAL(38,0)) AS pc1_proj
-         FROM cd c JOIN w2 ON w2.i = c.ord GROUP BY c.vec_id""",
+           FROM sm JOIN w1n ON sm.j = w1n.i GROUP BY sm.i),
+         proj AS (SELECT c.vec_id,
+             CAST(SUM(CAST(c.c AS HUGEINT) * w2.w) AS HUGEINT) AS p
+           FROM cd c JOIN w2 ON w2.i = c.ord GROUP BY c.vec_id),
+         halves AS (SELECT vec_id, p,
+             ((p % 4611686018427387904) + 4611686018427387904)
+               % 4611686018427387904 AS lo
+           FROM proj)
+         SELECT vec_id,
+           CAST((p - lo) // 4611686018427387904 AS BIGINT) AS pc1_hi,
+           CAST(lo AS BIGINT) AS pc1_lo
+         FROM halves""",
     "x119_contamination_spans" ->
       s"""WITH $winnowAnchorCtes,
          ref AS (SELECT DISTINCT h FROM anch WHERE doc_id < 20),

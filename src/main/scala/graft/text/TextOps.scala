@@ -365,8 +365,8 @@ object TextOps {
     * Output: (idCol, actual, pred_lang, score_micro, correct). */
   def nbLangId(docs: DataFrame, idCol: String, textCol: String,
                labelCol: String, trainPred: Column): DataFrame = {
-    val tr = tokenRows(docs, idCol, textCol)
-      .filter(col("tok") =!= "").cache()
+    val tr = graft.ops.InternalCaches.register(
+      tokenRows(docs, idCol, textCol).filter(col("tok") =!= ""))
     val trTok = tr.filter(trainPred)
       .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
     val cwl = trTok.groupBy(col(labelCol), col("tok"))

@@ -354,8 +354,15 @@ class SimilaritySpec extends SparkSpec {
     // equally-spaced linear function of t
     val pts = Seq(-2, -1, 0, 1, 2).map(t =>
       (t.toLong + 2L, Array(3.0f * t, 4.0f * t))).toDF("vec_id", "embedding")
-    val out = Similarity.pcaPowerProjection(pts, "vec_id", "embedding")
-      .collect().map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger))
+    val rows = Similarity.pcaPowerProjection(pts, "vec_id", "embedding")
+      .collect()
+    // output-type law (r8): two BIGINT halves, lo ∈ [0, 2^62), and the
+    // reconstruction p = hi·2^62 + lo is the exact projection
+    val two62 = BigInt(2).pow(62)
+    rows.foreach(r => assert(r.getLong(2) >= 0L))
+    val out = rows
+      .map(r => r.getLong(0) ->
+        (BigInt(r.getLong(1)) * two62 + BigInt(r.getLong(2))))
       .toMap
     val p = (-2 to 2).map(t => out(t.toLong + 2L))
     assert(p(2) == 0)                              // proj(0) = 0

@@ -1,13 +1,22 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all specs (one JVM-wide session — specs
   * run in a single forked JVM, so getOrCreate dedups). */
-trait SparkSpec extends AnyFunSuite {
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterEach {
   lazy val spark: SparkSession = SparkSpec.session
   def sqlc = spark.sqlContext
+
+  // release the engine's internal cache pins between tests — the suite
+  // shares one session, so without this a 468-test run accumulates every
+  // operator's registered pin (the r7 ADVICE leak, now first-class)
+  override protected def afterEach(): Unit = {
+    graft.ops.InternalCaches.drain()
+    super.afterEach()
+  }
 }
 
 object SparkSpec {
