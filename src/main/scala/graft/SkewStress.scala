@@ -5,6 +5,7 @@ import graft.ops.Skew
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.InternalCaches.CacheSyntax
 
 /** Hot-key stress fixtures: deterministic synthetic corpora with the key
   * distributions that kill banded/keyed operators at scale — a
@@ -90,7 +91,7 @@ object SkewStress {
 
   /** The x38 chunk-dedup pipeline body over an arbitrary corpus. */
   def chunkDedup(docs: DataFrame): DataFrame = {
-    val ch = TextOps.chunkRows(docs, "doc_id", "text", 4).cache()
+    val ch = TextOps.chunkRows(docs, "doc_id", "text", 4).cacheRegistered
     val freq = ch.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     val out = ch.join(freq, Seq("chunk_hash"))

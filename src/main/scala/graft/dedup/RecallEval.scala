@@ -4,6 +4,7 @@ import graft.text.TextOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.InternalCaches.CacheSyntax
 
 /** LSH recall evaluation — grades a banded-MinHash candidate stage against
   * exact n-gram Jaccard ground truth computed on a bounded PROBE sample
@@ -66,7 +67,7 @@ object RecallEval {
     // composed form x115/x116 use) — re-deriving shingles inside
     // minhashLshPairs would tokenize the corpus twice. Caller-managed
     // cache (Verify/Bench clear per query).
-    val sh = TextOps.shingleRows(docs, idCol, textCol, shingleK).cache()
+    val sh = TextOps.shingleRows(docs, idCol, textCol, shingleK).cacheRegistered
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val probes = probeSet(docs, idCol, probePerStratum, stratifyCol)
     val shP = sh.join(broadcast(probes), Seq(idCol))

@@ -3,6 +3,7 @@ package graft.domain
 import graft.ops.{Relational, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.InternalCaches.CacheSyntax
 
 /** Incremental pipeline runner (SURVEY §2.10 / §7.1 step 6): the
   * reference's `asof`-watermark orchestration as a small library.
@@ -46,7 +47,7 @@ class Runner(spark: SparkSession, storeDir: String) {
     val merged = Upsert
       .merge(state(table), Relational.conformTo(batch, Schemas.of(table)),
         Schemas.keys(table))
-      .cache()
+      .cacheRegistered
     val n = merged.count()
     val tmp = path(table) + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)

@@ -16,11 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * without nuking caches the CALLER owns, which `clearCache()` does.
   *
   * `graft.Verify` / `graft.Bench` drain between queries; ScalaTest specs
-  * drain in `afterEach`. Driver-side footprint is a queue of weak-ish
-  * references bounded by pins-since-last-drain — model-sized, never
-  * data-sized.
+  * drain in `afterEach`. Driver-side footprint is a queue of STRONG
+  * DataFrame handles bounded by pins-since-last-drain — plan objects, not
+  * data; a drain releases both the executor storage and the handles.
   */
 object InternalCaches {
+
+  /** Postfix sugar so query builders can write `frame.cacheRegistered`
+    * where they previously wrote `frame.cache()` — every engine-internal
+    * pin routes through [[register]] and is released by the next
+    * [[drain]]. Import `InternalCaches.CacheSyntax`. */
+  implicit class CacheSyntax(private val df: DataFrame) extends AnyVal {
+    def cacheRegistered: DataFrame = InternalCaches.register(df)
+  }
   private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Cache `df` and record the pin for a later [[drain]]. */

@@ -8,6 +8,7 @@ import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.InternalCaches.CacheSyntax
 
 /** Round-3 corpus-layout / analytics operators (x62–x84): the steps
   * between a curated corpus and a training run — shard layout, weighted /
@@ -50,7 +51,7 @@ object CorpusQueries {
   private def cascadeFrame(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val tr = TextOps.tokenRows(docs, "doc_id", "text")
-      .filter(col("tok") =!= "").cache()
+      .filter(col("tok") =!= "").cacheRegistered
     val stats = tr
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -470,7 +471,7 @@ object CorpusQueries {
     // hash join, so nothing shuffles but the scan
     "x77_vocab_encode" -> ((s, d) => {
       val tr = TextOps.tokenRows(t(s, d, "documents"), "doc_id", "text")
-        .filter(col("tok") =!= "").cache()
+        .filter(col("tok") =!= "").cacheRegistered
       val w = Window.orderBy(col("n").desc, col("tok"))
       val vocab = tr.groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(63)
@@ -777,7 +778,7 @@ object CorpusQueries {
       val sk = hashes
         .groupBy(col("source"))
         .agg(TopK.topK(k)(-col("h"), col("h").cast("string")).as("tk"))
-        .cache()
+        .cacheRegistered
       val est = sk.select(col("source"), size(col("tk.items")).as("n"),
           (-element_at(col("tk.items.score"), -1)).as("kh"))
         .select(col("source"),
@@ -921,7 +922,7 @@ object CorpusQueries {
         .select(least(col("cn"), col("sn")).as("a"),
           greatest(col("cn"), col("sn")).as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-        .cache()
+        .cacheRegistered
       val stats = flow.agg(sum(col("w")).as("sw"), count(lit(1)).as("np"))
       val edges = flow.crossJoin(broadcast(stats))
         .filter(col("w") * col("np") > col("sw"))

@@ -6,6 +6,7 @@ import graft.similarity.Similarity
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.InternalCaches.CacheSyntax
 
 /** Round-3 curation operators: the data-mixing / dedup / filtering steps a
   * large-scale training-data pipeline runs AFTER the per-document analysis
@@ -129,7 +130,7 @@ object CurationQueries {
       // cache: the chunk frame feeds the global-frequency branch AND the
       // per-doc join side (caller-managed lifecycle, as in ExtensionQueries)
       val ch = TextOps.chunkRows(t(s, d, "documents"), "doc_id", "text", 4)
-        .cache()
+        .cacheRegistered
       val freq = ch.groupBy(col("chunk_hash"))
         .agg(countDistinct(col("doc_id")).as("nd"))
       ch.join(freq, Seq("chunk_hash"))
@@ -180,7 +181,7 @@ object CurationQueries {
       val docs = t(s, d, "documents")
       // cache: the token frame feeds the chunk branch and the classifier
       // branch (caller-managed lifecycle, as elsewhere)
-      val tr = TextOps.tokenRows(docs, "doc_id", "text").cache()
+      val tr = TextOps.tokenRows(docs, "doc_id", "text").cacheRegistered
       val ch = TextOps.chunkRowsOfTokens(tr, "doc_id", 4)
       val freq = ch.groupBy(col("chunk_hash"))
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -240,7 +241,7 @@ object CurationQueries {
     "x44_heavy_hitters" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val tr = TextOps.tokenRows(docs, "doc_id", "text")
-        .filter(col("tok") =!= "").cache()
+        .filter(col("tok") =!= "").cacheRegistered
       val top = tr.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("tok")).limit(20)
       val sketchBytes = tr
@@ -365,7 +366,7 @@ object CurationQueries {
       // cache: token rows feed the vocab ranking AND the per-doc coverage
       // aggregation (caller-managed lifecycle, as elsewhere)
       val tr = TextOps.tokenRows(docs, "doc_id", "text")
-        .filter(col("tok") =!= "").cache()
+        .filter(col("tok") =!= "").cacheRegistered
       val vocab = tr.groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(20)
         .select(col("tok"), lit(true).as("__v"))
@@ -430,8 +431,8 @@ object CurationQueries {
       val exact = fpAll.filter(isNew)
         .join(broadcast(fpCorpus), Seq("fp"), "left")
         .select(col("doc_id"), coalesce(col("__e"), lit(false)).as("exact_dup"))
-      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2).cache()
-      val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cache()
+      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2).cacheRegistered
+      val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cacheRegistered
       val cands = Dedup.lshPairsBetween(
         signed.filter(isNew), signed.filter(!isNew),
         "doc_id", numHashes = 12, rowsPerBand = 3, tau = 0.25)
@@ -514,7 +515,7 @@ object CurationQueries {
       val docs = t(s, d, "documents")
       // cache: the pair frame feeds the count table, the per-doc join AND
       // the global scalar (caller-managed lifecycle, as elsewhere)
-      val pairs = adjacentPairRows(docs).cache()
+      val pairs = adjacentPairRows(docs).cacheRegistered
       val cnt = pairs.groupBy(col("pr")).agg(count(lit(1)).as("n"))
       val supported = pairs.join(cnt, Seq("pr"))
       val perDoc = supported.groupBy(col("doc_id"))
@@ -729,7 +730,7 @@ object CurationQueries {
       // model would never back off (every scored bigram is its own
       // evidence)
       val tr = TextOps.tokenRows(docs, "doc_id", "text")
-        .filter(col("tok") =!= "").cache()
+        .filter(col("tok") =!= "").cacheRegistered
       val bg = tr.withColumn("prev", lag(col("tok"), 1).over(byDoc))
         .filter(col("prev").isNotNull)
         .select(col("doc_id"), col("prev"), col("tok").as("cur"))
@@ -869,8 +870,15 @@ object CurationQueries {
           .filter(col("doc_id").isNotNull && col("text").isNotNull
             && col("lang").isNotNull),
         "doc_id", "text", "lang", trainPred = col("doc_id") >= 20)
-      val cm = pred.groupBy(col("actual"), col("pred_lang"))
-        .agg(count(lit(1)).as("n"))
+      // cm is referenced twice below (tot and the join's left side);
+      // without this pin the whole NB likelihood-train+score chain above
+      // it re-executes — r7/r8 bench showed x143 at ~1.8× the cost of
+      // x131's identical chain. Pinning cm (lang² rows, model-sized,
+      // registry-managed like x144's join one entry down) runs the NB
+      // chain exactly once and stores almost nothing.
+      val cm = graft.ops.InternalCaches.register(
+        pred.groupBy(col("actual"), col("pred_lang"))
+          .agg(count(lit(1)).as("n")))
       val tot = cm.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
       cm.join(tot, Seq("actual"))
         .withColumn("share_ppm",
@@ -891,7 +899,7 @@ object CurationQueries {
       val nb = TextOps.nbLangId(docs, "doc_id", "text", "lang",
           trainPred = col("doc_id") >= 20)
         .select(col("doc_id"), col("pred_lang").as("nb_pred"))
-      val j = rule.join(nb, Seq("doc_id")).cache() // caller-managed
+      val j = rule.join(nb, Seq("doc_id")).cacheRegistered // registry-managed
       val counts = j.agg(count(lit(1)).as("n_docs"),
         sum(when(col("lang_pred") === col("nb_pred"), 1L).otherwise(0L))
           .as("n_agree"))

@@ -7,6 +7,7 @@ import graft.similarity.Similarity
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.InternalCaches.CacheSyntax
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
@@ -748,8 +749,8 @@ object ExtensionQueries {
       // verify stage (caller-managed caches, cleared per query).
       // Verified near-dups (the x27 verify stage): leakage counts REAL
       // near-twins, not band noise — and makes x116's zero exact
-      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2).cache()
-      val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cache()
+      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2).cacheRegistered
+      val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cacheRegistered
       val cands = Dedup.lshPairsFromSignatures(signed, "doc_id", 12, 3, 0.25)
         .select(col("id_a"), col("id_b"))
       val pairs = Dedup.jaccardForShingles(sh, "doc_id", cands)
@@ -782,8 +783,8 @@ object ExtensionQueries {
       // ONE pipeline end-to-end: the shingle frame feeds signatures and
       // verification, the verified pairs feed BOTH the cluster labels
       // (CC) and the leakage matrix — nothing is recomputed
-      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2).cache()
-      val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cache()
+      val sh = TextOps.shingleRows(docs, "doc_id", "text", 2).cacheRegistered
+      val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cacheRegistered
       val cands = Dedup.lshPairsFromSignatures(signed, "doc_id", 12, 3, 0.25)
         .select(col("id_a"), col("id_b"))
       val pairs = Dedup.jaccardForShingles(sh, "doc_id", cands)

@@ -62,13 +62,34 @@ class CatalogPreflightSpec extends SparkSpec {
     val latest = files.last
     val content = new String(
       java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
-    // flat one-object-per-query JSON: pull each query block, flag any
-    // containing a literal false or a non-null err
+    // Failure DETECTION is a conservative whole-file scan (any literal
+    // false or err key anywhere), so a `}` inside an arbitrary exception
+    // string can never truncate a block and hide a later failure. The
+    // per-block regex is used only to ATTRIBUTE failures to query names
+    // and to classify them for the waiver gate; if the whole-file scan
+    // fires but attribution finds nothing, that is itself a build failure.
+    val fileHasFailure =
+      content.contains("false") || """"err"\s*:\s*"""".r.findFirstIn(content).isDefined
     val block = """"([A-Za-z0-9_]+)"\s*:\s*\{([^}]*)\}""".r
-    val failing = block.findAllMatchIn(content).collect {
-      case m if m.group(2).contains("false") ||
-        m.group(2).matches("""(?s).*"err"\s*:\s*".*""") => m.group(1)
+    val blocks = block.findAllMatchIn(content).map(m => m.group(1) -> m.group(2)).toMap
+    val failing = blocks.collect {
+      case (name, body) if body.contains("false") ||
+        """"err"\s*:\s*"""".r.findFirstIn(body).isDefined => name
     }.toSet
+    assert(!fileHasFailure || failing.nonEmpty,
+      s"${latest.getName} contains a failure marker the per-query scan could " +
+        "not attribute to any query block (malformed/nested JSON?) — " +
+        "treating as failed; inspect the file")
+    // Waivers are restricted to HASH-ONLY mismatches: the recorded block
+    // must say rows_match=true, schema_match=true, and carry no err. A
+    // wrong-rows / wrong-schema / thrown failure can never be waived —
+    // those are real correctness defects, not hasher canonicalization
+    // drift. Policy (see data/correctness_waivers.json:_policy): a waiver
+    // also requires prior independent judge adjudication.
+    def hashOnly(body: String): Boolean =
+      """"rows_match"\s*:\s*true""".r.findFirstIn(body).isDefined &&
+        """"schema_match"\s*:\s*true""".r.findFirstIn(body).isDefined &&
+        """"err"\s*:\s*"""".r.findFirstIn(body).isEmpty
     val waiverFile = new java.io.File("data/correctness_waivers.json")
     val waivers: Map[String, Set[String]] =
       if (!waiverFile.exists()) Map.empty
@@ -85,7 +106,14 @@ class CatalogPreflightSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"stale correctness waivers for ${stale.toSeq.sorted} — the driver has " +
         "since produced a newer CORRECTNESS file; delete the resolved entries")
-    val unwaived = failing -- waivers.getOrElse(latest.getName, Set.empty)
+    val declared = waivers.getOrElse(latest.getName, Set.empty)
+    val honorable = declared.filter(q => blocks.get(q).exists(hashOnly))
+    val dishonored = (declared intersect failing) -- honorable
+    assert(dishonored.isEmpty,
+      s"waivers for ${dishonored.toSeq.sorted} are not honorable: only " +
+        "hash-only mismatches (rows_match+schema_match true, no err) may be " +
+        "waived — a rows/schema/thrown failure must be fixed, not waived")
+    val unwaived = failing -- honorable
     assert(unwaived.isEmpty,
       s"${latest.getName} records unwaived failures: ${unwaived.toSeq.sorted} " +
         "(rows/schema/hash mismatch or thrown query; adjudicate + fix, then " +

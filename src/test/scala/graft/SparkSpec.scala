@@ -12,9 +12,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterEach {
 
   // release the engine's internal cache pins between tests — the suite
   // shares one session, so without this a 468-test run accumulates every
-  // operator's registered pin (the r7 ADVICE leak, now first-class)
+  // operator's registered pin (the r7 ADVICE leak, now first-class).
+  // drainAll (not just drain): specs also pin frames of their own; after
+  // a test completes nothing should stay cached, so clear the session
+  // cache manager too (r8 ADVICE — the registry route covers engine
+  // pins, this covers spec-owned ones).
   override protected def afterEach(): Unit = {
-    graft.ops.InternalCaches.drain()
+    graft.ops.InternalCaches.drainAll(spark)
     super.afterEach()
   }
 }
