@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, CorpusQueries, CurationQueries, ExtensionQueries}
+import graft.queries.{CoreQueries, CorpusQueries, CurationQueries, ExtensionQueries, TrainingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,9 +20,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ ExtensionQueries.defs ++ CurationQueries.defs ++
-      CorpusQueries.defs
+      CorpusQueries.defs ++ TrainingQueries.defs
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ ExtensionQueries.oracle ++ CurationQueries.oracle ++
-      CorpusQueries.oracle
+      CorpusQueries.oracle ++ TrainingQueries.oracle
 }

@@ -262,6 +262,44 @@ object Similarity {
         col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** [[ivfTopK]] over a PRE-ASSIGNED corpus: `cells` already carries
+    * (idCol, vecCol, cell) — the standing parquet state a maintained ANN
+    * index stores ([[graft.streaming.Streams.incrementalAnnStep]]), where
+    * re-assigning the whole corpus per query batch would defeat the
+    * index. Only the QUERIES are assigned here (probes nearest cells,
+    * same cosine/lowest-cid rule); candidate generation and ranking are
+    * ivfTopK's verbatim, so "index built by seed+appends" ≡ "index built
+    * in one batch" is provable row-for-row (StreamsSpec does). */
+  def ivfTopKAssigned(cells: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String, qvecCol: String,
+                      centroids: DataFrame, cidCol: String, cvecCol: String,
+                      k: Int, probes: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(cells.sparkSession)
+    val cent = broadcast(centroids.select(col(cidCol), col(cvecCol))
+      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+    val qw = Window.partitionBy(col(qidCol))
+      .orderBy(col("__ccos").desc, col(cidCol).asc)
+    val qcells = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+      .crossJoin(cent)
+      .withColumn("__ccos", dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(qw))
+      .filter(col("__rn") <= probes)
+      .select(col(qidCol), col(qvecCol), col("__qn"), col(cidCol).as("qcell"))
+    val scored = cells.select(col(idCol), col(vecCol), col("cell"))
+      .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
+      .join(broadcast(qcells),
+        col("cell") === col("qcell") && col(qidCol) =!= col(idCol))
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col(qvecCol), col(vecCol)) / (col("__qn") * col("__n"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** Per-dimension (lo, hi) calibration for scalar quantization: one
     * posexplode + partial-combine min/max pass over the corpus, then a
     * collect bounded by the DIMENSION count (64–4096 in practice), never
@@ -792,7 +830,15 @@ object Similarity {
         .cast(DecimalType(38, 0)).as("__p"))
       // lossless split: lo = pmod(p, 2^62) ∈ [0, 2^62) exactly as BIGINT;
       // hi via `div` (IntegralDivide → LONG) on the exactly-divisible
-      // numerator, so no decimal-division rounding can ever intrude
+      // numerator, so no decimal-division rounding can ever intrude.
+      // PRECONDITION: |__p| < 2^125, so pc1_hi = (p - pmod(p,2^62))/2^62
+      // fits BIGINT (|hi| < 2^63). Holds by construction here: __p is a
+      // sum over ≤ dim (=8) terms of ci·w2 with |ci| ≤ 2^31 scaled-int
+      // components and |w2| bounded by the dim²·2^20-renormalized power
+      // step — ≪ 2^110 total. DECIMAL(38,0)/HUGEINT carriers admit
+      // larger magnitudes, so any future reuse of this split on wider
+      // inputs must re-check the bound or it fails at runtime (ANSI
+      // overflow on Spark, CAST error in DuckDB) rather than silently.
       .select(col(idCol),
         expr(s"(__p - pmod(__p, $twoPow62)) div $twoPow62").as("pc1_hi"),
         expr(s"CAST(pmod(__p, $twoPow62) AS BIGINT)").as("pc1_lo"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Row
+import graft.ops.InternalCaches.CacheSyntax
 
 /** Streaming & incremental semantics (SURVEY §2.10).
   *
@@ -434,7 +435,7 @@ object Streams {
     val fpNew = docs.select(col(idCol),
       graft.text.TextOps.fingerprint(col(textCol)).as("fp"))
     val shNew = graft.text.TextOps.shingleRows(docs, idCol, textCol, shingleK)
-      .cache()
+      .cacheRegistered
     val sigNew = graft.dedup.Dedup.signatureOfShingles(shNew, idCol, numHashes)
 
     val verdicts =
@@ -488,6 +489,94 @@ object Streams {
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         incrementalDedupStep(batch, idCol, textCol, indexDir)
+          .write.mode("append").parquet(outPath)
+    }
+
+  // ───── streaming ANN index maintenance (the x49 append pattern applied
+  // to the vector index): standing parquet state = a coarse-quantizer
+  // model written ONCE at seed time (`model`: cid, cvec) plus a cell
+  // frame (`cells`: id, vec, cell) that each micro-batch upserts with its
+  // UNSEEN vectors. Assignment is one broadcast-centroids map pass
+  // (Similarity.assignCells — no shuffle); queries probe the standing
+  // frame via Similarity.ivfTopKAssigned, never re-assigning the corpus.
+  // At 100 TB the cells frame is the only data-sized state and it is
+  // append-only + partitionable by cell; the model is k·dim floats.
+
+  /** Seed the standing ANN index at `indexDir`: persists the coarse
+    * centroid model (frozen for the index's lifetime — re-training means
+    * re-seeding, exactly like a FAISS IVF index) and the seed corpus's
+    * cell assignments. Same column names must be used by every later
+    * [[incrementalAnnStep]] against this index. */
+  def seedAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, cidCol: String, cvecCol: String,
+                   indexDir: String): Unit = {
+    val spark = corpus.sparkSession
+    centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cvec"))
+      .write.mode("overwrite").parquet(s"$indexDir/model")
+    val model = spark.read.parquet(s"$indexDir/model")
+    graft.similarity.Similarity.assignCells(
+        corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+          .dropDuplicates(idCol),
+        idCol, vecCol, model, "cid", "cvec")
+      .write.mode("overwrite").parquet(s"$indexDir/cells")
+  }
+
+  /** One incremental ANN-index step: assign the batch's UNSEEN vectors to
+    * their cells under the FROZEN seed-time model, append them to the
+    * standing cell frame, and return the appended assignment rows
+    * (idCol, cell).
+    *
+    * Redelivery / replay safety (the incrementalDedupStep discipline):
+    * ids already in the index are anti-joined away BEFORE anything else,
+    * then the surviving batch is localCheckpoint(true)-materialized —
+    * its plan reads the very cells parquet the append below mutates, so
+    * any lazy re-evaluation after the append would anti-join the batch
+    * against itself and silently drop rows. A redelivered vector appends
+    * nothing, so the index is exactly-once by construction. */
+  def incrementalAnnStep(batch: DataFrame, idCol: String, vecCol: String,
+                         indexDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    require(new java.io.File(s"$indexDir/model").exists,
+      s"no ANN index at $indexDir — seedAnnIndex first (the model is " +
+        "frozen at seed time; an un-seeded index has no quantizer to " +
+        "assign against)")
+    val model = spark.read.parquet(s"$indexDir/model")
+    val seen = spark.read.parquet(s"$indexDir/cells").select(col(idCol))
+    val unseen = batch
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+      .join(seen, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val out = graft.similarity.Similarity.assignCells(
+        unseen, idCol, vecCol, model, "cid", "cvec")
+      .localCheckpoint(true)                 // materialize BEFORE the append
+    out.write.mode("append").parquet(s"$indexDir/cells")
+    out.select(col(idCol), col("cell"))
+  }
+
+  /** Probe the standing index: top-k by exact cosine inside the queries'
+    * `probes` nearest cells, over the PERSISTED assignments — the read
+    * path that makes the maintained index an ANN index rather than a
+    * write-only log. Equivalent to batch ivfTopK over whatever corpus
+    * the seed+appends have accumulated (StreamsSpec proves it). */
+  def annIndexTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                   idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, probes: Int): DataFrame =
+    graft.similarity.Similarity.ivfTopKAssigned(
+      spark.read.parquet(s"$indexDir/cells"), idCol, vecCol,
+      queries, qidCol, qvecCol,
+      spark.read.parquet(s"$indexDir/model"), "cid", "cvec", k, probes)
+
+  /** The streaming face: each micro-batch upserts into the standing ANN
+    * index and appends its accepted assignment rows to `outPath` — the
+    * continuously-fed vector-ingest shape (embed upstream, index here). */
+  def streamingAnnMaintenance(stream: DataFrame, idCol: String,
+                              vecCol: String, indexDir: String,
+                              outPath: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        incrementalAnnStep(batch, idCol, vecCol, indexDir)
           .write.mode("append").parquet(outPath)
     }
 

@@ -406,4 +406,78 @@ object TextOps {
         col("m.c").as("pred_lang"), (-col("m.ns")).as("score_micro"))
       .withColumn("correct", col("pred_lang") === col("actual"))
   }
+
+  /** Iterated BPE training at word granularity (Sennrich '16 §3.2's loop,
+    * tokens-for-characters): `nMerges` greedy rounds, each selecting the
+    * most frequent ADJACENT token pair — count desc, then pair (a asc,
+    * b asc), the pinned tiebreak (NOT the concatenated "a_b" string,
+    * which is ambiguous once merged tokens contain '_') — and APPLYING it
+    * to the whole corpus left-to-right non-overlapping before the next
+    * count, so round k's counts see round k-1's merges ([a,a,a] yields 2
+    * occurrences of (a,a) but one application → [a_a, a]).
+    *
+    * The application is pure string algebra that both engines replay
+    * bit-for-bit: wrap tokens in sentinels ('<tok> <tok> …' — '<'/'>'
+    * cannot survive [[normalize]], '_' only ever comes from merges), one
+    * non-overlapping left-to-right `replace` of '<a> <b>' with '<a_b>',
+    * unwrap. No fold/lambda, so the per-round corpus pass is a narrow
+    * codegen'd projection; the only driver state is the selected pair —
+    * one collected row per round, model-sized like kmeansMicro's
+    * centroids. Corpus passes are 2·nMerges scans (count + token-count
+    * per round), the price every BPE trainer pays.
+    *
+    * Returns one row per executed merge: (step, pr = 'a_b', n_occ =
+    * occurrences at selection time, n_tokens_after = corpus token count
+    * after applying it — pins the APPLICATION, not just the selection).
+    * Stops early (fewer than nMerges rows) if the corpus runs out of
+    * adjacent pairs. */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = docs.sparkSession
+    var cur = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), normalize(col(textCol)).as("__s"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    var exhausted = false
+    for (step <- 1 to nMerges if !exhausted) {
+      val top = cur.filter(col("__s") =!= "")
+        .select(split(col("__s"), " ").as("__t"))
+        .filter(size(col("__t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__t) - 2), j -> " +
+            "struct(__t[j] AS a, __t[j + 1] AS b))")).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()                  // 1 row — bounded model state
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        val wrapped = concat(lit("<"),
+          replace(col("__s"), lit(" "), lit("> <")), lit(">"))
+        val applied = replace(wrapped,
+          lit(s"<$a> <$b>"), lit(s"<${a}_$b>"))
+        val unwrapped = replace(applied, lit("> <"), lit(" "))
+        cur = cur.withColumn("__s",
+          unwrapped.substr(lit(2), length(unwrapped) - 2))
+        val nToksAfter = cur.filter(col("__s") =!= "")
+          .select(sum(size(split(col("__s"), " "))).cast("long"))
+          .collect()(0).getLong(0)           // 1 scalar — bounded
+        merges += ((step.toLong, s"${a}_$b", n, nToksAfter))
+      }
+    }
+    spark.createDataFrame(
+      merges.map { case (st, pr, n, nt) =>
+        org.apache.spark.sql.Row(st, pr, n, nt)
+      }.asJava,
+      StructType(Seq(
+        StructField("step", LongType, nullable = false),
+        StructField("pr", StringType, nullable = false),
+        StructField("n_occ", LongType, nullable = false),
+        StructField("n_tokens_after", LongType, nullable = false))))
+  }
 }

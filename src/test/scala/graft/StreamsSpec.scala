@@ -509,4 +509,61 @@ class StreamsSpec extends SparkSpec {
       assert(rows == Seq((0L, 1L, 1.0), (300L, 2L, 3.0), (600L, 1L, 2.0)))
     } finally q.stop()
   }
+
+  test("streamingAnnMaintenance: incrementally-built index ≡ batch ivfTopK, redelivery-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    val (indexDir, outPath) = (s"$dir/index", s"$dir/out")
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    // seed = 3/4 of the corpus; model = frozen data picks FROM THE SEED
+    val seed = emb.filter($"vec_id" % 4 =!= 0)
+    val cent = seed.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    Streams.seedAnnIndex(seed, "vec_id", "embedding",
+      cent, "cid", "cvec", indexDir)
+    val nSeed = spark.read.parquet(s"$indexDir/cells").count()
+    def rowsOf(pred: org.apache.spark.sql.Column) =
+      emb.filter(pred).as[(Long, Seq[Float])].collect().toSeq
+    val b1 = rowsOf($"vec_id" % 12 === 0)
+    val b2 = rowsOf($"vec_id" % 12 === 4)
+    val b3 = rowsOf($"vec_id" % 12 === 8)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.streamingAnnMaintenance(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      indexDir, outPath).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b1.take(3) ++ b2.take(3): _*) // pure redelivery batch
+      q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    // exactly-once state: every vector indexed once, redelivery a no-op
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    assert(cells.count() == emb.count())
+    assert(cells.groupBy($"vec_id").count().filter($"count" > 1).count() == 0)
+    assert(spark.read.parquet(outPath).count() == cells.count() - nSeed)
+    // probe path ≡ one-shot batch ivfTopK over the full corpus with the
+    // SAME frozen model — the maintained index loses nothing
+    val qs = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val viaIndex = Streams.annIndexTopK(spark, indexDir,
+        "vec_id", "embedding", qs, "qid", "qvec", k = 5, probes = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    val batch = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        qs, "qid", "qvec", cent, "cid", "cvec", k = 5, probes = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    assert(viaIndex == batch,
+      s"index probe ${viaIndex.take(3)}… != batch ivfTopK ${batch.take(3)}…")
+    // the incremental assignments match the batch assignment rule
+    val fromIndex = cells.select($"vec_id", $"cell".cast("long"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val batchAssign = Similarity.assignCells(emb, "vec_id", "embedding",
+        cent, "cid", "cvec")
+      .select($"vec_id", $"cell".cast("long"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(fromIndex == batchAssign)
+  }
 }

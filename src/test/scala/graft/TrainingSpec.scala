@@ -1,0 +1,76 @@
+package graft
+
+import graft.text.TextOps
+import org.apache.spark.sql.Row
+
+/** Unit coverage for the round-9 trainer-loop operators: the iterated
+  * BPE trainer's selection/application semantics (the properties the
+  * x150 oracle relies on) and the x152 multi-probe recall surface. */
+class TrainingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpeTrain: overlapping occurrences count, greedy non-overlap application") {
+    // "a a a a": (a,a) occurs 3 times (overlapping count) but greedy
+    // left-to-right application merges twice → [a_a, a_a]; round 2 then
+    // merges the merged tokens themselves
+    val docs = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 2).collect()
+    assert(m.toSeq == Seq(
+      Row(1L, "a_a", 3L, 2L),
+      Row(2L, "a_a_a_a", 1L, 1L)))
+  }
+
+  test("bpeTrain: round k counts see round k-1's merges") {
+    // "b a b a b a": round 1 picks (b,a)×3 → [b_a, b_a, b_a]; round 2
+    // picks (b_a,b_a)×2 → [b_a_b_a, b_a]; round 3 (b_a_b_a,b_a)×1
+    val docs = Seq((1L, "b a b a b a")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 3).collect()
+    assert(m.toSeq == Seq(
+      Row(1L, "b_a", 3L, 3L),
+      Row(2L, "b_a_b_a", 2L, 2L),
+      Row(3L, "b_a_b_a_b_a", 1L, 1L)))
+  }
+
+  test("bpeTrain: tiebreak is (count desc, a asc, b asc) — NOT the concatenated pair") {
+    // all pairs occur once; lowest (a, b) wins → (a, d) over (b, c)
+    val docs = Seq((1L, "b c"), (2L, "a d")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 1).collect()
+    assert(m.toSeq == Seq(Row(1L, "a_d", 1L, 3L))) // b c stays 2 tokens + [a_d]
+  }
+
+  test("bpeTrain: normalization, nulls, short docs, early exhaustion") {
+    // punctuation normalizes away; null text is dropped; single-token
+    // and empty docs contribute no pairs; the corpus runs out of pairs
+    // after 2 merges even though 5 were requested
+    val docs = Seq((1L, "Hello, WORLD! hello world"), (2L, null),
+      (3L, "solo"), (4L, "  ")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 5).collect()
+    // pairs: (hello,world)×2, (world,hello)×1 → merge hello_world,
+    // leaving [hello_world, hello_world] + solo; round 2 merges those;
+    // round 3 finds no pairs (2 single-token docs) and stops
+    assert(m.toSeq == Seq(
+      Row(1L, "hello_world", 2L, 3L),
+      Row(2L, "hello_world_hello_world", 1L, 2L)))
+  }
+
+  test("x152 multi-probe recall: residual codes make probes pay; absolute codes don't") {
+    val df = graft.queries.TrainingQueries.defs("x152_multiprobe_recall")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.select($"scheme", $"probes", $"qid", $"n_hit")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.size == 48) // 8 queries × probes ∈ {1,2,4} × 2 schemes
+    assert(rows.forall { case (_, _, _, h) => h >= 0L && h <= 10L })
+    val mean = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(rs => rs.map(_._4).sum.toDouble / rs.size).toMap
+    // The finding the query exists to record: with RESIDUAL codes
+    // (IVFADC) widening the probe set is monotonically non-decreasing
+    // on the deterministic fixture — the within-cell refinement is what
+    // extra probes need. With ABSOLUTE codes it is NOT (the coarse
+    // centroids double as the PQ codebook, so foreign-cell candidates
+    // carry cell-scale ADC error); we only pin that the absolute curve
+    // exists and stays in range, not a direction it doesn't have.
+    assert(mean(("residual", 1L)) <= mean(("residual", 2L)) &&
+      mean(("residual", 2L)) <= mean(("residual", 4L)),
+      s"residual recall curve not monotone: $mean")
+  }
+}
