@@ -18,9 +18,11 @@ package graft.mm
   * 8-byte PNG signature plus per-chunk CRC32 make a false PNG positive
   * practically impossible.
   *
-  * Only video stays out of scope (no dependency-free container/codec is
-  * reasonable here); the decode seam (`bytes → Option[DecodedImage]`) is
-  * exactly where a JNI/FFI codec bridge would slot in.
+  * Video lives in [[VideoCodecs]] (AVI RIFF container: uncompressed
+  * BGR24 or Motion-JPEG frames through [[decodeJpeg]]); only compressed
+  * inter-frame codecs (H.264 etc.) stay out of dependency-free scope —
+  * the decode seam (`bytes → Option[DecodedImage]`) is exactly where a
+  * JNI/FFI codec bridge would slot in.
   */
 object ImageCodecs {
 

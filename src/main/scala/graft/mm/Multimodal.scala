@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * filters), baseline JPEG (T.81 sequential DCT — Huffman entropy decode,
   * integer IDCT, chroma subsampling, restart markers), BMP (24-bit) and
   * PPM (P6/P3) payloads yield actual dimensions and pixel statistics
-  * ([[ImageCodecs]], fixture images under data/fixtures). Only video —
-  * where no dependency-free container/codec is reasonable — falls back to
-  * the clearly-marked deterministic stub ([[fakeDecode]]), which also
+  * ([[ImageCodecs]], fixture images under data/fixtures); AVI video
+  * payloads yield actual geometry, frame counts and per-frame pixel
+  * statistics ([[VideoCodecs]] — uncompressed BGR24 or Motion-JPEG
+  * frames through the same JPEG decoder). Compressed inter-frame codecs
+  * (H.264 etc.) remain out of dependency-free scope and fall back to the
+  * clearly-marked deterministic stub ([[fakeDecode]]), which also
   * replays non-media payloads; everything around the seam — schema
   * contract, batch iteration, partition sizing, output shape — is the
   * real Spark plumbing a decode stage needs, and is what the tests cover.
@@ -58,19 +61,26 @@ object Multimodal {
                            width: Int, height: Int, n_frames: Int,
                            feature_norm: Double)
 
-  /** Decode one asset: REAL formats first — BMP/PPM parse to actual
-    * dimensions and Rec.709 mean luminance from actual pixels
-    * ([[ImageCodecs]]) — then the deterministic byte-fold stub
-    * ([[fakeDecode]]) for everything else (text-backed synthetic assets,
-    * formats whose codecs aren't in this environment). The strict header
-    * validation in ImageCodecs is what makes the sniff safe on arbitrary
-    * payloads. */
+  /** Decode one asset: REAL formats first — PNG/JPEG/BMP/PPM parse to
+    * actual dimensions and Rec.709 mean luminance from actual pixels
+    * ([[ImageCodecs]]); AVI parses to actual geometry, REAL frame count
+    * and mean luminance over every frame ([[VideoCodecs]] — BGR24 `DIB `
+    * rasters or Motion-JPEG frames through the same JPEG decoder) — then
+    * the deterministic byte-fold stub ([[fakeDecode]]) for everything
+    * else (text-backed synthetic assets, formats whose codecs aren't in
+    * this environment). The strict header validation in both codec
+    * objects is what makes the sniff safe on arbitrary payloads. */
   def decode(id: Long, mediaType: String, payload: Array[Byte]): AssetFeatures =
     ImageCodecs.decode(payload) match {
       case Some(img) =>
         AssetFeatures(id, mediaType, img.width, img.height,
           n_frames = 1, feature_norm = img.meanLuma)
-      case None => fakeDecode(id, mediaType, payload)
+      case None => VideoCodecs.decode(payload) match {
+        case Some(v) =>
+          AssetFeatures(id, mediaType, v.width, v.height,
+            n_frames = v.nFrames, feature_norm = v.meanLuma)
+        case None => fakeDecode(id, mediaType, payload)
+      }
     }
 
   /** STUB DECODER — stands in for what no dependency-free parser covers
@@ -205,10 +215,13 @@ object Multimodal {
   /** Adapt the synthetic `documents` table into a MIXED asset table:
     * every third document's bytes wrap into a REAL RGB8 PNG container
     * ([[ImageCodecs.wrapRgbPng]], media_type "image") and ride the
-    * genuine chunk-walk + inflate + unfilter decode path; the rest stay
-    * text payloads on the stub path. Deterministic in the text, so an
-    * external oracle replays both branches from the same source bytes —
-    * the image twin of [[documentsAsWavAssets]]. */
+    * genuine chunk-walk + inflate + unfilter decode path; every
+    * third-plus-one document wraps into a REAL uncompressed AVI
+    * ([[VideoCodecs.wrapBgrAvi]], media_type "video") and rides the
+    * genuine RIFF walk + per-frame BGR raster path; the rest stay text
+    * payloads on the stub path. Deterministic in the text, so an
+    * external oracle replays all three branches from the same source
+    * bytes — the image/video twins of [[documentsAsWavAssets]]. */
   def documentsAsMixedAssets(docs: DataFrame): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
     docs.select(col("doc_id"), col("text").cast("binary"))
@@ -216,6 +229,7 @@ object Multimodal {
       .map { r: Row =>
         val (id, bytes) = (r.getLong(0), r.getAs[Array[Byte]](1))
         if (id % 3 == 0) (id, "image", ImageCodecs.wrapRgbPng(bytes))
+        else if (id % 3 == 1) (id, "video", VideoCodecs.wrapBgrAvi(bytes))
         else (id, "text", bytes)
       }(enc)
       .toDF("asset_id", "media_type", "payload")

@@ -217,10 +217,15 @@ object ExtensionQueries {
     * decodeFeatures: docs with doc_id % 3 = 0 wrap as 16-px-wide RGB8
     * PNGs (real decode: width 16, height ceil(n/48), channel sums = the
     * source bytes at positions ≡ 0/1/2 mod 3, Rec.709 luma over 255-max
-    * pixels — zero padding adds nothing), the rest replay the stub fold.
-    * Ends with `mdec(doc_id, media_type, width, height, n_frames,
-    * feature_norm)`. Shared by x13/x34 so the decode mirror can't
-    * desynchronize between them. */
+    * pixels — zero padding adds nothing); docs with doc_id % 3 = 1 wrap
+    * as REAL 16×8 BGR24 AVI videos (real decode: n_frames =
+    * ceil(n/384), per-frame rasters are the source bytes verbatim so
+    * the CHANNEL of byte i is i mod 3 → B,G,R — the R sum is the
+    * positions-≡2 sum and the B sum the positions-≡0 sum, the exact
+    * inversion of the PNG's RGB order; luma over n_frames·128 pixels);
+    * the rest replay the stub fold. Ends with `mdec(doc_id, media_type,
+    * width, height, n_frames, feature_norm)`. Shared by x13/x34 so the
+    * decode mirror can't desynchronize between them. */
   private val mixedDecodeSql =
     """mb AS (SELECT doc_id, hex(encode(text)) AS hx,
          CAST(octet_length(encode(text)) AS BIGINT) AS n
@@ -243,12 +248,16 @@ object ExtensionQueries {
            AS BIGINT), 0) AS sb
        FROM mb),
        mdec AS (SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'text' END AS media_type,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'video' ELSE 'text' END AS media_type,
          CASE WHEN doc_id % 3 = 0 THEN CAST(16 AS INT)
+              WHEN doc_id % 3 = 1 THEN CAST(16 AS INT)
               ELSE CAST(bsum % 640 + 1 AS INT) END AS width,
          CASE WHEN doc_id % 3 = 0 THEN CAST(greatest(1, (n + 47) // 48) AS INT)
+              WHEN doc_id % 3 = 1 THEN CAST(8 AS INT)
               ELSE CAST(n % 480 + 1 AS INT) END AS height,
-         CAST(1 AS INT) AS n_frames,
+         CASE WHEN doc_id % 3 = 1 THEN CAST(greatest(1, (n + 383) // 384) AS INT)
+              ELSE CAST(1 AS INT) END AS n_frames,
          CASE WHEN doc_id % 3 = 0 THEN
              -- literals MUST cast to DOUBLE: DuckDB parses 0.2126 as
              -- DECIMAL and would keep the weighted sum exact where the
@@ -256,6 +265,12 @@ object ExtensionQueries {
              (CAST(0.2126 AS DOUBLE) * sr + CAST(0.7152 AS DOUBLE) * sg
                + CAST(0.0722 AS DOUBLE) * sb)
                / (CAST(16 * greatest(1, (n + 47) // 48) AS DOUBLE) * 255)
+              WHEN doc_id % 3 = 1 THEN
+             -- BGR rasters: R channel = positions ≡ 2 (the PNG's sb),
+             -- B channel = positions ≡ 0 (the PNG's sr)
+             (CAST(0.2126 AS DOUBLE) * sb + CAST(0.7152 AS DOUBLE) * sg
+               + CAST(0.0722 AS DOUBLE) * sr)
+               / (CAST(128 * greatest(1, (n + 383) // 384) AS DOUBLE) * 255)
               ELSE CAST(bsum % 1000 AS DOUBLE) / 1000.0 END AS feature_norm
        FROM ms)"""
 
@@ -621,10 +636,12 @@ object ExtensionQueries {
 
     // ───── multimodal decode via mapPartitions, mixed REAL + stub paths:
     // every third doc's bytes ride a genuine RGB8 PNG container (chunk
-    // walk + CRC + zlib inflate + unfilter in ImageCodecs.decodePng) and
-    // yield actual dimensions/Rec.709 luma from actual pixels; the rest
-    // stay text payloads on the deterministic stub. Both branches replay
-    // from the same source bytes in the oracle
+    // walk + CRC + zlib inflate + unfilter in ImageCodecs.decodePng),
+    // every third-plus-one a genuine 16×8 BGR24 AVI (RIFF walk +
+    // per-frame raster in VideoCodecs — REAL frame counts and luma over
+    // every frame); the rest stay text payloads on the deterministic
+    // stub. All three branches replay from the same source bytes in the
+    // oracle
     "x13_multimodal_decode" -> ((s, d) => {
       Multimodal.decodeFeatures(Multimodal.documentsAsMixedAssets(t(s, d, "documents"))).toDF()
     }),
@@ -658,14 +675,24 @@ object ExtensionQueries {
           coalesce(col("contaminated"), lit(false)).as("contaminated"))
     }),
 
-    // ───── multimodal frame-sampling fan-out: decode (stub) → one row per
+    // ───── multimodal frame-sampling fan-out: decode → one row per
     // sampled frame (every 3rd), the (asset, frame_idx) contract a video
-    // pipeline hands to its pixel stage; every 5th doc plays a "video"
-    // with payload-derived frame count, the rest are single-frame
+    // pipeline hands to its pixel stage; every 5th doc is a REAL 16×8
+    // BGR24 AVI (VideoCodecs.wrapBgrAvi — frame count comes off the
+    // genuine RIFF walk, ceil(n/384) by construction), the rest are
+    // single-frame text assets on the stub path
     "x32_frame_sample" -> ((s, d) => {
-      val assets = Multimodal.documentsAsAssets(t(s, d, "documents"))
-        .withColumn("media_type",
-          when(col("asset_id") % 5 === 0, "video").otherwise("text"))
+      import org.apache.spark.sql.{Encoders, Row}
+      val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
+      val assets = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .map { r: Row =>
+          val (id, bytes) = (r.getLong(0), r.getAs[Array[Byte]](1))
+          if (id % 5 == 0) (id, "video", graft.mm.VideoCodecs.wrapBgrAvi(bytes))
+          else (id, "text", bytes)
+        }(enc)
+        .toDF("asset_id", "media_type", "payload")
       Multimodal.sampleFrames(Multimodal.decodeFeatures(assets), stride = 3)
         .select(col("asset_id"), col("media_type"), col("n_frames"),
           col("frame_idx"))
@@ -1175,8 +1202,8 @@ object ExtensionQueries {
 
     // ───── multimodal resize planning: aspect-preserving fit into a
     // 224-square over the decoded dimensions (real PNG dims for every
-    // third doc, stub dims for the rest) — the projection a decode stage
-    // partitions/batches by
+    // third doc, real AVI dims for every third-plus-one, stub dims for
+    // the rest) — the projection a decode stage partitions/batches by
     "x34_resize_plan" -> ((s, d) => {
       Multimodal.decodeFeatures(
           Multimodal.documentsAsMixedAssets(t(s, d, "documents"))).toDF()
@@ -2110,13 +2137,15 @@ object ExtensionQueries {
          FROM dims""",
     // x32: stub-decode frame counts from payload bytes, frame fan-out via
     // range unnest — mirrors sampleFrames(stride=3)
+    // x32: video frame counts now replay the REAL AVI wrap — n_frames =
+    // ceil(n/384) for the 16×8 BGR24 frames wrapBgrAvi packs
     "x32_frame_sample" ->
       s"""WITH $byteFoldSql,
          f AS (SELECT doc_id AS asset_id,
              CASE WHEN doc_id % 5 = 0 THEN 'video' ELSE 'text' END AS media_type,
-             CASE WHEN doc_id % 5 = 0 THEN CAST(n % 24 + 1 AS INT)
+             CASE WHEN doc_id % 5 = 0 THEN CAST(greatest(1, (n + 383) // 384) AS INT)
                   ELSE CAST(1 AS INT) END AS n_frames
-           FROM b)
+           FROM b WHERE doc_id IS NOT NULL AND hx IS NOT NULL)
          SELECT asset_id, media_type, n_frames, CAST(u.i AS INT) AS frame_idx
          FROM f, unnest(range(0, CAST(n_frames AS BIGINT), 3)) u(i)""")
 }
