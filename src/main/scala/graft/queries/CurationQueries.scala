@@ -870,17 +870,17 @@ object CurationQueries {
           .filter(col("doc_id").isNotNull && col("text").isNotNull
             && col("lang").isNotNull),
         "doc_id", "text", "lang", trainPred = col("doc_id") >= 20)
-      // cm is referenced twice below (tot and the join's left side);
-      // without this pin the whole NB likelihood-train+score chain above
-      // it re-executes — r7/r8 bench showed x143 at ~1.8× the cost of
-      // x131's identical chain. Pinning cm (lang² rows, model-sized,
-      // registry-managed like x144's join one entry down) runs the NB
-      // chain exactly once and stores almost nothing.
-      val cm = graft.ops.InternalCaches.register(
-        pred.groupBy(col("actual"), col("pred_lang"))
-          .agg(count(lit(1)).as("n")))
-      val tot = cm.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
-      cm.join(tot, Seq("actual"))
+      // n_actual as a WINDOW over the lang² confusion rows instead of a
+      // groupBy+self-join: the NB likelihood-train+score chain above cm
+      // is the expensive subtree, and with a single linear consumer it
+      // executes exactly once with nothing pinned — r7/r8 bench showed
+      // the join form re-running the chain at ~1.8× x131's cost (the
+      // open r7 directive #3; the window closes it without a cache).
+      val byActual = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("actual"))
+      pred.groupBy(col("actual"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_actual", sum(col("n")).over(byActual))
         .withColumn("share_ppm",
           expr("(n * CAST(1000000 AS BIGINT)) div n_actual"))
     }),

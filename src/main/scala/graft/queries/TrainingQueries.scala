@@ -189,26 +189,28 @@ object TrainingQueries {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= 10)
           .select(col("qid"), col("vec_id").as("nid")))
-      def recallOf(scheme: String, p: Int, ap: DataFrame): DataFrame =
-        truth.join(
-            ap.select(col("query_id").as("qid"),
+      // each scheme scores ONCE at max(probes) (the sweep operators carry
+      // the probed cell's rank), so the whole 6-curve query pays two ADC
+      // passes, not six
+      val probes = Seq(1, 2, 4)
+      val truthP = truth.select(col("qid"), col("nid"),
+        explode(typedLit(probes.map(_.toLong))).as("probes"))
+      def recallOf(scheme: String, sweep: DataFrame): DataFrame =
+        truthP.join(
+            sweep.select(col("probes"), col("query_id").as("qid"),
               col("neighbor_id").as("nid"), lit(true).as("__hit")),
-            Seq("qid", "nid"), "left")
-          .groupBy(col("qid"))
+            Seq("probes", "qid", "nid"), "left")
+          .groupBy(col("probes"), col("qid"))
           .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit"))
-          .select(lit(scheme).as("scheme"), lit(p.toLong).as("probes"),
-            col("qid"), col("n_hit"),
-            (col("n_hit").cast("double") / 10).as("recall"))
-      Seq(1, 2, 4).flatMap { p =>
-        Seq(
-          recallOf("abs", p, Similarity.ivfPqTopK(emb, "vec_id",
-            "embedding", cent, "cid", "cvec", qs, "vec_id", "embedding",
-            m = 8, dim = 64, k = 10, probes = p)),
-          recallOf("residual", p, Similarity.ivfPqResidualTopK(emb,
-            "vec_id", "embedding", cent, "cid", "cvec",
-            fine, "fcid", "fvec", qs, "vec_id", "embedding",
-            m = 8, dim = 64, k = 10, probes = p)))
-      }.reduce(_ unionByName _)
+          .select(lit(scheme).as("scheme"), col("probes"), col("qid"),
+            col("n_hit"), (col("n_hit").cast("double") / 10).as("recall"))
+      recallOf("abs", Similarity.ivfPqSweepTopK(emb, "vec_id", "embedding",
+          cent, "cid", "cvec", qs, "vec_id", "embedding",
+          m = 8, dim = 64, k = 10, probes = probes))
+        .unionByName(recallOf("residual", Similarity.ivfPqResidualSweepTopK(
+          emb, "vec_id", "embedding", cent, "cid", "cvec",
+          fine, "fcid", "fvec", qs, "vec_id", "embedding",
+          m = 8, dim = 64, k = 10, probes = probes)))
     }))
 
   val oracle: Map[String, String] = Map(

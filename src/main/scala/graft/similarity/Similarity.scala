@@ -510,6 +510,78 @@ object Similarity {
       idCol, k)
   }
 
+  /** Shared tail of the probe-sweep operators: per-candidate ADC totals
+    * (the index-ordered fold pqRank uses) keyed by the candidate's
+    * probe rank, registry-cached, then one filter + re-rank per
+    * requested probe count. A candidate's ADC distance does not depend
+    * on how many cells were probed, so the whole sweep pays ONE scoring
+    * pass — the cached frame is (query, candidate) rows, bounded by the
+    * max-probes candidate set. */
+  private def sweepRank(joined: DataFrame, idCol: String, k: Int,
+                        probes: Seq[Int]): DataFrame = {
+    val scored = InternalCaches.register(joined
+      .groupBy(col("__qid"), col(idCol), col("__cellRank"))
+      .agg(expr("aggregate(transform(sort_array(collect_list(struct(s, d))), " +
+        "x -> x.d), cast(0.0 as double), (a, b) -> a + b)").as("dist")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    probes.map { p =>
+      scored.filter(col("__cellRank") <= p)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(p.toLong).as("probes"), col("__qid").as("query_id"),
+          col("rank"), col(idCol).as("neighbor_id"),
+          round(col("dist"), 4).as("adc_dist"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Probe-SWEEP form of [[ivfPqTopK]]: builds the cells, codes, LUT and
+    * per-candidate ADC distances ONCE at max(probes) — carrying each
+    * candidate cell's probe rank for its query — then each requested
+    * probe count is a filter plus re-rank over the already-scored rows.
+    * This is the recall-vs-probes tuning sweep every IVF deployment runs
+    * before pinning nprobe, at a single scoring cost instead of
+    * |probes| full passes. Per-probe output ≡ [[ivfPqTopK]] at that
+    * probe count (SimilaritySpec pins the equivalence). Output:
+    * (probes, query_id, rank, neighbor_id, adc_dist). */
+  def ivfPqSweepTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, cidCol: String, cvecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     m: Int, dim: Int, k: Int, probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be ≥ 1")
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    require(idCol != cidCol,
+      s"idCol and cidCol are both '$idCol' — rename the centroid id first")
+    val subDim = dim / m
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val cells = assignCells(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
+      .select(col(idCol), col("cell"))
+    val centN = broadcast(centroids.select(col(cidCol), col(cvecCol))
+      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+    val wq = Window.partitionBy(col(qidCol))
+      .orderBy(col("__ccos").desc, col(cidCol).asc)
+    val qcells = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+      .crossJoin(centN)
+      .withColumn("__ccos", dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= probes.max)
+      .select(col(qidCol).as("__qid"), col(cidCol).as("qcell"),
+        col("__rn").as("__cellRank"))
+    val cand = cells.join(broadcast(qcells),
+      col("cell") === col("qcell") && col("__qid") =!= col(idCol))
+      .select(col("__qid"), col(idCol), col("__cellRank"))
+    val ev = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .repartition(parts)
+    val cent = centroids
+      .select(col(cidCol), col(cvecCol).cast("array<double>").as("__cv"))
+    val codes = pqCodes(ev, idCol, cent, cidCol, m, subDim)
+    val lut = broadcast(pqLut(queries, qidCol, qvecCol, cent, cidCol, m, subDim))
+    sweepRank(cand.join(codes, idCol).join(lut, Seq("__qid", "s", "code")),
+      idCol, k, probes)
+  }
+
   /** IVF-PQ: the composed form — the coarse quantizer (x15's cell
     * assignment: argmax cosine, ties to the lowest centroid id) restricts
     * each query's candidates to its `probes` nearest cells, and ADC
@@ -653,6 +725,61 @@ object Similarity {
     pqRank(
       cand.join(codes, idCol).join(lut, Seq("__qid", "qcell", "s", "code")),
       idCol, k)
+  }
+
+  /** Probe-SWEEP form of [[ivfPqResidualTopK]] — the IVFADC twin of
+    * [[ivfPqSweepTopK]]: residual codes, per-(query, probed-cell) LUTs
+    * and per-candidate ADC distances built ONCE at max(probes), then a
+    * filter + re-rank per requested probe count. Per-probe output ≡
+    * ivfPqResidualTopK at that probe count (spec-pinned). */
+  def ivfPqResidualSweepTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                             centroids: DataFrame, cidCol: String, cvecCol: String,
+                             fine: DataFrame, fcidCol: String, fvecCol: String,
+                             queries: DataFrame, qidCol: String, qvecCol: String,
+                             m: Int, dim: Int, k: Int,
+                             probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be ≥ 1")
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    require(idCol != fcidCol && idCol != cidCol,
+      s"idCol '$idCol' must differ from centroid id columns — rename first")
+    val subDim = dim / m
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val fineD = fine.select(col(fcidCol), col(fvecCol).cast("array<double>").as("__cv"))
+    val resid = residuals(corpus.select(col(idCol), col(vecCol)).repartition(parts),
+      idCol, vecCol, centroids, cidCol, cvecCol)
+    val cells = resid.select(col(idCol), col("cell"))
+    val codes = pqCodes(resid.select(col(idCol), col("resid").as("__v")),
+      idCol, fineD, fcidCol, m, subDim)
+    val centN = broadcast(centroids.select(col(cidCol), col(cvecCol))
+      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+    val wq = Window.partitionBy(col(qidCol))
+      .orderBy(col("__ccos").desc, col(cidCol).asc)
+    val qcells = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+      .crossJoin(centN)
+      .withColumn("__ccos", dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= probes.max)
+      .select(col(qidCol).as("__qid"), col(cidCol).as("qcell"),
+        col("__rn").as("__cellRank"))
+    val centD = broadcast(centroids.select(col(cidCol).as("qcell"),
+      col(cvecCol).cast("array<double>").as("__cellv")))
+    val qres = qcells
+      .join(queries.select(col(qidCol).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qvd")), Seq("__qid"))
+      .join(centD, Seq("qcell"))
+      .select(col("__qid"), col("qcell"),
+        expr("zip_with(__qvd, __cellv, (x, y) -> x - y)").as("__qv"))
+    val lut = broadcast(
+      pqSubDists(qres, Seq("__qid", "qcell"), "__qv", fineD, fcidCol, "__cv", m, subDim)
+        .withColumnRenamed(fcidCol, "code"))
+    val cand = cells.join(broadcast(qcells),
+      col("cell") === col("qcell") && col("__qid") =!= col(idCol))
+      .select(col("__qid"), col("qcell"), col(idCol), col("__cellRank"))
+    sweepRank(
+      cand.join(codes, idCol).join(lut, Seq("__qid", "qcell", "s", "code")),
+      idCol, k, probes)
   }
 
   /** Trained k-means state: per-vector assignments plus the learned

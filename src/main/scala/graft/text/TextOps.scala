@@ -423,8 +423,15 @@ object TextOps {
     * unwrap. No fold/lambda, so the per-round corpus pass is a narrow
     * codegen'd projection; the only driver state is the selected pair —
     * one collected row per round, model-sized like kmeansMicro's
-    * centroids. Corpus passes are 2·nMerges scans (count + token-count
-    * per round), the price every BPE trainer pays.
+    * centroids.
+    *
+    * Driver actions are nMerges + 2, each over a registry-cached corpus:
+    * one count of the nonempty docs N₁ (INVARIANT under merges — a merge
+    * never empties a doc), one top-pair selection per round with the
+    * round's total pair count riding the same job as an `observe`
+    * metric, and one final token sum. The per-round token count then
+    * falls out of the identity `tokens = pairs + N₁` (each nonempty doc
+    * has t−1 adjacent pairs) instead of paying its own scan.
     *
     * Returns one row per executed merge: (step, pr = 'a_b', n_occ =
     * occurrences at selection time, n_tokens_after = corpus token count
@@ -436,23 +443,38 @@ object TextOps {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
+    import graft.ops.InternalCaches
     val spark = docs.sparkSession
-    var cur = docs
+    var cur = InternalCaches.register(docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol), normalize(col(textCol)).as("__s"))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      .select(col(idCol), normalize(col(textCol)).as("__s")))
+    val n1 = cur.filter(col("__s") =!= "").count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val tokensAfter = scala.collection.mutable.ArrayBuffer.empty[Long]
     var exhausted = false
+    def pairRows(c: DataFrame): DataFrame = c.filter(col("__s") =!= "")
+      .select(split(col("__s"), " ").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__t) - 2), j -> " +
+          "struct(__t[j] AS a, __t[j + 1] AS b))")).as("__p"))
     for (step <- 1 to nMerges if !exhausted) {
-      val top = cur.filter(col("__s") =!= "")
-        .select(split(col("__s"), " ").as("__t"))
-        .filter(size(col("__t")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(__t) - 2), j -> " +
-            "struct(__t[j] AS a, __t[j + 1] AS b))")).as("__p"))
+      val obs = org.apache.spark.sql.Observation(s"bpe_pairs_$step")
+      val top = pairRows(cur)
+        .observe(obs, count(lit(1)).as("np"))
         .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).collect()                  // 1 row — bounded model state
+      // pairs over the PRE-merge corpus of this round = the post-merge
+      // token count of the PREVIOUS round, via tokens = pairs + N₁.
+      // The CollectMetrics node can be optimized away when a tiny
+      // in-memory corpus collapses to a LocalRelation (empty-relation
+      // propagation) — fall back to an explicit count then; parquet-
+      // backed corpora always ride the free observe.
+      val pairsBefore = obs.get.get("np").map(_.asInstanceOf[Long])
+        .getOrElse(pairRows(cur).count())
+      if (step >= 2) tokensAfter += pairsBefore + n1
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1),
@@ -462,16 +484,17 @@ object TextOps {
         val applied = replace(wrapped,
           lit(s"<$a> <$b>"), lit(s"<${a}_$b>"))
         val unwrapped = replace(applied, lit("> <"), lit(" "))
-        cur = cur.withColumn("__s",
-          unwrapped.substr(lit(2), length(unwrapped) - 2))
-        val nToksAfter = cur.filter(col("__s") =!= "")
-          .select(sum(size(split(col("__s"), " "))).cast("long"))
-          .collect()(0).getLong(0)           // 1 scalar — bounded
-        merges += ((step.toLong, s"${a}_$b", n, nToksAfter))
+        cur = InternalCaches.register(cur.withColumn("__s",
+          unwrapped.substr(lit(2), length(unwrapped) - 2)))
+        merges += ((step.toLong, s"${a}_$b", n))
       }
     }
+    if (merges.length > tokensAfter.length)  // the last merge's count
+      tokensAfter += cur.filter(col("__s") =!= "")
+        .select(coalesce(sum(size(split(col("__s"), " "))).cast("long"), lit(0L)))
+        .collect()(0).getLong(0)
     spark.createDataFrame(
-      merges.map { case (st, pr, n, nt) =>
+      merges.zip(tokensAfter).map { case ((st, pr, n), nt) =>
         org.apache.spark.sql.Row(st, pr, n, nt)
       }.asJava,
       StructType(Seq(

@@ -420,4 +420,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 7, false), (1L, 7, true),
       (2L, 9, false), (3L, 7, false)))
   }
+
+  test("probe sweeps: each per-probe slice ≡ the single-probe operator, both encodings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val fine = Similarity.residuals(
+        emb.filter($"vec_id" >= 16 && $"vec_id" < 32),
+        "vec_id", "embedding", cent, "cid", "cvec")
+      .select($"vec_id".as("fcid"), $"resid".as("fvec"))
+    val qs = emb.filter($"vec_id" < 8)
+    val probes = Seq(1, 2, 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id", $"adc_dist")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val absSweep = Similarity.ivfPqSweepTopK(emb, "vec_id", "embedding",
+      cent, "cid", "cvec", qs, "vec_id", "embedding",
+      m = 8, dim = 64, k = 5, probes = probes)
+    val resSweep = Similarity.ivfPqResidualSweepTopK(emb, "vec_id",
+      "embedding", cent, "cid", "cvec", fine, "fcid", "fvec",
+      qs, "vec_id", "embedding", m = 8, dim = 64, k = 5, probes = probes)
+    for (p <- probes) {
+      assert(rows(absSweep.filter($"probes" === p)) ==
+        rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          cent, "cid", "cvec", qs, "vec_id", "embedding",
+          m = 8, dim = 64, k = 5, probes = p)),
+        s"abs sweep slice p=$p drifted from ivfPqTopK")
+      assert(rows(resSweep.filter($"probes" === p)) ==
+        rows(Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+          cent, "cid", "cvec", fine, "fcid", "fvec",
+          qs, "vec_id", "embedding", m = 8, dim = 64, k = 5, probes = p)),
+        s"residual sweep slice p=$p drifted from ivfPqResidualTopK")
+    }
+  }
 }
