@@ -75,7 +75,7 @@ object VideoCodecs {
       var isVids = false
       while (p + 8 <= end && !bad) {
         val id = fourCC(b, p); val sz = leInt(b, p + 4)
-        if (sz < 0 || p + 8 + sz > end) { bad = true; return }
+        if (sz < 0 || p.toLong + 8 + sz > end) { bad = true; return }
         if (id == "strh" && sz >= 56) {
           val fccType = fourCC(b, p + 8)
           if (fccType == "vids") {
@@ -96,7 +96,7 @@ object VideoCodecs {
           val compression = leInt(b, p + 8 + 16)
           if (handler == "DIB " && (bpp != 24 || compression != 0)) bad = true
         }
-        p += 8 + sz + (sz & 1)
+        p = math.min(p.toLong + 8 + sz + (sz & 1), Int.MaxValue.toLong).toInt
       }
     }
 
@@ -104,11 +104,11 @@ object VideoCodecs {
       var p = off
       while (p + 8 <= end && !bad) {
         val id = fourCC(b, p); val sz = leInt(b, p + 4)
-        if (sz < 0 || p + 8 + sz > end) { bad = true; return }
+        if (sz < 0 || p.toLong + 8 + sz > end) { bad = true; return }
         if (id == "avih" && sz >= 56) avihFrames = leInt(b, p + 8 + 16)
         if (id == "LIST" && sz >= 4 && fourCC(b, p + 8) == "strl")
           walkStrl(p + 12, p + 8 + sz)
-        p += 8 + sz + (sz & 1)
+        p = math.min(p.toLong + 8 + sz + (sz & 1), Int.MaxValue.toLong).toInt
       }
     }
 
@@ -139,7 +139,7 @@ object VideoCodecs {
       var p = off
       while (p + 8 <= end && !bad) {
         val id = fourCC(b, p); val sz = leInt(b, p + 4)
-        if (sz < 0 || p + 8 + sz > end) { bad = true; return }
+        if (sz < 0 || p.toLong + 8 + sz > end) { bad = true; return }
         val tail = id.substring(2)
         val isFrame = tail == "db" || tail == "dc"
         if (isFrame) {
@@ -149,7 +149,7 @@ object VideoCodecs {
           else { bad = true; return }
           frames += 1
         }
-        p += 8 + sz + (sz & 1)
+        p = math.min(p.toLong + 8 + sz + (sz & 1), Int.MaxValue.toLong).toInt
       }
     }
 
@@ -157,7 +157,7 @@ object VideoCodecs {
     val riffEnd = math.min(b.length.toLong, 8 + riffSize).toInt
     while (p + 8 <= riffEnd && !bad) {
       val id = fourCC(b, p); val sz = leInt(b, p + 4)
-      if (sz < 0 || p + 8 + sz > riffEnd) { bad = true }
+      if (sz < 0 || p.toLong + 8 + sz > riffEnd) { bad = true }
       else {
         if (id == "LIST" && sz >= 4) {
           val listType = fourCC(b, p + 8)
@@ -169,7 +169,7 @@ object VideoCodecs {
             if (!sawHdrl) bad = true else { walkMovi(p + 12, p + 8 + sz); sawMovi = true }
           }
         }
-        p += 8 + sz + (sz & 1)
+        p = math.min(p.toLong + 8 + sz + (sz & 1), Int.MaxValue.toLong).toInt
       }
     }
     if (bad || !sawHdrl || !sawMovi || frames < 1 ||

@@ -94,6 +94,23 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray).toSeq
   }
 
+  /** Collect a MODEL-SIZED frame (a codebook, a centroid table, a query
+    * batch — never corpus data) into a driver-local relation. Every
+    * downstream broadcast of the result is a LocalTableScan instead of a
+    * job that re-runs the frame's build subplan (parquet scan, assignment
+    * window, residual joins) once per broadcast SITE — x152's fused sweep
+    * embeds its codebooks in four broadcasts, so the build otherwise runs
+    * four times (measured: 29-job census, most of them broadcast builds).
+    * Bounded-collect rule applies: callers pass frames bounded by the
+    * model size, enforced by `maxRows`. */
+  def pinLocal(df: DataFrame, maxRows: Int = 4096): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"pinLocal is for model-sized frames only: got > $maxRows rows")
+    df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema)
+  }
+
   /** Sign-LSH bucket code against `anchors` (a Seq of (anchorId, vector)
     * literals, e.g. a deterministic sample of the corpus): bit i = 1 iff
     * dot(v, anchor_i) > 0. Returns a b-character '0'/'1' string (portable
@@ -277,21 +294,25 @@ object Similarity {
     GraftFunctions.ensureRegistered(cells.sparkSession)
     val cent = broadcast(centroids.select(col(cidCol), col(cvecCol))
       .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
-    val qw = Window.partitionBy(col(qidCol))
+    // rename query columns up front: the natural call passes the index's
+    // own (idCol, vecCol) names as the query schema, which would make the
+    // join condition and the cosine select ambiguous (ADVICE r9)
+    val qw = Window.partitionBy(col("__qid"))
       .orderBy(col("__ccos").desc, col(cidCol).asc)
-    val qcells = queries.select(col(qidCol), col(qvecCol))
-      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+    val qcells = queries
+      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
       .crossJoin(cent)
-      .withColumn("__ccos", dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")))
+      .withColumn("__ccos", dot(col("__qv"), col(cvecCol)) / (col("__qn") * col("__cn")))
       .withColumn("__rn", row_number().over(qw))
       .filter(col("__rn") <= probes)
-      .select(col(qidCol), col(qvecCol), col("__qn"), col(cidCol).as("qcell"))
+      .select(col("__qid"), col("__qv"), col("__qn"), col(cidCol).as("qcell"))
     val scored = cells.select(col(idCol), col(vecCol), col("cell"))
       .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
       .join(broadcast(qcells),
-        col("cell") === col("qcell") && col(qidCol) =!= col(idCol))
-      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
-        (dot(col(qvecCol), col(vecCol)) / (col("__qn") * col("__n"))).as("cos"))
+        col("cell") === col("qcell") && col("__qid") =!= col(idCol))
+      .select(col("__qid").as("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col("__qv"), col(vecCol)) / (col("__qn") * col("__n"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -422,19 +443,24 @@ object Similarity {
     * `m` subspaces of `dim/m` dims each; centroids broadcast. */
   private def pqSubDists(vecs: DataFrame, idCols: Seq[String], vecCol: String,
                          centroids: DataFrame, cidCol: String, cvecCol: String,
-                         m: Int, subDim: Int): DataFrame = {
+                         m: Int, subDim: Int,
+                         joinKeys: Seq[String] = Nil): DataFrame = {
+    // joinKeys: extra equi-join columns present in BOTH frames (e.g. a
+    // scheme tag), letting one call score several codebooks at once —
+    // the fused dual-sweep path
+    val jk = joinKeys.map(col)
     val centSub = broadcast(centroids
-      .select(col(cidCol), explode(sequence(lit(0), lit(m - 1))).as("s"),
-        col(cvecCol))
-      .select(col(cidCol), col("s"),
-        slice(col(cvecCol), col("s") * subDim + 1, lit(subDim)).as("__csub")))
+      .select(jk ++ Seq(col(cidCol),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col(cvecCol)): _*)
+      .select(jk ++ Seq(col(cidCol), col("s"),
+        slice(col(cvecCol), col("s") * subDim + 1, lit(subDim)).as("__csub")): _*))
     val ids = idCols.map(col)
     vecs
       .select(ids :+ explode(sequence(lit(0), lit(m - 1))).as("s")
         :+ col(vecCol): _*)
       .select(ids :+ col("s")
         :+ slice(col(vecCol), col("s") * subDim + 1, lit(subDim)).as("__vsub"): _*)
-      .join(centSub, "s")
+      .join(centSub, joinKeys :+ "s")
       .select(ids ++ Seq(col("s"), col(cidCol),
         expr("aggregate(zip_with(__vsub, __csub, (x, y) -> (x - y) * (x - y)), " +
           "cast(0.0 as double), (a, b) -> a + b)").as("d")): _*)
@@ -511,28 +537,44 @@ object Similarity {
   }
 
   /** Shared tail of the probe-sweep operators: per-candidate ADC totals
-    * (the index-ordered fold pqRank uses) keyed by the candidate's
-    * probe rank, registry-cached, then one filter + re-rank per
-    * requested probe count. A candidate's ADC distance does not depend
-    * on how many cells were probed, so the whole sweep pays ONE scoring
-    * pass — the cached frame is (query, candidate) rows, bounded by the
-    * max-probes candidate set. */
+    * (the index-ordered fold pqRank uses) keyed by the candidate's probe
+    * rank, then EVERY requested probe count ranked in one window pass. A
+    * candidate's ADC distance does not depend on how many cells were
+    * probed, so the sweep pays ONE scoring pass; and because "rank at
+    * probe p" = position among rows with cellRank ≤ p in the (dist, id)
+    * total order, a conditional running count per p over that single
+    * ordering replaces the per-probe filter + row_number re-rank —
+    * |probes| ranks from one shuffle-sort instead of |probes| window
+    * stages over a cached frame (r9 verdict #2: x152 runs two of these
+    * sweeps; the stage count is the cost). */
   private def sweepRank(joined: DataFrame, idCol: String, k: Int,
-                        probes: Seq[Int]): DataFrame = {
-    val scored = InternalCaches.register(joined
-      .groupBy(col("__qid"), col(idCol), col("__cellRank"))
+                        probes: Seq[Int],
+                        extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = extraKeys.map(col) :+ col("__qid")
+    val scored = joined
+      .groupBy(keys :+ col(idCol) :+ col("__cellRank"): _*)
       .agg(expr("aggregate(transform(sort_array(collect_list(struct(s, d))), " +
-        "x -> x.d), cast(0.0 as double), (a, b) -> a + b)").as("dist")))
-    val w = Window.partitionBy(col("__qid"))
+        "x -> x.d), cast(0.0 as double), (a, b) -> a + b)").as("dist"))
+    val w = Window.partitionBy(keys: _*)
       .orderBy(col("dist").asc, col(idCol).asc)
-    probes.map { p =>
-      scored.filter(col("__cellRank") <= p)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(lit(p.toLong).as("probes"), col("__qid").as("query_id"),
-          col("rank"), col(idCol).as("neighbor_id"),
-          round(col("dist"), 4).as("adc_dist"))
-    }.reduce(_ unionByName _)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one running count per probe setting: row_number within the
+    // cellRank ≤ p subset, evaluated at every row of the total order
+    val ranked = probes.foldLeft(scored) { (df, p) =>
+      df.withColumn(s"__rk_$p",
+        sum(when(col("__cellRank") <= p, 1)).over(w).cast("int"))
+    }
+    ranked
+      .select(keys ++ Seq(col(idCol), col("__cellRank"), col("dist"),
+        explode(array(probes.map(p => struct(
+          lit(p.toLong).as("probes"),
+          col(s"__rk_$p").as("rank"))): _*)).as("__pr")): _*)
+      .filter(col("__cellRank") <= col("__pr.probes") &&
+        col("__pr.rank") <= k)
+      .select(extraKeys.map(col) ++ Seq(
+        col("__pr.probes").as("probes"), col("__qid").as("query_id"),
+        col("__pr.rank").as("rank"), col(idCol).as("neighbor_id"),
+        round(col("dist"), 4).as("adc_dist")): _*)
   }
 
   /** Probe-SWEEP form of [[ivfPqTopK]]: builds the cells, codes, LUT and
@@ -543,11 +585,17 @@ object Similarity {
     * before pinning nprobe, at a single scoring cost instead of
     * |probes| full passes. Per-probe output ≡ [[ivfPqTopK]] at that
     * probe count (SimilaritySpec pins the equivalence). Output:
-    * (probes, query_id, rank, neighbor_id, adc_dist). */
+    * (probes, query_id, rank, neighbor_id, adc_dist).
+    *
+    * `cellsOpt`: pre-assigned corpus cells `(idCol, cell)` — pass a
+    * registry-pinned [[assignCells]] frame when several sweeps over the
+    * same corpus run in one query (x152 runs abs + residual), so the
+    * coarse crossJoin×window assignment is paid once, not per scheme. */
   def ivfPqSweepTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, cidCol: String, cvecCol: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
-                     m: Int, dim: Int, k: Int, probes: Seq[Int]): DataFrame = {
+                     m: Int, dim: Int, k: Int, probes: Seq[Int],
+                     cellsOpt: Option[DataFrame] = None): DataFrame = {
     require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be ≥ 1")
     require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
     require(idCol != cidCol,
@@ -555,7 +603,8 @@ object Similarity {
     val subDim = dim / m
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
-    val cells = assignCells(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
+    val cells = cellsOpt.getOrElse(
+        assignCells(corpus, idCol, vecCol, centroids, cidCol, cvecCol))
       .select(col(idCol), col("cell"))
     val centN = broadcast(centroids.select(col(cidCol), col(cvecCol))
       .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
@@ -640,8 +689,10 @@ object Similarity {
     * PQ oracles pin). Cell assignment = [[assignCells]]' cosine argmax,
     * lowest-cid tie. Centroids broadcast; one narrow join per vector. */
   def residuals(vecs: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
-    val cells = assignCells(vecs, idCol, vecCol, centroids, cidCol, cvecCol)
+                centroids: DataFrame, cidCol: String, cvecCol: String,
+                cellsOpt: Option[DataFrame] = None): DataFrame = {
+    val cells = cellsOpt.getOrElse(
+        assignCells(vecs, idCol, vecCol, centroids, cidCol, cvecCol))
       .select(col(idCol), col("cell"))
     val centD = broadcast(centroids.select(col(cidCol).as("cell"),
       col(cvecCol).cast("array<double>").as("__cellv")))
@@ -731,13 +782,14 @@ object Similarity {
     * [[ivfPqSweepTopK]]: residual codes, per-(query, probed-cell) LUTs
     * and per-candidate ADC distances built ONCE at max(probes), then a
     * filter + re-rank per requested probe count. Per-probe output ≡
-    * ivfPqResidualTopK at that probe count (spec-pinned). */
+    * ivfPqResidualTopK at that probe count (spec-pinned).
+    * `cellsOpt` as in [[ivfPqSweepTopK]] — shared pre-assigned cells. */
   def ivfPqResidualSweepTopK(corpus: DataFrame, idCol: String, vecCol: String,
                              centroids: DataFrame, cidCol: String, cvecCol: String,
                              fine: DataFrame, fcidCol: String, fvecCol: String,
                              queries: DataFrame, qidCol: String, qvecCol: String,
-                             m: Int, dim: Int, k: Int,
-                             probes: Seq[Int]): DataFrame = {
+                             m: Int, dim: Int, k: Int, probes: Seq[Int],
+                             cellsOpt: Option[DataFrame] = None): DataFrame = {
     require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be ≥ 1")
     require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
     require(idCol != fcidCol && idCol != cidCol,
@@ -747,8 +799,9 @@ object Similarity {
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val fineD = fine.select(col(fcidCol), col(fvecCol).cast("array<double>").as("__cv"))
     val resid = residuals(corpus.select(col(idCol), col(vecCol)).repartition(parts),
-      idCol, vecCol, centroids, cidCol, cvecCol)
-    val cells = resid.select(col(idCol), col("cell"))
+      idCol, vecCol, centroids, cidCol, cvecCol, cellsOpt)
+    val cells = cellsOpt.map(_.select(col(idCol), col("cell")))
+      .getOrElse(resid.select(col(idCol), col("cell")))
     val codes = pqCodes(resid.select(col(idCol), col("resid").as("__v")),
       idCol, fineD, fcidCol, m, subDim)
     val centN = broadcast(centroids.select(col(cidCol), col(cvecCol))
@@ -780,6 +833,196 @@ object Similarity {
     sweepRank(
       cand.join(codes, idCol).join(lut, Seq("__qid", "qcell", "s", "code")),
       idCol, k, probes)
+  }
+
+  /** BOTH probe sweeps — absolute-code ([[ivfPqSweepTopK]]) and residual
+    * IVFADC ([[ivfPqResidualSweepTopK]]) — in one pipeline, the shape a
+    * recall-curve comparison (x152) actually runs. Per scheme the output
+    * is row-identical to the standalone sweep (spec-pinned), but the
+    * scheme-INDEPENDENT frames are built once: the corpus cell
+    * assignment (or `cellsOpt`), the query probe-cell ranking, and the
+    * candidate set; and both schemes' ADC rows union into a single
+    * scored/ranked pass (scheme joins the grouping and window keys), so
+    * the comparison pays one shuffle-sort where two standalone sweeps
+    * pay two. Output: (scheme, probes, query_id, rank, neighbor_id,
+    * adc_dist) with scheme ∈ {'abs', 'residual'}. */
+  def ivfPqDualSweepTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, cidCol: String, cvecCol: String,
+                         fine: DataFrame, fcidCol: String, fvecCol: String,
+                         queries: DataFrame, qidCol: String, qvecCol: String,
+                         m: Int, dim: Int, k: Int, probes: Seq[Int],
+                         cellsOpt: Option[DataFrame] = None): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be ≥ 1")
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    require(idCol != fcidCol && idCol != cidCol,
+      s"idCol '$idCol' must differ from centroid id columns — rename first")
+    val subDim = dim / m
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val cells = cellsOpt.getOrElse(
+        assignCells(corpus, idCol, vecCol, centroids, cidCol, cvecCol))
+      .select(col(idCol), col("cell"))
+    // query probe-cell ranking at max(probes) — shared by both schemes
+    val centN = broadcast(centroids.select(col(cidCol), col(cvecCol))
+      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+    val wq = Window.partitionBy(col(qidCol))
+      .orderBy(col("__ccos").desc, col(cidCol).asc)
+    val qcells = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+      .crossJoin(centN)
+      .withColumn("__ccos", dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= probes.max)
+      .select(col(qidCol).as("__qid"), col(cidCol).as("qcell"),
+        col("__rn").as("__cellRank"))
+    // one candidate set (a corpus vector has ONE cell → no dup pairs)
+    val cand = cells.join(broadcast(qcells),
+      col("cell") === col("qcell") && col("__qid") =!= col(idCol))
+      .select(col("__qid"), col("qcell"), col(idCol), col("__cellRank"))
+    // FUSED encode/score pipeline: both schemes ride ONE sub-distance →
+    // argmin-codes pass, ONE broadcast LUT, ONE candidate join chain and
+    // ONE rank pass, with `scheme` a data column rather than a plan fork.
+    // The abs LUT is probe-cell-independent, so its rows carry the -1
+    // sentinel cell and candidates route to it via __lutcell. The
+    // per-scheme rows are identical to the standalone sweeps
+    // (SimilaritySpec pins both equivalences); what changes is the stage
+    // count — one shuffle per pipeline step instead of two.
+    val ev = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .repartition(parts)
+    val resid = residuals(corpus.select(col(idCol), col(vecCol)).repartition(parts),
+      idCol, vecCol, centroids, cidCol, cvecCol, Some(cells))
+    val encodeIn = ev.withColumn("__scheme", lit("abs"))
+      .unionByName(resid.select(col(idCol), col("resid").as("__v"))
+        .withColumn("__scheme", lit("residual")))
+    val books = centroids
+      .select(col(cidCol).as("__code"), col(cvecCol).cast("array<double>").as("__cv"))
+      .withColumn("__scheme", lit("abs"))
+      .unionByName(fine
+        .select(col(fcidCol).as("__code"), col(fvecCol).cast("array<double>").as("__cv"))
+        .withColumn("__scheme", lit("residual")))
+    // query side: abs rows score against the raw query vector (probe-cell
+    // independent → sentinel cell -1); residual rows against the query's
+    // residual to each probed cell
+    val centD = broadcast(centroids.select(col(cidCol).as("qcell"),
+      col(cvecCol).cast("array<double>").as("__cellv")))
+    val qAbs = queries.select(col(qidCol).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qv"))
+      .withColumn("qcell", lit(-1L)).withColumn("__scheme", lit("abs"))
+    val qRes = qcells
+      .join(queries.select(col(qidCol).as("__qid"),
+        col(qvecCol).cast("array<double>").as("__qvd")), Seq("__qid"))
+      .join(centD, Seq("qcell"))
+      .select(col("__qid"), col("qcell").cast("long").as("qcell"),
+        expr("zip_with(__qvd, __cellv, (x, y) -> x - y)").as("__qv"))
+      .withColumn("__scheme", lit("residual"))
+    val qin = qAbs.select(col("__scheme"), col("__qid"), col("qcell"), col("__qv"))
+      .unionByName(qRes.select(col("__scheme"), col("__qid"),
+        col("qcell"), col("__qv")))
+    fusedSweep(encodeIn, books, qin, cand,
+      lutCellFor = when(col("__scheme") === "abs", lit(-1L))
+        .otherwise(col("qcell").cast("long")),
+      idCol, m, subDim, k, probes)
+  }
+
+  /** Shared tail of the fused multi-scheme sweeps: one scheme-tagged
+    * sub-distance → argmin-codes pass over `encodeIn` (__scheme, idCol,
+    * __v) against `books` (__scheme, __code, __cv), one broadcast LUT
+    * from `qin` (__scheme, __qid, qcell, __qv), one candidate join chain
+    * from `cand` (__qid, qcell, idCol, __cellRank), one rank pass.
+    * `lutCellFor` maps a candidate row to the LUT cell key its scheme
+    * uses (−1 sentinel for probe-cell-independent schemes). */
+  private def fusedSweep(encodeIn: DataFrame, books: DataFrame,
+                         qin: DataFrame, cand: DataFrame,
+                         lutCellFor: Column, idCol: String,
+                         m: Int, subDim: Int, k: Int,
+                         probes: Seq[Int]): DataFrame = {
+    val codes = pqSubDists(encodeIn, Seq("__scheme", idCol), "__v",
+        books, "__code", "__cv", m, subDim, joinKeys = Seq("__scheme"))
+      .groupBy(col("__scheme"), col(idCol), col("s"))
+      .agg(min(struct(col("d"), col("__code"))).as("__m"))
+      .select(col("__scheme"), col(idCol), col("s"),
+        col("__m").getField("__code").as("code"))
+    val lut = broadcast(pqSubDists(qin,
+        Seq("__scheme", "__qid", "qcell"), "__qv",
+        books, "__code", "__cv", m, subDim, joinKeys = Seq("__scheme"))
+      .withColumnRenamed("__code", "code")
+      .withColumnRenamed("qcell", "__lutcell"))
+    val joined = cand.join(codes, idCol)
+      .withColumn("__lutcell", lutCellFor)
+      .join(lut, Seq("__scheme", "__qid", "__lutcell", "s", "code"))
+      .select(col("__scheme").as("scheme"), col("__qid"), col(idCol),
+        col("__cellRank"), col("s"), col("d"))
+    sweepRank(joined, idCol, k, probes, extraKeys = Seq("scheme"))
+  }
+
+  /** Several ABS-encoded PQ probe sweeps fused into one pipeline over a
+    * SHARED coarse index — the OPQ comparison shape (Ge et al. '13): the
+    * `variants` are (tag, corpus, centroids, queries) whose vectors
+    * differ by a fixed orthogonal transform (x153 pits the identity
+    * layout against a variance-balancing dimension permutation — a
+    * member of OPQ's restricted rotation family). Inner products are
+    * invariant under any orthogonal transform, so one coarse index
+    * serves every variant; `cells` (the shared assignment) and the query
+    * probe ranking come from the FIRST variant's frames — sharing them
+    * is also what keeps the comparison apples-to-apples (float fold
+    * order is NOT transform-invariant, so per-variant assignment could
+    * flip near-ties between variants). Per variant the output is
+    * row-identical to [[ivfPqSweepTopK]] on that variant's frames with
+    * `cellsOpt = Some(cells)` (spec-pinned). Variant tags must be
+    * distinct; centroid ids must be non-negative (−1 is the fused LUT's
+    * cell sentinel). Output: (scheme = tag, probes, query_id, rank,
+    * neighbor_id, adc_dist). */
+  def ivfPqAbsSweepVariants(variants: Seq[(String, DataFrame, DataFrame, DataFrame)],
+                            idCol: String, vecCol: String,
+                            cidCol: String, cvecCol: String,
+                            qidCol: String, qvecCol: String,
+                            m: Int, dim: Int, k: Int, probes: Seq[Int],
+                            cells: DataFrame): DataFrame = {
+    require(variants.nonEmpty && variants.map(_._1).distinct.length == variants.length,
+      "variant tags must be non-empty and distinct")
+    require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be ≥ 1")
+    require(dim % m == 0, s"dim ($dim) must split evenly into m ($m) subspaces")
+    require(idCol != cidCol,
+      s"idCol and cidCol are both '$idCol' — rename the centroid id first")
+    val subDim = dim / m
+    val spark = variants.head._2.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    val parts = spark.sparkContext.defaultParallelism
+    val cellsP = cells.select(col(idCol), col("cell"))
+    // probe ranking from the first variant's centroids/queries
+    val (_, _, cent0, q0) = variants.head
+    val centN = broadcast(cent0.select(col(cidCol), col(cvecCol))
+      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+    val wq = Window.partitionBy(col(qidCol))
+      .orderBy(col("__ccos").desc, col(cidCol).asc)
+    val qcells = q0.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+      .crossJoin(centN)
+      .withColumn("__ccos", dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= probes.max)
+      .select(col(qidCol).as("__qid"), col(cidCol).as("qcell"),
+        col("__rn").as("__cellRank"))
+    val cand = cellsP.join(broadcast(qcells),
+      col("cell") === col("qcell") && col("__qid") =!= col(idCol))
+      .select(col("__qid"), col("qcell"), col(idCol), col("__cellRank"))
+    val encodeIn = variants.map { case (tag, c, _, _) =>
+      c.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+        .repartition(parts).withColumn("__scheme", lit(tag))
+    }.reduce(_ unionByName _)
+    val books = variants.map { case (tag, _, ct, _) =>
+      ct.select(col(cidCol).as("__code"),
+          col(cvecCol).cast("array<double>").as("__cv"))
+        .withColumn("__scheme", lit(tag))
+    }.reduce(_ unionByName _)
+    val qin = variants.map { case (tag, _, _, qv) =>
+      qv.select(col(qidCol).as("__qid"),
+          col(qvecCol).cast("array<double>").as("__qv"))
+        .withColumn("qcell", lit(-1L)).withColumn("__scheme", lit(tag))
+        .select(col("__scheme"), col("__qid"), col("qcell"), col("__qv"))
+    }.reduce(_ unionByName _)
+    fusedSweep(encodeIn, books, qin, cand, lutCellFor = lit(-1L),
+      idCol, m, subDim, k, probes)
   }
 
   /** Trained k-means state: per-vector assignments plus the learned

@@ -371,19 +371,29 @@ object TextOps {
       .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
     val cwl = trTok.groupBy(col(labelCol), col("tok"))
       .agg(count(lit(1)).as("c_wl"))
-    val cl = trTok.groupBy(col(labelCol)).agg(count(lit(1)).as("c_l"))
-    val vocabN = broadcast(trTok.agg(countDistinct(col("tok")).as("v_n")))
+    // model-sized stats registry-cached: cl and vocabN sit under SEVERAL
+    // broadcast sites (labels ×2, lw), and every broadcast job otherwise
+    // re-runs its full groupBy pass over the training tokens — the x131
+    // job census read 41 jobs for one query before these pins
+    val cl = graft.ops.InternalCaches.register(
+      trTok.groupBy(col(labelCol)).agg(count(lit(1)).as("c_l")))
+    val vocabN = broadcast(graft.ops.InternalCaches.register(
+      trTok.agg(countDistinct(col("tok")).as("v_n"))))
     val micro = (e: String) =>
       s"CAST(floor(ln($e) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
-    val labels = docs.filter(trainPred).groupBy(col(labelCol))
-      .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(docs.filter(trainPred).agg(count(lit(1)).as("n_tot"))))
-      .join(cl, Seq(labelCol)).crossJoin(vocabN)
-      .select(col(labelCol).as("cand"),
-        expr(micro("CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)"))
-          .as("prior_m"),
-        expr(micro("CAST(1.0 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE)"))
-          .as("def_m"))
+    // label priors/defaults cached as well: broadcast at two sites
+    // (contrib's def_m, scored's prior_m), each otherwise re-scanning
+    // documents for the per-label counts
+    val labels = graft.ops.InternalCaches.register(
+      docs.filter(trainPred).groupBy(col(labelCol))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(docs.filter(trainPred).agg(count(lit(1)).as("n_tot"))))
+        .join(cl, Seq(labelCol)).crossJoin(vocabN)
+        .select(col(labelCol).as("cand"),
+          expr(micro("CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)"))
+            .as("prior_m"),
+          expr(micro("CAST(1.0 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE)"))
+            .as("def_m")))
     val lw = cwl.join(cl, Seq(labelCol)).crossJoin(vocabN)
       .select(col(labelCol).as("cand"), col("tok"),
         expr(micro("CAST(c_wl + 1 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE)"))
@@ -468,11 +478,17 @@ object TextOps {
         .limit(1).collect()                  // 1 row — bounded model state
       // pairs over the PRE-merge corpus of this round = the post-merge
       // token count of the PREVIOUS round, via tokens = pairs + N₁.
-      // The CollectMetrics node can be optimized away when a tiny
-      // in-memory corpus collapses to a LocalRelation (empty-relation
-      // propagation) — fall back to an explicit count then; parquet-
-      // backed corpora always ride the free observe.
-      val pairsBefore = obs.get.get("np").map(_.asInstanceOf[Long])
+      // Bounded wait, not obs.get: the metric arrives on the async
+      // listener bus (usually instantly after the collect above), but
+      // when the optimizer collapses a tiny in-memory corpus the
+      // observation resolves to an EMPTY row (measured — TrainingSpec's
+      // exhaustion case hits it), and if the CollectMetrics node were
+      // ever dropped entirely the future would never resolve — so both
+      // the await and the single-metric extraction sit inside the Try
+      // and the explicit-count fallback is genuinely reachable.
+      val pairsBefore = scala.util.Try(
+          scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(10, "s")).getLong(0))
         .getOrElse(pairRows(cur).count())
       if (step >= 2) tokensAfter += pairsBefore + n1
       if (top.isEmpty) exhausted = true

@@ -366,6 +366,19 @@ class MultimodalSpec extends SparkSpec {
     }
     val bad = avi.clone(); bad(movi + 4) = (bad(movi + 4) + 1).toByte
     assert(VideoCodecs.decode(bad).isEmpty)
+    // chunk size near Int.MaxValue: p + 8 + sz wraps negative in Int
+    // arithmetic — the bound check must run in Long and reject (None),
+    // not crash the decode task with ArrayIndexOutOfBoundsException
+    val huge = avi.clone()
+    huge(movi + 4) = 0xf8.toByte; huge(movi + 5) = 0xff.toByte
+    huge(movi + 6) = 0xff.toByte; huge(movi + 7) = 0x7f.toByte
+    assert(VideoCodecs.decode(huge).isEmpty)
+    // same wrap inside the hdrl and strl walks: overwrite the avih size
+    val hugeH = avi.clone()
+    // avih chunk size field sits at byte 28 (RIFF 12 + LIST hdr 12 + id 4)
+    hugeH(28) = 0xf8.toByte; hugeH(29) = 0xff.toByte
+    hugeH(30) = 0xff.toByte; hugeH(31) = 0x7f.toByte
+    assert(VideoCodecs.decode(hugeH).isEmpty)
   }
 
   test("MJPEG AVI: every frame rides the real JPEG decoder, sums add across frames") {

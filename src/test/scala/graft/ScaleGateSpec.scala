@@ -3,53 +3,73 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** The 10× scale gate — r7 directive #4 promoted from a one-off rehearsal
-  * to a standing, build-failing check: the five heaviest catalog chains
-  * must scale ≤ ~linear from sf0.1 to an sf1-equivalent synthetic corpus,
-  * so a quadratic regression (the all-pairs candidate-blowup class, which
+  * to a standing, build-failing check: the heaviest catalog chains must
+  * scale ≤ ~linear from sf0.1 to an sf1-equivalent synthetic corpus, so a
+  * quadratic regression (the all-pairs candidate-blowup class, which
   * lands 3-8× over the band at 10×) is caught by `sbt test`, not by a
   * judge three rounds later.
   *
   * Fixture (the tools/make_sf1synth.py recipe, rebuilt here in Spark so
-  * the gate is sbt-self-contained): ten shards of the sf0.1 documents
-  * table — shard 0 verbatim; shard k>0 offsets doc_id by k·10⁶ and
+  * the gate is sbt-self-contained): ten shards of the sf0.1 tables —
+  * shard 0 verbatim; documents shard k>0 offsets doc_id by k·10⁶ and
   * suffixes EVERY space-separated word with a letter-only tag 'x'+letter
   * (letters only, so TextOps.normalize cannot split the tag off and
   * resurrect the original token). Intra-shard duplicate structure is
   * preserved exactly and cross-shard token overlap is ZERO, so candidate
-  * pairs scale ~10× with rows — the honest 10× shape. Built once per
-  * machine into /tmp (row-count-stamped) and reused across runs; only
-  * the documents table is materialized because only it feeds the gated
-  * chains.
+  * pairs scale ~10× with rows — the honest 10× shape. Embeddings shard
+  * k>0 offsets vec_id by k·10⁶ and keeps the vector verbatim: the frozen
+  * 16-centroid codebooks (built from vec_id < 16, shard 0 only) see each
+  * IVF cell grow exactly 10×, which is what a fixed-nlist index faces
+  * when the corpus grows — per-query candidates scale linearly with
+  * rows. Built once per user into /tmp (row-count-stamped, dir scoped by
+  * user name so concurrent checkouts don't fight — ADVICE r9) and reused
+  * across runs.
   *
   * Gate: min-of-2 warm wall at sf1synth ≤ BAND × 10 × min-of-2 warm wall
-  * at sf0.1, plus a 2 s absolute floor so a sub-second baseline is not
-  * graded on scheduler noise. Timings run on the suite's shared local[4]
-  * session — the RATIO is what's asserted, and both sides pay the same
-  * parallelism, so the band transfers from the local[32] SCALE.md
-  * rehearsals (which measured 0.3–0.8× of linear for these chains).
+  * at sf0.1, plus a 3 s absolute floor so a sub-second baseline is not
+  * graded on scheduler noise. A breach is RE-MEASURED once before it
+  * fails the build (both scales re-timed): a transient load spike on the
+  * machine then produces a second clean measurement instead of a flaky
+  * red (ADVICE r9) — a genuine quadratic regression lands far outside
+  * the band on both tries. `GRAFT_SCALE_GATE=0` skips the gate entirely
+  * (for constrained machines); default is ON — it is the standing
+  * regression tripwire for the superlinear-blowup class.
+  *
+  * Timings run on the suite's shared local[4] session — the RATIO is
+  * what's asserted, and both sides pay the same parallelism, so the band
+  * transfers from the local[32] SCALE.md rehearsals (which measured
+  * 0.3–0.8× of linear for these chains).
   */
 class ScaleGateSpec extends SparkSpec {
 
   private val sf01 = "/root/testdata/sf0.1"
-  private val fixtureDir = "/tmp/graft_sf1synth_spark"
+  private val fixtureDir =
+    s"/tmp/graft_sf1synth_spark_${sys.props.getOrElse("user.name", "anon")}"
   private val Band = 1.35
-  private val AbsSlackSec = 2.0
+  private val AbsSlackSec = 3.0
 
+  /** (query, which fixture tables it reads). documents chains: the r8
+    * five. r9 directive #3 added the trainer loops — x150 (iterated BPE
+    * over documents), x151 (maintained ANN index over embeddings), x123
+    * (IVFADC, the heaviest embeddings read path). */
   private val gated = Seq(
     "x27_lsh_dedup_pipeline",
     "x49_incremental_dedup",
     "x113_lsh_recall",
     "x117_substring_spans",
-    "x135_prefix_filter_join")
+    "x135_prefix_filter_join",
+    "x150_bpe_train",
+    "x151_ann_index_upsert",
+    "x123_ivf_pq_residual_ann")
 
   private def ensureFixture(): Unit = {
     val docs = Tables.load(spark, sf01, "documents")
-    val n = docs.count()
-    val target = new java.io.File(s"$fixtureDir/documents.parquet")
-    val fresh = target.exists() &&
-      (try spark.read.parquet(target.toString).count() == 10 * n
+    val nDocs = docs.count()
+    val docsTarget = new java.io.File(s"$fixtureDir/documents.parquet")
+    val docsFresh = docsTarget.exists() &&
+      (try spark.read.parquet(docsTarget.toString).count() == 10 * nDocs
       catch { case _: Throwable => false })
-    if (!fresh) {
+    if (!docsFresh) {
       val shards = (0 until 10).map { k =>
         if (k == 0)
           docs.select(col("doc_id"), col("text"), col("lang"),
@@ -65,7 +85,21 @@ class ScaleGateSpec extends SparkSpec {
         }
       }
       shards.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(target.toString)
+        .write.mode("overwrite").parquet(docsTarget.toString)
+    }
+    val emb = Tables.load(spark, sf01, "embeddings")
+    val nEmb = emb.count()
+    val embTarget = new java.io.File(s"$fixtureDir/embeddings.parquet")
+    val embFresh = embTarget.exists() &&
+      (try spark.read.parquet(embTarget.toString).count() == 10 * nEmb
+      catch { case _: Throwable => false })
+    if (!embFresh) {
+      val shards = (0 until 10).map { k =>
+        emb.select((col("vec_id") + k * 1000000L).as("vec_id"),
+          col("embedding"), col("label"))
+      }
+      shards.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(embTarget.toString)
     }
   }
 
@@ -83,12 +117,23 @@ class ScaleGateSpec extends SparkSpec {
     math.min(once(), once())
   }
 
-  test("10x scale gate: heavy dedup/winnow chains stay ≤ ~linear from sf0.1 to sf1-synth") {
+  private def measure(q: String): (String, Double, Double, Double) = {
+    val t01 = time(q, sf01)
+    val t1 = time(q, fixtureDir)
+    (q, t01, t1, t1 / (10 * t01))
+  }
+
+  test("10x scale gate: heavy dedup/winnow/trainer chains stay ≤ ~linear from sf0.1 to sf1-synth") {
+    assume(sys.env.getOrElse("GRAFT_SCALE_GATE", "1") != "0",
+      "scale gate disabled via GRAFT_SCALE_GATE=0")
     ensureFixture()
     val rows = gated.map { q =>
-      val t01 = time(q, sf01)
-      val t1 = time(q, fixtureDir)
-      (q, t01, t1, t1 / (10 * t01))
+      val first = measure(q)
+      // one re-measure before a breach fails the build: transient machine
+      // load shows up as a clean second try; a real superlinear blowup
+      // breaches both times
+      if (first._3 <= Band * 10 * first._2 + AbsSlackSec) first
+      else { info(f"${first._1} breached on first try (${first._4}%.2fx of linear) — re-measuring"); measure(q) }
     }
     val table = rows.map { case (q, t01, t1, r) =>
       f"$q%-28s sf0.1 $t01%6.2fs  sf1 $t1%7.2fs  vs-linear $r%5.2fx"

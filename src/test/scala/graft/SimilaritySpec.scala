@@ -453,4 +453,67 @@ class SimilaritySpec extends SparkSpec {
         s"residual sweep slice p=$p drifted from ivfPqResidualTopK")
     }
   }
+
+  test("dual sweep: per-scheme slices ≡ the standalone sweeps, and pinLocal/cellsOpt change nothing") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val fine = Similarity.pinLocal(Similarity.residuals(
+        emb.filter($"vec_id" >= 16 && $"vec_id" < 32),
+        "vec_id", "embedding", cent, "cid", "cvec")
+      .select($"vec_id".as("fcid"), $"resid".as("fvec")))
+    val qs = emb.filter($"vec_id" < 8)
+    val probes = Seq(1, 2, 4)
+    val cells = Similarity.assignCells(
+        emb, "vec_id", "embedding", cent, "cid", "cvec")
+      .select($"vec_id", $"cell")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probes", $"query_id", $"rank", $"neighbor_id", $"adc_dist")
+        .as[(Long, Long, Int, Long, Double)].collect().toSet
+    val dual = Similarity.ivfPqDualSweepTopK(emb, "vec_id", "embedding",
+      cent, "cid", "cvec", fine, "fcid", "fvec", qs, "vec_id", "embedding",
+      m = 8, dim = 64, k = 5, probes = probes, cellsOpt = Some(cells))
+    assert(rows(dual.filter($"scheme" === "abs")) ==
+      rows(Similarity.ivfPqSweepTopK(emb, "vec_id", "embedding",
+        cent, "cid", "cvec", qs, "vec_id", "embedding",
+        m = 8, dim = 64, k = 5, probes = probes)),
+      "dual sweep abs slice drifted from ivfPqSweepTopK")
+    assert(rows(dual.filter($"scheme" === "residual")) ==
+      rows(Similarity.ivfPqResidualSweepTopK(emb, "vec_id",
+        "embedding", cent, "cid", "cvec", fine, "fcid", "fvec",
+        qs, "vec_id", "embedding", m = 8, dim = 64, k = 5, probes = probes)),
+      "dual sweep residual slice drifted from ivfPqResidualSweepTopK")
+  }
+
+  test("abs sweep variants: each variant slice ≡ ivfPqSweepTopK on that variant over the shared cells") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // variant B: reverse the dimension order — an orthogonal transform
+    val embR = emb.select($"vec_id",
+      org.apache.spark.sql.functions.array(
+        (0 until 64).reverse.map(i => $"embedding".getItem(i)): _*).as("embedding"))
+    def centOf(e: org.apache.spark.sql.DataFrame) = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    def qsOf(e: org.apache.spark.sql.DataFrame) = e.filter($"vec_id" < 8)
+    val cells = Similarity.assignCells(
+        emb, "vec_id", "embedding", centOf(emb), "cid", "cvec")
+      .select($"vec_id", $"cell")
+    val probes = Seq(1, 3)
+    val out = Similarity.ivfPqAbsSweepVariants(
+      Seq(("a", emb, centOf(emb), qsOf(emb)),
+        ("b", embR, centOf(embR), qsOf(embR))),
+      "vec_id", "embedding", "cid", "cvec", "vec_id", "embedding",
+      m = 8, dim = 64, k = 5, probes = probes, cells = cells)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probes", $"query_id", $"rank", $"neighbor_id", $"adc_dist")
+        .as[(Long, Long, Int, Long, Double)].collect().toSet
+    for ((tag, c, ct, qv) <- Seq(("a", emb, centOf(emb), qsOf(emb)),
+      ("b", embR, centOf(embR), qsOf(embR)))) {
+      assert(rows(out.filter($"scheme" === tag)) ==
+        rows(Similarity.ivfPqSweepTopK(c, "vec_id", "embedding",
+          ct, "cid", "cvec", qv, "vec_id", "embedding",
+          m = 8, dim = 64, k = 5, probes = probes,
+          cellsOpt = Some(cells))),
+        s"variant '$tag' drifted from the standalone sweep")
+    }
+  }
 }
