@@ -161,9 +161,14 @@ class BronzeStageSpec extends SparkSpec {
     val got = spark.read.format("graft-xlsx").load(s"$dir/*.xlsx")
       .select("sheet").distinct().as[String].collect().toSeq
     assert(got == Seq("sheet1"))
-    val missing = intercept[Exception] {
-      spark.read.format("graft-xlsx").load(s"$dir/nope/*.xlsx")
-        .collect()
+    // deliberate failure path — silence the listener-bus echo of the
+    // expected FileNotFoundException so a green suite log stays clean
+    val missing = quietLoggers(Seq(
+      "org.apache.spark.sql.util.ExecutionListenerBus")) {
+      intercept[Exception] {
+        spark.read.format("graft-xlsx").load(s"$dir/nope/*.xlsx")
+          .collect()
+      }
     }
     assert(missing.getMessage.contains("no files match") ||
       Option(missing.getCause).exists(_.getMessage.contains("no files match")))

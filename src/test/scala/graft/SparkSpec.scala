@@ -21,6 +21,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterEach {
     graft.ops.InternalCaches.drainAll(spark)
     super.afterEach()
   }
+
+  /** Run `body` with the given loggers silenced (levels restored after).
+    * For DELIBERATE failure paths only — a test that provokes an
+    * exception Spark's listener bus also logs at ERROR would otherwise
+    * leave noise in a fully-green suite log, masking real errors. */
+  def quietLoggers[A](names: Seq[String])(body: => A): A = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val prior = names.map(n => n -> LogManager.getLogger(n).getLevel)
+    names.foreach(n => Configurator.setLevel(n, Level.OFF))
+    try body
+    finally prior.foreach { case (n, lvl) => Configurator.setLevel(n, lvl) }
+  }
 }
 
 object SparkSpec {

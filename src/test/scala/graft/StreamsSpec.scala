@@ -19,20 +19,14 @@ class StreamsSpec extends SparkSpec {
     * are silenced for exactly that window (and restored after), and
     * termination is awaited so afterEach's cache drain never overlaps a
     * dying query. */
-  private def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    import org.apache.logging.log4j.{Level, LogManager}
-    import org.apache.logging.log4j.core.config.Configurator
-    val noisy = Seq(
+  private def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    quietLoggers(Seq(
       "org.apache.spark.sql.execution.streaming",
       "org.apache.spark.executor.Executor",
-      "org.apache.spark.scheduler.TaskSetManager")
-    val prior = noisy.map(n => n -> LogManager.getLogger(n).getLevel)
-    noisy.foreach(n => Configurator.setLevel(n, Level.OFF))
-    try {
+      "org.apache.spark.scheduler.TaskSetManager")) {
       q.stop()
       q.awaitTermination(30000)
-    } finally prior.foreach { case (n, lvl) => Configurator.setLevel(n, lvl) }
-  }
+    }
 
   test("file-source stream: checkpoint restart resumes offsets, exactly-once output") {
     // the crash-recovery posture: a file drop is ingested by one query
