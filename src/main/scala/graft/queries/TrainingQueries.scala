@@ -384,6 +384,42 @@ object TrainingQueries {
         .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit"))
         .select(col("scheme"), col("probes"), col("qid"),
           col("n_hit"), (col("n_hit").cast("double") / 10).as("recall"))
+    }),
+
+    // ───── GPT-style sequence packing (the dataloader op every LLM
+    // pretraining pipeline runs): documents concatenate into a token
+    // stream — each doc followed by ONE separator token (EOS) — and the
+    // stream is cut into fixed 512-token training bins, docs crossing
+    // bin boundaries (concat-and-chunk, not first-fit: first-fit needs
+    // sequential remainder state; concat-and-chunk is the production
+    // default AND a closed-form window). Packing is PER SOURCE — the
+    // per-shard packing a distributed loader does (a single global
+    // stream would serialize the window into one partition; per-source
+    // parallelizes exactly like x136's group-relative windows, skew
+    // bounded by the largest source). All integer: token counts are x10's
+    // non-empty whitespace tokens of the normalized text; stream
+    // position is an exclusive running sum; bins/offsets are integer
+    // div/mod. Output row per packed doc: where it starts (stream_pos,
+    // bin_first, bin_offset), where it ends (bin_last), n_tokens
+    "x154_sequence_packing" -> ((s, d) => {
+      val B = 512L
+      val n = size(filter(TextOps.tokens(col("text")), w => w =!= ""))
+        .cast("long")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("source").isNotNull)
+        .select(col("source"), col("doc_id"), n.as("n_tokens"))
+        .filter(col("n_tokens") >= 1)
+        .withColumn("stream_pos",
+          coalesce(sum(col("n_tokens") + lit(1L)).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("stream_pos"),
+          expr(s"stream_pos div $B").as("bin_first"),
+          // end index = stream_pos + (n_tokens + 1) - 1
+          expr(s"(stream_pos + n_tokens) div $B").as("bin_last"),
+          expr(s"stream_pos % $B").as("bin_offset"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -574,5 +610,25 @@ object TrainingQueries {
            UNION ALL SELECT 'opqperm', CAST(2 AS BIGINT), qid, n_hit,
              CAST(n_hit AS DOUBLE) / 10 FROM hitP2
            UNION ALL SELECT 'opqperm', CAST(4 AS BIGINT), qid, n_hit,
-             CAST(n_hit AS DOUBLE) / 10 FROM hitP4)""")
+             CAST(n_hit AS DOUBLE) / 10 FROM hitP4)""",
+    // x154: x10's token convention → per-source exclusive running sum of
+    // (n_tokens + 1 separator) → integer bin/offset arithmetic
+    "x154_sequence_packing" ->
+      s"""WITH d AS (SELECT source, doc_id,
+             CAST(len(list_filter(string_split(${normOf("text")}, ' '),
+               w -> w <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND source IS NOT NULL),
+         p AS (SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS stream_pos
+           FROM d WHERE n_tokens >= 1)
+         SELECT source, doc_id, n_tokens, stream_pos,
+           CAST(stream_pos // 512 AS BIGINT) AS bin_first,
+           CAST((stream_pos + n_tokens) // 512 AS BIGINT) AS bin_last,
+           CAST(stream_pos % 512 AS BIGINT) AS bin_offset
+         FROM p""")
 }

@@ -73,4 +73,30 @@ class TrainingSpec extends SparkSpec {
       mean(("residual", 2L)) <= mean(("residual", 4L)),
       s"residual recall curve not monotone: $mean")
   }
+
+  test("x154 sequence packing: stream reconstruction, bin arithmetic, per-source independence") {
+    val out = graft.queries.TrainingQueries.defs("x154_sequence_packing")(
+      spark, "/root/testdata/sf0.001")
+      .select($"source", $"doc_id", $"n_tokens", $"stream_pos",
+        $"bin_first", $"bin_last", $"bin_offset")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val B = 512L
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // the stream is EXACTLY the concatenation: each doc's position is
+      // the running sum of (tokens + separator) of every prior doc
+      var pos = 0L
+      sorted.foreach { case (_, id, n, sp, bf, bl, off) =>
+        assert(sp == pos, s"$src/$id stream_pos $sp != reconstructed $pos")
+        assert(n >= 1, s"$src/$id zero-token doc leaked into the pack")
+        assert(bf == sp / B && off == sp % B && bl == (sp + n) / B,
+          s"$src/$id bin arithmetic drifted")
+        assert(bl >= bf, s"$src/$id bin_last < bin_first")
+        pos += n + 1
+      }
+    }
+    // cross-source independence: every source's stream starts at 0
+    assert(out.groupBy(_._1).values.forall(_.map(_._4).min == 0L))
+  }
 }
