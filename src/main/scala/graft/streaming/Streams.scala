@@ -316,6 +316,62 @@ object Streams {
       .transformWithState(proc, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming face of x154's concat-and-chunk sequence packing: each
+    * source's token-stream write head is MAINTAINED state (two longs —
+    * last packed doc id, next stream position) instead of a per-epoch
+    * batch window, so arriving documents are assigned their training-bin
+    * positions the moment they land — the continuously-fed dataloader
+    * manifest. Contract: per-source delivery in doc-id order (the loader
+    * shard contract — a shard reads its source sequentially; within a
+    * micro-batch the processor sorts, across batches the source must not
+    * regress), under which a redelivered doc (id ≤ last packed) emits
+    * nothing and advances nothing — at-least-once delivery yields
+    * exactly-once positions, the same discipline as the x151 index
+    * ([[incrementalAnnStep]]). Zero-token docs are skipped without
+    * consuming a position (x154's filter). Emits one row per NEWLY
+    * packed doc: (source, doc_id, n_tokens, stream_pos); bins/offsets
+    * are stateless integer arithmetic downstream, exactly as x154
+    * derives them. StreamsSpec proves stream ≡ the batch x154 window
+    * over the same increments, including the redelivery no-op. */
+  def streamingPackingOffsets(stream: DataFrame, sourceCol: String,
+                              idCol: String, tokensCol: String)
+      : Dataset[(String, Long, Long, Long)] = {
+    implicit val inEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong)
+    val stEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val proc = new StatefulProcessor[String, (String, Long, Long),
+        (String, Long, Long, Long)] {
+      @transient private var head: ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        head = getHandle.getValueState[(Long, Long)]("head", stEnc, TTLConfig.NONE)
+      override def handleInputRows(key: String,
+                                   rows: Iterator[(String, Long, Long)],
+                                   timerValues: TimerValues)
+          : Iterator[(String, Long, Long, Long)] = {
+        var (lastId, next) =
+          if (head.exists()) head.get() else (Long.MinValue, 0L)
+        val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
+          if (id <= lastId || n < 1) None // redelivery / empty doc: no-op
+          else {
+            val pos = next
+            lastId = id; next += n + 1 // doc + one separator token
+            Some((key, id, n, pos))
+          }
+        }
+        head.update((lastId, next))
+        out.iterator
+      }
+    }
+    stream
+      .select(col(sourceCol).cast("string"), col(idCol).cast("long"),
+        col(tokensCol).cast("long"))
+      .as[(String, Long, Long)](inEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** foreachBatch upsert sink: idempotent micro-batch loads into a parquet
     * target (reference K1 semantics under streaming). */
   def upsertEachBatch(writer: DataStreamWriter[Row], targetPath: String,

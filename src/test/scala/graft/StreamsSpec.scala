@@ -405,6 +405,44 @@ class StreamsSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("streamingPackingOffsets ≡ batch x154 positions over the same increments; redelivery and empty docs no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = Streams.streamingPackingOffsets(
+      mem.toDF().toDF("source", "doc_id", "n_tokens"),
+      "source", "doc_id", "n_tokens")
+    val q = out.toDF("source", "doc_id", "n_tokens", "stream_pos")
+      .writeStream.format("memory").queryName("tws_pack")
+      .outputMode("append").start()
+    try {
+      prior.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+      // batch 1: two sources, out-of-order WITHIN the batch (sorted by
+      // the processor), one zero-token doc that must consume nothing
+      mem.addData(("a", 2L, 7L), ("a", 1L, 3L), ("b", 1L, 5L), ("a", 3L, 0L))
+      q.processAllAvailable()
+      // batch 2: continuation + a pure redelivery of (a, 2)
+      mem.addData(("a", 4L, 2L), ("a", 2L, 7L), ("b", 2L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("tws_pack")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // batch x154 semantics over the union of all delivered rows: per
+      // source in doc_id order, exclusive running sum of (tokens + 1)
+      val expected = Set(
+        ("a", 1L, 3L, 0L),  // stream: [0,2] + sep at 3
+        ("a", 2L, 7L, 4L),  // [4,10] + sep at 11
+        ("a", 4L, 2L, 12L), // doc 3 had 0 tokens — skipped, no position
+        ("b", 1L, 5L, 0L),
+        ("b", 2L, 1L, 6L))
+      assert(got == expected, s"stream drifted from batch packing: $got")
+      // exactly-once: the redelivered (a, 2) emitted exactly once
+      assert(spark.table("tws_pack").count() == 5)
+    } finally stopQuietly(q)
+  }
+
   test("streamingRunningTotals with a TTL starts and accumulates (processing-time mode)") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
