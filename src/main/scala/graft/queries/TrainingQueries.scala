@@ -401,26 +401,55 @@ object TrainingQueries {
     // position is an exclusive running sum; bins/offsets are integer
     // div/mod. Output row per packed doc: where it starts (stream_pos,
     // bin_first, bin_offset), where it ends (bin_last), n_tokens
-    "x154_sequence_packing" -> ((s, d) => {
+    "x154_sequence_packing" -> ((s, d) => sequencePack(s, d)),
+
+    // ───── packing efficiency report — the utilization metric a loader
+    // fleet monitors per shard: bins consumed, padding tokens lost in
+    // each source's final partial bin, boundary-straddling doc count
+    // (each straddle is a doc whose loss masks span bins), utilization
+    // in integer ppm. Pure aggregation of x154's frame (one shared
+    // builder, so the report can never drift from the packing)
+    "x155_packing_report" -> ((s, d) => {
       val B = 512L
-      val n = size(filter(TextOps.tokens(col("text")), w => w =!= ""))
-        .cast("long")
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, d, "documents")
-        .filter(col("doc_id").isNotNull && col("text").isNotNull
-          && col("source").isNotNull)
-        .select(col("source"), col("doc_id"), n.as("n_tokens"))
-        .filter(col("n_tokens") >= 1)
-        .withColumn("stream_pos",
-          coalesce(sum(col("n_tokens") + lit(1L)).over(w), lit(0L)))
-        .select(col("source"), col("doc_id"), col("n_tokens"),
-          col("stream_pos"),
-          expr(s"stream_pos div $B").as("bin_first"),
-          // end index = stream_pos + (n_tokens + 1) - 1
-          expr(s"(stream_pos + n_tokens) div $B").as("bin_last"),
-          expr(s"stream_pos % $B").as("bin_offset"))
+      sequencePack(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_tokens") + lit(1L)).as("stream_len"),
+          sum(when(col("bin_last") > col("bin_first"), 1L).otherwise(0L))
+            .as("n_straddling"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          expr(s"(stream_len + ${B - 1}) div $B").as("n_bins"),
+          expr(s"((stream_len + ${B - 1}) div $B) * $B - stream_len")
+            .as("pad_tokens"),
+          col("n_straddling"),
+          expr(s"(total_tokens * CAST(1000000 AS BIGINT)) div " +
+            s"(((stream_len + ${B - 1}) div $B) * $B)").as("utilization_ppm"))
     }))
+
+  /** x154's packed frame — shared by the per-doc catalog entry and the
+    * x155 report so the two can never drift. See the x154 map entry for
+    * the semantics. */
+  private def sequencePack(s: SparkSession, d: String): DataFrame = {
+    val B = 512L
+    val n = size(filter(TextOps.tokens(col("text")), w => w =!= ""))
+      .cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull
+        && col("source").isNotNull)
+      .select(col("source"), col("doc_id"), n.as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("stream_pos",
+        coalesce(sum(col("n_tokens") + lit(1L)).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("stream_pos"),
+        expr(s"stream_pos div $B").as("bin_first"),
+        // end index = stream_pos + (n_tokens + 1) - 1
+        expr(s"(stream_pos + n_tokens) div $B").as("bin_last"),
+        expr(s"stream_pos % $B").as("bin_offset"))
+  }
 
   val oracle: Map[String, String] = Map(
     "x150_bpe_train" ->
@@ -630,5 +659,36 @@ object TrainingQueries {
            CAST(stream_pos // 512 AS BIGINT) AS bin_first,
            CAST((stream_pos + n_tokens) // 512 AS BIGINT) AS bin_last,
            CAST(stream_pos % 512 AS BIGINT) AS bin_offset
-         FROM p""")
+         FROM p""",
+    // x155: x154's CTEs aggregated per source — bins, padding, straddles,
+    // integer-ppm utilization
+    "x155_packing_report" ->
+      s"""WITH d AS (SELECT source, doc_id,
+             CAST(len(list_filter(string_split(${normOf("text")}, ' '),
+               w -> w <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND source IS NOT NULL),
+         p AS (SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS stream_pos
+           FROM d WHERE n_tokens >= 1),
+         g AS (SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_tokens + 1) AS BIGINT) AS stream_len,
+             CAST(SUM(CASE WHEN (stream_pos + n_tokens) // 512
+                 > stream_pos // 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddling
+           FROM p GROUP BY source)
+         SELECT source, n_docs, total_tokens,
+           CAST((stream_len + 511) // 512 AS BIGINT) AS n_bins,
+           CAST(((stream_len + 511) // 512) * 512 - stream_len AS BIGINT)
+             AS pad_tokens,
+           n_straddling,
+           CAST((total_tokens * 1000000) // (((stream_len + 511) // 512) * 512)
+             AS BIGINT) AS utilization_ppm
+         FROM g""")
 }

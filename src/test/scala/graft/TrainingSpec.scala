@@ -98,5 +98,25 @@ class TrainingSpec extends SparkSpec {
     }
     // cross-source independence: every source's stream starts at 0
     assert(out.groupBy(_._1).values.forall(_.map(_._4).min == 0L))
+
+    // x155 report cross-lock: the aggregate can never drift from the
+    // per-doc frame it is built on
+    val rep = graft.queries.TrainingQueries.defs("x155_packing_report")(
+      spark, "/root/testdata/sf0.001")
+      .select($"source", $"n_docs", $"total_tokens", $"n_bins",
+        $"pad_tokens", $"n_straddling", $"utilization_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep.keySet == out.map(_._1).toSet)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val (_, nd, tt, nb, pad, ns, u) = rep(src)
+      assert(nd == rows.size && tt == rows.map(_._3).sum)
+      val streamLen = rows.map(r => r._3 + 1).sum
+      assert(nb == (streamLen + B - 1) / B && pad == nb * B - streamLen)
+      assert(pad >= 0 && pad < B, s"$src pad $pad outside [0, $B)")
+      assert(nb >= rows.map(_._6).max + 1, s"$src bins < max bin_last+1")
+      assert(ns == rows.count(r => r._6 > r._5))
+      assert(u == tt * 1000000L / (nb * B) && u <= 1000000L)
+    }
   }
 }
