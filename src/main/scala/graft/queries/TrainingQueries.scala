@@ -403,6 +403,29 @@ object TrainingQueries {
     // bin_first, bin_offset), where it ends (bin_last), n_tokens
     "x154_sequence_packing" -> ((s, d) => sequencePack(s, d)),
 
+    // ───── next-fit packing WITHOUT splitting (the padding-based
+    // dataloader strategy — finetuning/eval loaders that must keep each
+    // document whole): docs in doc_id order per source; a doc that does
+    // not fit the current bin's remainder opens a new bin. Inherently a
+    // non-associative sequential recurrence (no prefix-sum closed form),
+    // so the scale shape is sequential-within-source / parallel-across-
+    // sources: one repartition-by-source + secondary sort + a forward
+    // mapPartitions scan with O(1) state (graft.ops.Packing). Same token
+    // convention and 512 capacity as x154 so the two strategies are
+    // directly comparable (x154 splits, zero padding waste inside the
+    // stream; x156 pads, zero straddling)
+    "x156_nextfit_packing" -> ((s, d) => {
+      val n = size(filter(TextOps.tokens(col("text")), w => w =!= ""))
+        .cast("long")
+      val base = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("source").isNotNull)
+        .select(col("source"), col("doc_id"), n.as("n_tokens"))
+        .filter(col("n_tokens") >= 1)
+      graft.ops.Packing.nextFitPack(base, "source", "doc_id", "n_tokens",
+        capacity = 512L)
+    }),
+
     // ───── packing efficiency report — the utilization metric a loader
     // fleet monitors per shard: bins consumed, padding tokens lost in
     // each source's final partial bin, boundary-straddling doc count
@@ -660,6 +683,36 @@ object TrainingQueries {
            CAST((stream_pos + n_tokens) // 512 AS BIGINT) AS bin_last,
            CAST(stream_pos % 512 AS BIGINT) AS bin_offset
          FROM p""",
+    // x156: the next-fit recurrence replayed as a DuckDB recursive CTE —
+    // one frontier row per source per iteration, joined to the next
+    // rn — the sequential semantics the Spark side runs as a
+    // secondary-sort forward scan
+    "x156_nextfit_packing" ->
+      s"""WITH RECURSIVE d AS (SELECT source, doc_id,
+             CAST(len(list_filter(string_split(${normOf("text")}, ' '),
+               w -> w <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND source IS NOT NULL),
+         b AS (SELECT source, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM d WHERE n_tokens >= 1),
+         rec AS (
+           SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS bin_offset,
+             n_tokens AS fill
+           FROM b WHERE rn = 1
+           UNION ALL
+           SELECT nb.source, nb.doc_id, nb.n_tokens, nb.rn,
+             CASE WHEN r.fill > 0 AND r.fill + nb.n_tokens > 512
+               THEN r.bin_idx + 1 ELSE r.bin_idx END,
+             CASE WHEN r.fill > 0 AND r.fill + nb.n_tokens > 512
+               THEN CAST(0 AS BIGINT) ELSE r.fill END,
+             CASE WHEN r.fill > 0 AND r.fill + nb.n_tokens > 512
+               THEN nb.n_tokens ELSE r.fill + nb.n_tokens END
+           FROM rec r JOIN b nb
+             ON nb.source = r.source AND nb.rn = r.rn + 1)
+         SELECT source, doc_id, n_tokens, bin_idx, bin_offset FROM rec""",
     // x155: x154's CTEs aggregated per source — bins, padding, straddles,
     // integer-ppm utilization
     "x155_packing_report" ->

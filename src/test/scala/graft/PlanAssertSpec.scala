@@ -42,6 +42,18 @@ class PlanAssertSpec extends SparkSpec {
       s"global sort crept into token packing:\n$p")
   }
 
+  test("x156 next-fit packing: one shuffle (by source), no windows, no serial exchange") {
+    val p = plan("x156_nextfit_packing")
+    assert(shuffleExchanges(p) == 1,
+      s"next-fit packing should shuffle once (repartition by source), " +
+        s"found ${shuffleExchanges(p)}:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"serial exchange crept into next-fit packing:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window ("),
+      s"the sequential recurrence must stay a mapPartitions scan, " +
+        s"not a window:\n$p")
+  }
+
   test("x04 simhash: banded plan joins on band buckets, not a cross join") {
     val p = plan("x04_dedup_simhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
