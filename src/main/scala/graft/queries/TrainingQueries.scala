@@ -448,6 +448,71 @@ object TrainingQueries {
           col("n_straddling"),
           expr(s"(total_tokens * CAST(1000000 AS BIGINT)) div " +
             s"(((stream_len + ${B - 1}) div $B) * $B)").as("utilization_ppm"))
+    }),
+
+    // ───── UniMax epoch-capped budget allocation (Chung '23): spread a
+    // token budget B = ⌊1.8·total⌋ as UNIFORMLY as possible across
+    // sources, capping each at E = 2 epochs of its own mass — the
+    // mixture sampler that replaced proportional/temperature weighting
+    // (x57/x146) for multilingual pretraining because it bounds
+    // repetition instead of letting head sources starve the tail. The
+    // sequential waterfill (sort ascending; share = ⌊R/remaining⌋;
+    // alloc = min(E·n, share); R −= alloc) has a closed form because
+    // caps bind on a PREFIX of the ascending order: capped(j) ⇔
+    // E·n_j·(k−j+1) ≤ B − E·psum_j (prefix sums only), the survivors
+    // split R* = B − E·capped_sum as ⌊R*/m⌋ each with the R* mod m
+    // leftover going one-each to the largest m' sources — provably equal
+    // to the recurrence's allocations (TrainingSpec replays the
+    // recurrence independently and compares). Everything integer: Σalloc
+    // == B exactly when any source is uncapped; alloc ≤ E·n always;
+    // epochs_ppm = ⌊alloc·1e6/n⌋ split as q·1e6 + (r·1e6) div n so the
+    // intermediate stays in Long (exact while per-source n < 2^63/1e6 ≈
+    // 9.2e12 tokens — ANSI overflow would throw, not corrupt). Scalars
+    // and ranking windows run over the bounded source dimension (x57's
+    // allowlisted class); the only data-sized work is the per-source
+    // token mass aggregation (one partial-combined shuffle)
+    "x157_unimax_budget" -> ((s, d) => {
+      val nt = size(filter(TextOps.tokens(col("text")), w => w =!= ""))
+        .cast("long")
+      val per = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("source").isNotNull)
+        .select(col("source"), nt.as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("w_tot"),
+        count(lit(1)).cast("long").as("k"))
+      val rw = Window.orderBy(col("n_tokens").asc, col("source").asc)
+      val pw = rw.rowsBetween(Window.unboundedPreceding, -1)
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      per.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(w_tot * 9) div 5"))
+        .withColumn("rn", row_number().over(rw).cast("long"))
+        .withColumn("psum", coalesce(sum(col("n_tokens")).over(pw), lit(0L)))
+        .withColumn("cond", col("n_tokens") * 2L * (col("k") - col("rn") + 1L)
+          <= col("budget") - col("psum") * 2L)
+        .withColumn("fail_rn",
+          min(when(not(col("cond")), col("rn"))).over(all))
+        .withColumn("capped",
+          when(col("fail_rn").isNull || col("rn") < col("fail_rn"), 1L)
+            .otherwise(0L))
+        .withColumn("capped_sum",
+          sum(when(col("capped") === 1L, col("n_tokens")).otherwise(0L))
+            .over(all))
+        .withColumn("m", col("k") - sum(col("capped")).over(all))
+        .withColumn("rstar", col("budget") - col("capped_sum") * 2L)
+        .withColumn("alloc_tokens",
+          when(col("capped") === 1L, col("n_tokens") * 2L)
+            .otherwise(expr("rstar div greatest(m, 1)")
+              + when(col("rn") > col("k") - expr("rstar % greatest(m, 1)"),
+                  1L).otherwise(0L)))
+        .withColumn("epochs_ppm",
+          when(col("n_tokens") === 0L, lit(null).cast("long"))
+            .otherwise(expr("(alloc_tokens div n_tokens) * 1000000 + " +
+              "((alloc_tokens % n_tokens) * 1000000) div n_tokens")))
+        .select(col("source"), col("n_tokens"),
+          (col("n_tokens") * 2L).as("cap_tokens"), col("budget"),
+          col("capped"), col("alloc_tokens"), col("epochs_ppm"))
     }))
 
   /** x154's packed frame — shared by the per-doc catalog entry and the
@@ -743,5 +808,56 @@ object TrainingQueries {
            n_straddling,
            CAST((total_tokens * 1000000) // (((stream_len + 511) // 512) * 512)
              AS BIGINT) AS utilization_ppm
-         FROM g""")
+         FROM g""",
+    // x157: the same prefix-capped waterfill closed form over the
+    // per-source token masses — rank/prefix-sum windows, the global
+    // fail_rn/capped_sum scalars as empty-OVER windows, identical
+    // integer div/mod arithmetic
+    "x157_unimax_budget" ->
+      s"""WITH w0 AS (SELECT source,
+             CAST(SUM(len(list_filter(string_split(${normOf("text")}, ' '),
+               q -> q <> ''))) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND source IS NOT NULL GROUP BY source),
+         tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS w_tot,
+             CAST(COUNT(*) AS BIGINT) AS k FROM w0),
+         r AS (SELECT source, n_tokens, k,
+             CAST((w_tot * 9) // 5 AS BIGINT) AS budget,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT)
+               AS rn,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS psum
+           FROM w0 CROSS JOIN tt),
+         c AS (SELECT *,
+             (n_tokens * 2 * (k - rn + 1) <= budget - psum * 2) AS cond
+           FROM r),
+         f AS (SELECT *,
+             MIN(CASE WHEN NOT cond THEN rn END) OVER () AS fail_rn
+           FROM c),
+         g AS (SELECT source, n_tokens, k, budget, rn,
+             CASE WHEN fail_rn IS NULL OR rn < fail_rn
+               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS capped
+           FROM f),
+         h AS (SELECT *,
+             CAST(SUM(CASE WHEN capped = 1 THEN n_tokens ELSE 0 END) OVER ()
+               AS BIGINT) AS capped_sum,
+             k - CAST(SUM(capped) OVER () AS BIGINT) AS m
+           FROM g),
+         i AS (SELECT *, budget - capped_sum * 2 AS rstar FROM h),
+         j AS (SELECT source, n_tokens, budget, capped,
+             CASE WHEN capped = 1 THEN n_tokens * 2
+               ELSE rstar // greatest(m, 1)
+                 + CASE WHEN rn > k - (rstar % greatest(m, 1))
+                     THEN 1 ELSE 0 END END AS alloc_tokens
+           FROM i)
+         SELECT source, n_tokens,
+           CAST(n_tokens * 2 AS BIGINT) AS cap_tokens, budget, capped,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CASE WHEN n_tokens = 0 THEN NULL
+             ELSE CAST((alloc_tokens // n_tokens) * 1000000
+               + ((alloc_tokens % n_tokens) * 1000000) // n_tokens
+               AS BIGINT) END AS epochs_ppm
+         FROM j""")
 }

@@ -119,4 +119,47 @@ class TrainingSpec extends SparkSpec {
       assert(u == tt * 1000000L / (nb * B) && u <= 1000000L)
     }
   }
+
+  test("x157 unimax: closed form == the sequential waterfill recurrence; budget conserved") {
+    val out = graft.queries.TrainingQueries.defs("x157_unimax_budget")(
+      spark, "/root/testdata/sf0.001")
+      .select($"source", $"n_tokens", $"cap_tokens", $"budget",
+        $"capped", $"alloc_tokens", $"epochs_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val budget = out.head._4
+    assert(out.forall(_._4 == budget))
+    // replay the UniMax recurrence independently (Chung '23 waterfill):
+    // ascending (n, source); share = floor(R / remaining);
+    // alloc = min(cap, share); R -= alloc
+    val asc = out.sortBy(r => (r._2, r._1))
+    var r = budget
+    var remaining = asc.size.toLong
+    val replay = asc.map { row =>
+      val cap = row._2 * 2L
+      val share = r / remaining
+      val alloc = math.min(cap, share)
+      r -= alloc; remaining -= 1
+      row._1 -> alloc
+    }.toMap
+    out.foreach { row =>
+      assert(row._3 == row._2 * 2L, s"${row._1} cap != E*n")
+      assert(row._6 == replay(row._1),
+        s"${row._1} closed-form alloc ${row._6} != recurrence ${replay(row._1)}")
+      assert(row._6 <= row._3, s"${row._1} alloc exceeds the epoch cap")
+      assert(row._7 == (row._6 / row._2) * 1000000L
+        + (row._6 % row._2) * 1000000L / row._2, s"${row._1} epochs_ppm drifted")
+      assert(row._7 <= 2000000L, s"${row._1} epochs above the cap E=2")
+    }
+    // with any uncapped source the waterfill spends the budget EXACTLY
+    if (out.exists(_._5 == 0L))
+      assert(out.map(_._6).sum == budget, "budget not conserved")
+    // caps bind on a prefix of the ascending order
+    val cappedFlags = asc.map(_._5)
+    assert(!cappedFlags.dropWhile(_ == 1L).contains(1L),
+      "capped set is not an ascending-order prefix")
+    // this fixture must exercise BOTH branches
+    assert(out.exists(_._5 == 1L) && out.exists(_._5 == 0L),
+      "fixture no longer exercises both capped and uncapped branches")
+  }
 }
