@@ -372,6 +372,64 @@ object Streams {
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming face of x156's no-split next-fit packing
+    * ([[graft.ops.Packing.nextFitPack]]): each source's OPEN BIN is
+    * maintained state (three longs — last packed doc id, bin index,
+    * fill), so arriving whole documents get their (bin, offset) the
+    * moment they land. Same recurrence as the batch scan: a doc that
+    * doesn't fit the open bin's remainder closes it and opens the next;
+    * an oversized doc owns a bin (placed into an empty bin
+    * unconditionally, no truncation). Same delivery contract and
+    * exactly-once discipline as [[streamingPackingOffsets]]: per-source
+    * doc-id-ordered delivery (sorted within a micro-batch), redelivered
+    * ids (≤ last packed) and sub-1-token docs emit nothing and advance
+    * nothing. Emits (source, doc_id, n_tokens, bin_idx, bin_offset) per
+    * newly packed doc. StreamsSpec proves stream ≡ the batch x156 scan
+    * over the same increments, including the redelivery no-op. */
+  def streamingNextFitPacking(stream: DataFrame, sourceCol: String,
+                              idCol: String, tokensCol: String,
+                              capacity: Long)
+      : Dataset[(String, Long, Long, Long, Long)] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    implicit val inEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    val stEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
+    val proc = new StatefulProcessor[String, (String, Long, Long),
+        (String, Long, Long, Long, Long)] {
+      @transient private var head: ValueState[(Long, Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        head = getHandle.getValueState[(Long, Long, Long)]("head", stEnc,
+          TTLConfig.NONE)
+      override def handleInputRows(key: String,
+                                   rows: Iterator[(String, Long, Long)],
+                                   timerValues: TimerValues)
+          : Iterator[(String, Long, Long, Long, Long)] = {
+        var (lastId, bin, fill) =
+          if (head.exists()) head.get() else (Long.MinValue, 0L, 0L)
+        val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
+          if (id <= lastId || n < 1) None // redelivery / empty doc: no-op
+          else {
+            if (fill > 0 && fill + n > capacity) { bin += 1; fill = 0L }
+            val off = fill
+            lastId = id; fill += n
+            Some((key, id, n, bin, off))
+          }
+        }
+        head.update((lastId, bin, fill))
+        out.iterator
+      }
+    }
+    stream
+      .select(col(sourceCol).cast("string"), col(idCol).cast("long"),
+        col(tokensCol).cast("long"))
+      .as[(String, Long, Long)](inEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** foreachBatch upsert sink: idempotent micro-batch loads into a parquet
     * target (reference K1 semantics under streaming). */
   def upsertEachBatch(writer: DataStreamWriter[Row], targetPath: String,

@@ -443,6 +443,50 @@ class StreamsSpec extends SparkSpec {
     } finally stopQuietly(q)
   }
 
+  test("streamingNextFitPacking ≡ batch x156 scan over the same increments; redelivery and oversize handled") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = Streams.streamingNextFitPacking(
+      mem.toDF().toDF("source", "doc_id", "n_tokens"),
+      "source", "doc_id", "n_tokens", capacity = 10L)
+    val q = out.toDF("source", "doc_id", "n_tokens", "bin_idx", "bin_offset")
+      .writeStream.format("memory").queryName("tws_nextfit")
+      .outputMode("append").start()
+    try {
+      prior.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+      // batch 1: out-of-order within the batch; a zero-token doc; the
+      // open bin for "a" ends the batch at fill 9
+      mem.addData(("a", 2L, 5L), ("a", 1L, 4L), ("b", 1L, 3L), ("a", 3L, 0L))
+      q.processAllAvailable()
+      // batch 2: (a, 4) does NOT fit the carried fill 9 → new bin; an
+      // OVERSIZED doc owns its bin; plus a pure redelivery of (a, 2)
+      mem.addData(("a", 4L, 2L), ("a", 2L, 5L), ("a", 5L, 25L), ("b", 2L, 7L))
+      q.processAllAvailable()
+      val got = spark.table("tws_nextfit")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        ("a", 1L, 4L, 0L, 0L),
+        ("a", 2L, 5L, 0L, 4L),   // fill 9 carried ACROSS the batch gap
+        ("a", 4L, 2L, 1L, 0L),   // 9 + 2 > 10 → next bin
+        ("a", 5L, 25L, 2L, 0L),  // oversized: own bin, offset 0
+        ("b", 1L, 3L, 0L, 0L),
+        ("b", 2L, 7L, 0L, 3L)), s"stream drifted from batch next-fit: $got")
+      // stream ≡ the batch scan over the union of delivered rows
+      val batch = graft.ops.Packing.nextFitPack(
+        Seq(("a", 1L, 4L), ("a", 2L, 5L), ("a", 4L, 2L), ("a", 5L, 25L),
+          ("b", 1L, 3L), ("b", 2L, 7L)).toDF("source", "doc_id", "n_tokens"),
+        "source", "doc_id", "n_tokens", capacity = 10L)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got == batch)
+      // exactly-once: the redelivered (a, 2) emitted exactly once
+      assert(spark.table("tws_nextfit").count() == 6)
+    } finally stopQuietly(q)
+  }
+
   test("streamingRunningTotals with a TTL starts and accumulates (processing-time mode)") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
