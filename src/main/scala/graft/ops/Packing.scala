@@ -80,4 +80,88 @@ object Packing {
     }(ExpressionEncoder(outSchema))
     packed
   }
+
+  /** Bounded-pool best-fit packing: next-fit's utilization upgrade, the
+    * "packing buffer" a production dataloader keeps (seqio-style). Up to
+    * `pool` bins stay open per group; each item goes to the FULLEST open
+    * bin it fits in (ties to the lowest bin id). If none fits and the
+    * pool has room, a fresh bin opens; if the pool is full, the fullest
+    * bin (ties to the lowest id) is closed to make room. An item larger
+    * than `capacity` enters a fresh bin unconditionally (no truncation),
+    * exactly like [[nextFitPack]]. `pool = 1` IS next-fit: the single
+    * open bin either fits the item or is evicted for a fresh one
+    * (PackingSpec pins the equivalence as a law).
+    *
+    * Output: groupCol, orderCol, sizeCol, `bin_idx` (0-based per group,
+    * in OPEN order — not close order), `bin_offset`.
+    *
+    * Scale: identical shape to [[nextFitPack]] — one shuffle, secondary
+    * sort, forward scan; state grows from three words to `pool` (bin,
+    * fill) pairs per task, still O(1) in the data. The recurrence is as
+    * non-associative as next-fit's (more so: placement depends on the
+    * whole pool), so the same no-closed-form argument applies. */
+  def bestFitPack(df: DataFrame, groupCol: String, orderCol: String,
+                  sizeCol: String, capacity: Long, pool: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(pool > 0, s"pool must be positive, got $pool")
+    val prepared = df
+      .select(col(groupCol).cast(StringType).as("__g"),
+        col(orderCol).cast(LongType).as("__o"),
+        col(sizeCol).cast(LongType).as("__n"))
+      .repartition(col("__g"))
+      .sortWithinPartitions(col("__g"), col("__o"))
+    val outSchema = StructType(Seq(
+      StructField(groupCol, StringType, nullable = true),
+      StructField(orderCol, LongType, nullable = true),
+      StructField(sizeCol, LongType, nullable = false),
+      StructField("bin_idx", LongType, nullable = false),
+      StructField("bin_offset", LongType, nullable = false)))
+    val packed = prepared.mapPartitions { rows =>
+      var curGroup: String = null
+      var nextBin = 0L
+      // open pool: parallel arrays of (bin id, fill), size ≤ pool
+      val bins = new scala.collection.mutable.ArrayBuffer[(Long, Long)](pool)
+      rows.map { r =>
+        val g = r.getString(0)
+        val o = r.getLong(1)
+        val n = r.getLong(2)
+        if (g != curGroup) { curGroup = g; nextBin = 0L; bins.clear() }
+        // best fit: fullest open bin the item fits in, ties → lowest id
+        var best = -1
+        var i = 0
+        while (i < bins.length) {
+          if (bins(i)._2 + n <= capacity &&
+              (best < 0 || bins(i)._2 > bins(best)._2 ||
+                (bins(i)._2 == bins(best)._2 && bins(i)._1 < bins(best)._1)))
+            best = i
+          i += 1
+        }
+        val (bin, off) =
+          if (best >= 0) {
+            val (b, f) = bins(best)
+            bins(best) = (b, f + n)
+            (b, f)
+          } else {
+            if (bins.length == pool) {
+              // evict the fullest (ties → lowest id) to make room
+              var ev = 0
+              var j = 1
+              while (j < bins.length) {
+                if (bins(j)._2 > bins(ev)._2 ||
+                    (bins(j)._2 == bins(ev)._2 && bins(j)._1 < bins(ev)._1))
+                  ev = j
+                j += 1
+              }
+              bins.remove(ev): Unit
+            }
+            val b = nextBin
+            nextBin += 1
+            bins.append((b, n))
+            (b, 0L)
+          }
+        Row(g, o, n, bin, off)
+      }
+    }(ExpressionEncoder(outSchema))
+    packed
+  }
 }

@@ -513,7 +513,56 @@ object TrainingQueries {
         .select(col("source"), col("n_tokens"),
           (col("n_tokens") * 2L).as("cap_tokens"), col("budget"),
           col("capped"), col("alloc_tokens"), col("epochs_ppm"))
-    }))
+    }),
+
+    // ───── bounded-pool best-fit packing: x156's utilization upgrade
+    // and the strategy a production loader's PACKING BUFFER actually
+    // implements (seqio-style) — up to 4 bins stay open per source, each
+    // doc goes to the fullest open bin it fits in (ties to the lowest
+    // bin id), a fresh bin opens when none fits, and the fullest bin is
+    // closed when the pool is full. Same capacity (512), token
+    // convention, and secondary-sort scan shape as x156; state grows
+    // from three words to the pool's 4 (bin, fill) pairs per task —
+    // still O(1) in the data. pool=1 degenerates to exact next-fit
+    // (PackingSpec pins the law). The oracle replays the pool as a
+    // LIST<STRUCT(b,f)> through the same recursive CTE frontier
+    "x158_bestfit_packing" -> ((s, d) => {
+      val n = size(filter(TextOps.tokens(col("text")), w => w =!= ""))
+        .cast("long")
+      val base = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("source").isNotNull)
+        .select(col("source"), col("doc_id"), n.as("n_tokens"))
+        .filter(col("n_tokens") >= 1)
+      graft.ops.Packing.bestFitPack(base, "source", "doc_id", "n_tokens",
+        capacity = 512L, pool = 4)
+    }),
+
+    // ───── varlen-attention boundary manifest (cu_seqlens): the
+    // per-training-example segment ends a concat-and-chunk loader hands
+    // to block-diagonal attention so packed documents don't attend
+    // across their boundaries. Each x154 bin is one 512-token example;
+    // a doc occupying stream range [sp, sp+n+1) (text + separator)
+    // contributes to every bin it intersects a segment ending at
+    // min(sp+n+1 − bin·512, 512). One row per (source, bin, doc)
+    // intersection — the cu_seqlens array for a bin is its sorted
+    // seg_end column (the loader's gather step, kept relational here so
+    // the driver hash-compares scalars, not arrays). Pure stateless
+    // arithmetic over the x154 frame: the explode multiplies rows only
+    // for straddling docs (bin_last − bin_first extra rows each), so
+    // output ≈ docs + bins — no shuffle beyond x154's own window
+    // (every bin in [bin_first, bin_last] genuinely intersects: the
+    // segment's last position sp+n IS bin_last's defining position, so
+    // no empty-intersection guard is needed)
+    "x159_attention_boundaries" -> ((s, d) =>
+      sequencePack(s, d)
+        .withColumn("bin_idx",
+          explode(expr("sequence(bin_first, bin_last)")))
+        .select(col("source"), col("bin_idx"), col("doc_id"),
+          least(col("stream_pos") + col("n_tokens") + 1L
+            - col("bin_idx") * 512L, lit(512L)).as("seg_end"),
+          greatest(col("stream_pos") - col("bin_idx") * 512L, lit(0L))
+            .as("seg_start"))))
 
   /** x154's packed frame — shared by the per-doc catalog entry and the
     * x155 report so the two can never drift. See the x154 map entry for
@@ -859,5 +908,81 @@ object TrainingQueries {
              ELSE CAST((alloc_tokens // n_tokens) * 1000000
                + ((alloc_tokens % n_tokens) * 1000000) // n_tokens
                AS BIGINT) END AS epochs_ppm
-         FROM j""")
+         FROM j""",
+    // x158: the bounded-pool best-fit recurrence with the pool carried
+    // as LIST<STRUCT(b, f)> through the x156-style recursive frontier.
+    // Best-fit/evict selection rides ONE encoded key per open bin,
+    // key = (512 − f)·2^20 + b: list_min over feasible keys (f + n ≤
+    // 512) is "fullest, ties lowest id"; the same min without the
+    // feasibility filter is the eviction choice (negative high part for
+    // oversized bins still orders correctly; keys are unique because b
+    // is, so the pool update matches on key instead of decoding the
+    // possibly-negative mod). The b < 2^20 encode bound = a million
+    // open-bin IDS per source, far above the 4-bin pool's reach at
+    // oracle scale
+    "x158_bestfit_packing" ->
+      s"""WITH RECURSIVE d AS (SELECT source, doc_id,
+             CAST(len(list_filter(string_split(${normOf("text")}, ' '),
+               w -> w <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND source IS NOT NULL),
+         b AS (SELECT source, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM d WHERE n_tokens >= 1),
+         rec AS (
+           SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS bin_offset,
+             [{'b': CAST(0 AS BIGINT), 'f': n_tokens}] AS pool,
+             CAST(1 AS BIGINT) AS next_b
+           FROM b WHERE rn = 1
+           UNION ALL
+           SELECT nb.source, nb.doc_id, nb.n_tokens, nb.rn,
+             CASE WHEN st.bk IS NOT NULL THEN st.bk % 1048576
+               ELSE r.next_b END,
+             CASE WHEN st.bk IS NOT NULL THEN 512 - st.bk // 1048576
+               ELSE CAST(0 AS BIGINT) END,
+             CASE WHEN st.bk IS NOT NULL
+               THEN list_transform(r.pool, x ->
+                 CASE WHEN (512 - x.f) * 1048576 + x.b = st.bk
+                   THEN {'b': x.b, 'f': x.f + nb.n_tokens} ELSE x END)
+               WHEN len(r.pool) >= 4
+               THEN list_append(list_filter(r.pool, x ->
+                 (512 - x.f) * 1048576 + x.b <> st.ek),
+                 {'b': r.next_b, 'f': nb.n_tokens})
+               ELSE list_append(r.pool, {'b': r.next_b, 'f': nb.n_tokens})
+               END,
+             CASE WHEN st.bk IS NOT NULL THEN r.next_b
+               ELSE r.next_b + 1 END
+           FROM rec r JOIN b nb
+             ON nb.source = r.source AND nb.rn = r.rn + 1,
+           LATERAL (SELECT
+               list_min(list_transform(r.pool, x ->
+                 CASE WHEN x.f + nb.n_tokens <= 512
+                   THEN (512 - x.f) * 1048576 + x.b END)) AS bk,
+               list_min(list_transform(r.pool, x ->
+                 (512 - x.f) * 1048576 + x.b)) AS ek) st)
+         SELECT source, doc_id, n_tokens, bin_idx, bin_offset FROM rec""",
+    // x159: the x154 CTEs exploded over each doc's intersected bin
+    // range, with the same half-open [sp, sp+n+1) segment arithmetic
+    "x159_attention_boundaries" ->
+      s"""WITH d AS (SELECT source, doc_id,
+             CAST(len(list_filter(string_split(${normOf("text")}, ' '),
+               w -> w <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND source IS NOT NULL),
+         p AS (SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS stream_pos
+           FROM d WHERE n_tokens >= 1)
+         SELECT source, CAST(u.bin_idx AS BIGINT) AS bin_idx, doc_id,
+           CAST(least(stream_pos + n_tokens + 1 - u.bin_idx * 512, 512)
+             AS BIGINT) AS seg_end,
+           CAST(greatest(stream_pos - u.bin_idx * 512, 0)
+             AS BIGINT) AS seg_start
+         FROM p, unnest(range(stream_pos // 512,
+           (stream_pos + n_tokens) // 512 + 1)) AS u(bin_idx)""")
 }

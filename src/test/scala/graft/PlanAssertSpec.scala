@@ -54,6 +54,17 @@ class PlanAssertSpec extends SparkSpec {
         s"not a window:\n$p")
   }
 
+  test("x158 best-fit packing: one shuffle (by source), no windows, no serial exchange") {
+    val p = plan("x158_bestfit_packing")
+    assert(shuffleExchanges(p) == 1,
+      s"best-fit packing should shuffle once (repartition by source), " +
+        s"found ${shuffleExchanges(p)}:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"serial exchange crept into best-fit packing:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window ("),
+      s"the pool recurrence must stay a mapPartitions scan, not a window:\n$p")
+  }
+
   test("x04 simhash: banded plan joins on band buckets, not a cross join") {
     val p = plan("x04_dedup_simhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -143,6 +154,9 @@ class PlanAssertSpec extends SparkSpec {
     // W/Σbase scalars and the largest-remainder window over the bounded
     // source dimension — x57's exact class. x148: the corpus-watermark
     // scalar over the bounded event-type dimension, q23/x79's class.
+    // x157: the UniMax rank/prefix-sum/global-min windows over the
+    // bounded source dimension (post-aggregation, one row per source) —
+    // x146's exact class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -154,7 +168,7 @@ class PlanAssertSpec extends SparkSpec {
         "x125_bm25_topk", "x126_rrf_fusion", "x127_stupid_backoff",
         "x131_nb_langid", "x140_spike_detection", "x143_nb_confusion",
         "x144_langid_agreement", "x146_token_apportionment",
-        "x148_freshness_audit")
+        "x148_freshness_audit", "x157_unimax_budget")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

@@ -162,4 +162,49 @@ class TrainingSpec extends SparkSpec {
     assert(out.exists(_._5 == 1L) && out.exists(_._5 == 0L),
       "fixture no longer exercises both capped and uncapped branches")
   }
+
+  test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
+    val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
+      spark, "/root/testdata/sf0.001")
+      .select($"source", $"bin_idx", $"doc_id", $"seg_start", $"seg_end")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(segs.nonEmpty)
+    val packed = graft.queries.TrainingQueries.defs("x154_sequence_packing")(
+      spark, "/root/testdata/sf0.001")
+      .select($"source", $"doc_id", $"n_tokens", $"stream_pos",
+        $"bin_first", $"bin_last")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // every packed doc appears in exactly (bin_last - bin_first + 1)
+    // bins, and its per-bin segment lengths sum to n_tokens + 1
+    val byDoc = segs.groupBy(s => (s._1, s._3))
+    packed.foreach { case (src, id, n, _, bf, bl) =>
+      val mine = byDoc((src, id))
+      assert(mine.size == (bl - bf + 1),
+        s"$src/$id appears in ${mine.size} bins, expected ${bl - bf + 1}")
+      assert(mine.map(s => s._5 - s._4).sum == n + 1,
+        s"$src/$id segment lengths don't sum to tokens + separator")
+      assert(mine.map(_._2).toSet == (bf to bl).toSet)
+    }
+    // cu_seqlens contract per bin: sorted segments are contiguous from 0
+    // (the first segment starts at 0 — a straddler's tail or a doc start)
+    segs.groupBy(s => (s._1, s._2)).foreach { case ((src, bin), items) =>
+      val sorted = items.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"$src bin $bin doesn't start at 0")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5 == b._4, s"$src bin $bin gap at ${a._5}")
+        case _ =>
+      }
+      assert(sorted.last._5 <= 512L)
+      assert(sorted.forall(s => s._4 < s._5), s"$src bin $bin empty segment")
+    }
+    // segment ends are the cu_seqlens the loader gathers: for every
+    // NON-final bin of a source the tiling reaches exactly 512
+    val lastBin = segs.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    segs.groupBy(s => (s._1, s._2)).foreach { case ((src, bin), items) =>
+      if (bin < lastBin(src))
+        assert(items.map(_._5).max == 512L,
+          s"$src bin $bin (non-final) not fully tiled")
+    }
+  }
 }
