@@ -30,6 +30,32 @@ object TrainingQueries {
   private def normOf(e: String) =
     s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** DuckDB fragment mirroring TextOps.qualityScore (x142's oracle copy). */
+  private val qualitySql = {
+    val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END"
+    val digit = "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END"
+    s"""least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+       + (1.0 - least(($punct) * 5.0, 1.0)) * 0.3
+       + (1.0 - least(($digit) * 5.0, 1.0)) * 0.3"""
+  }
+
+  /** The shared (qm, pos) CTE text of the x160/x161 oracles —
+    * [[qmLabelFrame]]'s mirror. */
+  private val qmLabelCte =
+    s"""ql AS (SELECT
+         CAST(floor(($qualitySql) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+           AS qm,
+         CASE WHEN len(tk) - len(list_distinct(tk)) <= 10
+           THEN 1 ELSE 0 END AS pos
+       FROM (SELECT text,
+           list_filter(string_split(${normOf("text")}, ' '),
+             w -> w <> '') AS tk
+         FROM documents
+         WHERE doc_id IS NOT NULL AND text IS NOT NULL)),
+     bs AS (SELECT qm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+       FROM ql GROUP BY qm)"""
+
   private def cosSql(a: String, b: String) =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
@@ -562,7 +588,94 @@ object TrainingQueries {
           least(col("stream_pos") + col("n_tokens") + 1L
             - col("bin_idx") * 512L, lit(512L)).as("seg_end"),
           greatest(col("stream_pos") - col("bin_idx") * 512L, lit(0L))
-            .as("seg_start"))))
+            .as("seg_start"))),
+
+    // ───── exact ROC AUC of the x09 quality score as a detector of
+    // low-repetition documents (label = repeated-token surplus ≤ 10, a
+    // signal the score does not see — leak-free) — the classifier-
+    // evaluation primitive every learned curation filter (x40/x131)
+    // needs graded before its threshold ships. Midrank
+    // Mann–Whitney, all integer until one final division: the score
+    // domain is BOUNDED (quality micro ∈ [0, 1e6]), so the global rank
+    // window runs over the per-distinct-score aggregate (x111's
+    // allowlisted class, ≤1e6 rows at any corpus size), never over
+    // docs. Doubled midranks keep tie averages integer: midrank2 =
+    // 2·(# strictly below) + ties + 1; 2U = Σ_pos midrank2 −
+    // nPos(nPos+1); AUC = 2U / (2·nPos·nNeg). Sums ride DECIMAL(38,0)
+    // (HUGEINT in the oracle, the x132 pairing) — contrib totals grow
+    // as N², past Long at ~2e9 docs
+    "x160_quality_auc" -> ((s, d) => {
+      val byScore = qmLabelFrame(s, d)
+        .groupBy(col("qm"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val w = Window.orderBy(col("qm"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("less", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("contrib",
+          (col("n_pos") * (col("less") * 2L + col("n") + 1L))
+            .cast("decimal(38,0)"))
+        .agg(sum(col("n_pos")).as("np"),
+          sum(col("n") - col("n_pos")).as("nn"),
+          sum(col("contrib")).as("mrsum"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          (col("mrsum") - (col("np").cast("decimal(38,0)")
+            * (col("np") + 1L))).as("auc_num"),
+          (col("np").cast("decimal(38,0)") * col("nn") * 2L).as("auc_den"))
+        .withColumn("auc",
+          col("auc_num").cast("double") / col("auc_den").cast("double"))
+    }),
+
+    // ───── precision/recall threshold sweep for the same detector: the
+    // table an operator reads to CHOOSE the quality floor a filter
+    // ships with. 21 candidate thresholds on the micro grid (0, 5e4,
+    // …, 1e6); predict clean when qm ≥ τ. The sweep rides the same
+    // bounded per-score aggregate — a 21-row literal grid range-joins
+    // the ≤1e6 score rows, so no pass over documents is repeated and
+    // nothing data-sized crosses the threshold dimension
+    "x161_quality_pr_sweep" -> ((s, d) => {
+      // the per-score aggregate is read twice (threshold join + class
+      // totals) — pin it so documents is scanned once
+      val byScore = InternalCaches.register(qmLabelFrame(s, d)
+        .groupBy(col("qm"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos")))
+      val taus = s.range(0, 21)
+        .select((col("id") * 50000L).as("tau"))
+      taus.join(byScore, col("qm") >= col("tau"), "left")
+        .groupBy(col("tau"))
+        .agg(coalesce(sum(col("n_pos")), lit(0L)).as("tp"),
+          coalesce(sum(col("n") - col("n_pos")), lit(0L)).as("fp"))
+        .crossJoin(broadcast(byScore
+          .agg(sum(col("n_pos")).as("np_all"),
+            sum(col("n") - col("n_pos")).as("nn_all"))))
+        .select(col("tau"), col("tp"), col("fp"),
+          (col("np_all") - col("tp")).as("fn"),
+          (col("nn_all") - col("fp")).as("tn"),
+          when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+            .otherwise(col("tp").cast("double")
+              / (col("tp") + col("fp")).cast("double")).as("prec"),
+          when(col("np_all") === 0L, lit(null).cast("double"))
+            .otherwise(col("tp").cast("double")
+              / col("np_all").cast("double")).as("recall"))
+    }))
+
+  /** The (quality micro-score, label) frame shared by the x160 AUC and
+    * x161 PR-sweep evaluators: qm = x142's floor(quality · 1e6)
+    * convention; pos = 1 iff the doc is LOW-REPETITION (repeated-token
+    * surplus n − n_distinct ≤ 10 over x10's normalized non-empty
+    * tokens) — a label the length/punct/digit quality heuristic does
+    * NOT see, so the evaluation is leak-free. One narrow projection
+    * over documents. */
+  private def qmLabelFrame(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(TextOps.tokens(col("text")), w => w =!= "")
+    t(s, d, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(
+        floor(TextOps.qualityScore(col("text"))
+          * expr("CAST(1000000.0 AS DOUBLE)")).as("qm"),
+        when(size(toks) - size(array_distinct(toks)) <= 10, 1L)
+          .otherwise(0L).as("pos"))
+  }
 
   /** x154's packed frame — shared by the per-doc catalog entry and the
     * x155 report so the two can never drift. See the x154 map entry for
@@ -984,5 +1097,44 @@ object TrainingQueries {
            CAST(greatest(stream_pos - u.bin_idx * 512, 0)
              AS BIGINT) AS seg_start
          FROM p, unnest(range(stream_pos // 512,
-           (stream_pos + n_tokens) // 512 + 1)) AS u(bin_idx)""")
+           (stream_pos + n_tokens) // 512 + 1)) AS u(bin_idx)""",
+    // x160: the same midrank algebra — cumulative strictly-below counts
+    // over the per-score aggregate, doubled-midrank contributions summed
+    // in HUGEINT (Spark's DECIMAL(38,0), the x132 pairing)
+    "x160_quality_auc" ->
+      s"""WITH $qmLabelCte,
+         rk AS (SELECT *,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY qm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS less
+           FROM bs),
+         ag AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+             CAST(SUM(n - n_pos) AS BIGINT) AS nn,
+             SUM(CAST(n_pos AS HUGEINT) * (less * 2 + n + 1)) AS mrsum
+           FROM rk)
+         SELECT np AS n_pos, nn AS n_neg,
+           mrsum - CAST(np AS HUGEINT) * (np + 1) AS auc_num,
+           CAST(np AS HUGEINT) * nn * 2 AS auc_den,
+           CAST(mrsum - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
+             / CAST(CAST(np AS HUGEINT) * nn * 2 AS DOUBLE) AS auc
+         FROM ag""",
+    // x161: 21-row threshold grid range-joined to the same per-score
+    // aggregate; class totals from one extra pass over bs
+    "x161_quality_pr_sweep" ->
+      s"""WITH $qmLabelCte,
+         tt AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS np_all,
+             CAST(SUM(n - n_pos) AS BIGINT) AS nn_all FROM bs),
+         ta AS (SELECT CAST(i * 50000 AS BIGINT) AS tau
+           FROM range(0, 21) r(i)),
+         jt AS (SELECT tau,
+             CAST(COALESCE(SUM(n_pos), 0) AS BIGINT) AS tp,
+             CAST(COALESCE(SUM(n - n_pos), 0) AS BIGINT) AS fp
+           FROM ta LEFT JOIN bs ON bs.qm >= ta.tau GROUP BY tau)
+         SELECT tau, tp, fp,
+           np_all - tp AS fn, nn_all - fp AS tn,
+           CASE WHEN tp + fp = 0 THEN NULL
+             ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+           CASE WHEN np_all = 0 THEN NULL
+             ELSE CAST(tp AS DOUBLE) / CAST(np_all AS DOUBLE) END AS recall
+         FROM jt CROSS JOIN tt""")
 }

@@ -156,7 +156,10 @@ class PlanAssertSpec extends SparkSpec {
     // scalar over the bounded event-type dimension, q23/x79's class.
     // x157: the UniMax rank/prefix-sum/global-min windows over the
     // bounded source dimension (post-aggregation, one row per source) —
-    // x146's exact class.
+    // x146's exact class. x160/x161: the cumulative-rank window and
+    // class-total scalars over the per-distinct-score aggregate
+    // (bounded by the 1e6-value micro grid, not the corpus) — x111's
+    // exact class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -168,7 +171,8 @@ class PlanAssertSpec extends SparkSpec {
         "x125_bm25_topk", "x126_rrf_fusion", "x127_stupid_backoff",
         "x131_nb_langid", "x140_spike_detection", "x143_nb_confusion",
         "x144_langid_agreement", "x146_token_apportionment",
-        "x148_freshness_audit", "x157_unimax_budget")
+        "x148_freshness_audit", "x157_unimax_budget",
+        "x160_quality_auc", "x161_quality_pr_sweep")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

@@ -163,6 +163,54 @@ class TrainingSpec extends SparkSpec {
       "fixture no longer exercises both capped and uncapped branches")
   }
 
+  test("x160/x161: midrank AUC == brute-force pair counting; PR sweep == direct threshold counts") {
+    import graft.text.TextOps
+    import org.apache.spark.sql.functions._
+    // the evaluator's own (qm, pos) convention, collected independently
+    val toks = filter(TextOps.tokens(col("text")), w => w =!= "")
+    val rows = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(
+        floor(TextOps.qualityScore(col("text"))
+          * expr("CAST(1000000.0 AS DOUBLE)")).as("qm"),
+        (size(toks) - size(array_distinct(toks)) <= 10).as("pos"))
+      .as[(Long, Boolean)].collect().toSeq
+    val posS = rows.filter(_._2).map(_._1)
+    val negS = rows.filterNot(_._2).map(_._1)
+    assert(posS.nonEmpty && negS.nonEmpty, "label is degenerate on the fixture")
+    // brute-force Mann–Whitney over all pos×neg pairs
+    var wins2 = 0L // 2·wins + ties
+    posS.foreach(p => negS.foreach { n =>
+      if (p > n) wins2 += 2 else if (p == n) wins2 += 1
+    })
+    val out = graft.queries.TrainingQueries.defs("x160_quality_auc")(
+      spark, "/root/testdata/sf0.001")
+      .select($"n_pos", $"n_neg",
+        $"auc_num".cast("long"), $"auc_den".cast("long"), $"auc")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(out._1 == posS.size && out._2 == negS.size)
+    // 2U = wins2 exactly; AUC = wins2 / (2·np·nn)
+    assert(out._3 == wins2, s"midrank num ${out._3} != pair count $wins2")
+    assert(out._4 == 2L * posS.size * negS.size)
+    assert(out._5 == wins2.toDouble / (2.0 * posS.size * negS.size))
+    // honest negative, pinned: on this corpus the length-driven quality
+    // score is an ANTI-detector of low repetition (repetitive docs are
+    // longer) — AUC far below chance, so a consumer must flip or drop it
+    assert(out._5 < 0.1, s"AUC ${out._5} drifted from the pinned negative")
+
+    // PR sweep == direct threshold counting on the same collected rows
+    val sweep = graft.queries.TrainingQueries.defs("x161_quality_pr_sweep")(
+      spark, "/root/testdata/sf0.001")
+      .select($"tau", $"tp", $"fp", $"fn", $"tn")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(sweep.length == 21)
+    sweep.foreach { case (tau, tp, fp, fn, tn) =>
+      assert(tp == posS.count(_ >= tau), s"tau=$tau tp")
+      assert(fp == negS.count(_ >= tau), s"tau=$tau fp")
+      assert(fn == posS.count(_ < tau) && tn == negS.count(_ < tau))
+    }
+  }
+
   test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
     val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
       spark, "/root/testdata/sf0.001")
