@@ -657,6 +657,28 @@ object TrainingQueries {
           when(col("np_all") === 0L, lit(null).cast("double"))
             .otherwise(col("tp").cast("double")
               / col("np_all").cast("double")).as("recall"))
+    }),
+
+    // ───── LPT shard scheduling: x62 assigns documents to shards by
+    // hash (count balance); THIS balances LOAD — sources weighted by
+    // token mass go to 8 workers by Graham's longest-processing-time
+    // greedy (descending weight, least-loaded worker, deterministic
+    // ties), the 4/3-approximate makespan plan a reader fleet wants
+    // when shards are skewed. The group dimension is bounded, so the
+    // greedy runs driver-side on the collected per-source aggregate
+    // (the Skew.scala contract) with `workers` words of state; the
+    // oracle replays it as a serial recursive CTE carrying the 8 loads
+    // as LIST<STRUCT(w, l)> (x158's key-min selection trick)
+    "x162_lpt_schedule" -> ((s, d) => {
+      val nt = size(filter(TextOps.tokens(col("text")), w => w =!= ""))
+        .cast("long")
+      graft.ops.Scheduling.lptAssign(
+        t(s, d, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull
+            && col("source").isNotNull)
+          .select(col("source"), nt.as("nt"))
+          .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens")),
+        "source", "n_tokens", workers = 8)
     }))
 
   /** The (quality micro-score, label) frame shared by the x160 AUC and
@@ -1136,5 +1158,40 @@ object TrainingQueries {
              ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
            CASE WHEN np_all = 0 THEN NULL
              ELSE CAST(tp AS DOUBLE) / CAST(np_all AS DOUBLE) END AS recall
-         FROM jt CROSS JOIN tt""")
+         FROM jt CROSS JOIN tt""",
+    // x162: the LPT greedy as a serial recursive frontier over the
+    // bounded source dimension — loads as LIST<STRUCT(w, l)>, the
+    // least-loaded worker (ties lowest id) selected by min over
+    // l·1024 + w keys (loads are non-negative, so no negative-mod
+    // decode issue here)
+    "x162_lpt_schedule" ->
+      s"""WITH RECURSIVE w0 AS (SELECT source,
+             CAST(SUM(len(list_filter(string_split(${normOf("text")}, ' '),
+               q -> q <> ''))) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND source IS NOT NULL GROUP BY source),
+         o AS (SELECT source, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS rn
+           FROM w0),
+         rec AS (
+           SELECT source, n_tokens, rn,
+             CAST(0 AS BIGINT) AS worker, n_tokens AS load_after,
+             list_transform(range(0, 8), i -> {'w': CAST(i AS BIGINT),
+               'l': CASE WHEN i = 0 THEN n_tokens
+                 ELSE CAST(0 AS BIGINT) END}) AS loads
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT nx.source, nx.n_tokens, nx.rn,
+             st.mk % 1024,
+             st.mk // 1024 + nx.n_tokens,
+             list_transform(r.loads, x ->
+               CASE WHEN x.l * 1024 + x.w = st.mk
+                 THEN {'w': x.w, 'l': x.l + nx.n_tokens} ELSE x END)
+           FROM rec r JOIN o nx ON nx.rn = r.rn + 1,
+           LATERAL (SELECT list_min(list_transform(r.loads,
+             x -> x.l * 1024 + x.w)) AS mk) st)
+         SELECT source, n_tokens, CAST(rn - 1 AS BIGINT) AS assign_rank,
+           CAST(worker AS BIGINT) AS worker, load_after
+         FROM rec""")
 }
