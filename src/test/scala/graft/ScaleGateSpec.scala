@@ -51,7 +51,10 @@ class ScaleGateSpec extends SparkSpec {
   /** (query, which fixture tables it reads). documents chains: the r8
     * five. r9 directive #3 added the trainer loops — x150 (iterated BPE
     * over documents), x151 (maintained ANN index over embeddings), x123
-    * (IVFADC, the heaviest embeddings read path). */
+    * (IVFADC, the heaviest embeddings read path). r10 adds x158, the
+    * round's new recurrence class (secondary-sort packing scan): its
+    * per-source partitions grow 10× while parallelism stays at the
+    * source count, so a superlinear sort/state regression lands here. */
   private val gated = Seq(
     "x27_lsh_dedup_pipeline",
     "x49_incremental_dedup",
@@ -60,7 +63,8 @@ class ScaleGateSpec extends SparkSpec {
     "x135_prefix_filter_join",
     "x150_bpe_train",
     "x151_ann_index_upsert",
-    "x123_ivf_pq_residual_ann")
+    "x123_ivf_pq_residual_ann",
+    "x158_bestfit_packing")
 
   private def ensureFixture(): Unit = {
     val docs = Tables.load(spark, sf01, "documents")
