@@ -679,6 +679,57 @@ object TrainingQueries {
           .select(col("source"), nt.as("nt"))
           .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens")),
         "source", "n_tokens", workers = 8)
+    }),
+
+    // ───── Gopher/MassiveText within-doc repetition rules (Rae '21
+    // Table A1's duplicate-n-gram class): the fraction of TOKEN
+    // POSITIONS covered by any 2-gram (and 3-gram) that occurs ≥ 2
+    // times inside the document — an exact interval union, not the
+    // occurrence-weighted approximation (overlapping repeats never
+    // count a position twice). x35 flags total token surplus; THIS is
+    // the positional-coverage signal the Gopher thresholds are defined
+    // on — keep iff dup2 ≤ 0.20 and dup3 ≤ 0.18 (the paper's values;
+    // both branches exercised on this corpus). Shape: n-grams build as
+    // array ops inside the row (no shuffle), then one groupBy on
+    // (doc, k, gram) for the ≥2 filter and one distinct on (doc, k,
+    // position) for the union — all keyed by doc, nothing global
+    "x163_gopher_repetition" -> ((s, d) => {
+      val toks = filter(TextOps.tokens(col("text")), w => w =!= "")
+      val base = InternalCaches.register(t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), toks.as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+        .filter(col("n") >= 1))
+      def grams(k: Int) = base
+        .filter(col("n") >= k)
+        .select(col("doc_id"), lit(k.toLong).as("k"),
+          explode(expr(
+            s"transform(sequence(0, CAST(n AS INT) - $k), " +
+              s"i -> struct(CAST(i AS BIGINT) AS i, " +
+              s"concat_ws(' ', slice(t, i + 1, $k)) AS g))")).as("e"))
+        .select(col("doc_id"), col("k"),
+          col("e.i").as("i"), col("e.g").as("g"))
+      val kg = grams(2).unionByName(grams(3))
+      val dup = kg.groupBy(col("doc_id"), col("k"), col("g"))
+        .agg(count(lit(1)).as("c"), collect_list(col("i")).as("is"))
+        .filter(col("c") >= 2)
+      val covered = dup
+        .select(col("doc_id"), col("k"), explode(col("is")).as("i"))
+        .select(col("doc_id"), col("k"),
+          explode(expr("sequence(i, i + k - 1)")).as("p"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("k") === 2L, 1L).otherwise(0L)).as("cov2"),
+          sum(when(col("k") === 3L, 1L).otherwise(0L)).as("cov3"))
+      base.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          expr("coalesce(cov2, 0) * CAST(1000000 AS BIGINT) div n")
+            .as("dup2_cover_ppm"),
+          expr("coalesce(cov3, 0) * CAST(1000000 AS BIGINT) div n")
+            .as("dup3_cover_ppm"))
+        .withColumn("keep",
+          when(col("dup2_cover_ppm") <= 200000L
+            && col("dup3_cover_ppm") <= 180000L, 1L).otherwise(0L))
     }))
 
   /** The (quality micro-score, label) frame shared by the x160 AUC and
@@ -1193,5 +1244,45 @@ object TrainingQueries {
              x -> x.l * 1024 + x.w)) AS mk) st)
          SELECT source, n_tokens, CAST(rn - 1 AS BIGINT) AS assign_rank,
            CAST(worker AS BIGINT) AS worker, load_after
-         FROM rec""")
+         FROM rec""",
+    // x163: the same union-of-intervals semantics — dup n-grams via
+    // GROUP BY / HAVING, covered positions via a join back + DISTINCT
+    // (1-based positions; only counts are emitted, so the base offset
+    // cancels)
+    "x163_gopher_repetition" ->
+      s"""WITH tk AS (SELECT doc_id,
+             list_filter(string_split(${normOf("text")}, ' '),
+               w -> w <> '') AS t
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         tk1 AS (SELECT doc_id, t FROM tk WHERE len(t) >= 1),
+         kg AS (
+           SELECT doc_id, CAST(2 AS BIGINT) AS k, i,
+               t[i] || ' ' || t[i + 1] AS g
+             FROM tk1, unnest(range(1, len(t))) u(i)
+           UNION ALL
+           SELECT doc_id, CAST(3 AS BIGINT), i,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+             FROM tk1, unnest(range(1, len(t) - 1)) u(i)),
+         dup AS (SELECT doc_id, k, g FROM kg
+           GROUP BY doc_id, k, g HAVING COUNT(*) >= 2),
+         cov AS (SELECT DISTINCT b.doc_id, b.k, p
+           FROM kg b JOIN dup d
+             ON b.doc_id = d.doc_id AND b.k = d.k AND b.g = d.g,
+           unnest(range(b.i, b.i + b.k)) v(p)),
+         cnt AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cov2,
+             CAST(SUM(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cov3
+           FROM cov GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov2, 0) * 1000000 // len(t.t) AS BIGINT)
+             AS dup2_cover_ppm,
+           CAST(COALESCE(cov3, 0) * 1000000 // len(t.t) AS BIGINT)
+             AS dup3_cover_ppm,
+           CASE WHEN COALESCE(cov2, 0) * 1000000 // len(t.t) <= 200000
+             AND COALESCE(cov3, 0) * 1000000 // len(t.t) <= 180000
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         FROM tk1 t LEFT JOIN cnt c ON c.doc_id = t.doc_id""")
 }

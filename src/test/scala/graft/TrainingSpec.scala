@@ -211,6 +211,45 @@ class TrainingSpec extends SparkSpec {
     }
   }
 
+  test("x163 gopher repetition: position coverage is an interval UNION — overlaps count once") {
+    import org.apache.spark.sql.functions._
+    // replay the operator's semantics on the catalog surface: for each
+    // doc, mark token positions covered by any duplicated 2-/3-gram and
+    // compare the exact union size against the emitted ppm
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(graft.text.TextOps.tokens(col("text")), w => w =!= "")
+          .as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val out = graft.queries.TrainingQueries.defs("x163_gopher_repetition")(
+      spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"n_tokens", $"dup2_cover_ppm", $"dup3_cover_ppm",
+        $"keep")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.size == docs.count(_._2.nonEmpty))
+    def cover(t: Seq[String], k: Int): Long = {
+      val grams = t.sliding(k).toSeq.filter(_.size == k)
+      val dups = grams.groupBy(identity).filter(_._2.size >= 2).keySet
+      grams.zipWithIndex.collect {
+        case (g, i) if dups(g) => (i until i + k)
+      }.flatten.distinct.size.toLong
+    }
+    out.foreach { case (id, n, p2, p3, keep) =>
+      val t = docs(id)
+      assert(n == t.size)
+      assert(p2 == cover(t, 2) * 1000000L / n, s"doc $id dup2 drifted")
+      assert(p3 == cover(t, 3) * 1000000L / n, s"doc $id dup3 drifted")
+      assert(keep == (if (p2 <= 200000L && p3 <= 180000L) 1L else 0L))
+    }
+    // the Gopher thresholds must exercise both branches on this corpus
+    assert(out.exists(_._5 == 0L) && out.exists(_._5 == 1L))
+    // overlap law, pinned on a crafted doc: "a a a a" has 3 duplicated
+    // (a,a) bigram occurrences over only 4 positions — occurrence
+    // weighting would claim 6
+    assert(cover(Seq("a", "a", "a", "a"), 2) == 4L)
+  }
+
   test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
     val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
       spark, "/root/testdata/sf0.001")
