@@ -39,6 +39,86 @@ object TrainingQueries {
        + (1.0 - least(($digit) * 5.0, 1.0)) * 0.3"""
   }
 
+  /** The UniMax closed-form CTE chain over a masses CTE named `$src`
+    * (columns source, n_tokens), ending in `j` (source, n_tokens,
+    * budget, capped, alloc_tokens) — [[unimaxAlloc]]'s mirror, shared
+    * by the x157 and x164 oracles. */
+  private def unimaxCteFrom(src: String): String =
+    s"""tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS w_tot,
+             CAST(COUNT(*) AS BIGINT) AS k FROM $src),
+         r AS (SELECT source, n_tokens, k,
+             CAST((w_tot * 9) // 5 AS BIGINT) AS budget,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT)
+               AS rn,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS psum
+           FROM $src CROSS JOIN tt),
+         c AS (SELECT *,
+             (n_tokens * 2 * (k - rn + 1) <= budget - psum * 2) AS cond
+           FROM r),
+         f AS (SELECT *,
+             MIN(CASE WHEN NOT cond THEN rn END) OVER () AS fail_rn
+           FROM c),
+         g AS (SELECT source, n_tokens, k, budget, rn,
+             CASE WHEN fail_rn IS NULL OR rn < fail_rn
+               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS capped
+           FROM f),
+         h AS (SELECT *,
+             CAST(SUM(CASE WHEN capped = 1 THEN n_tokens ELSE 0 END) OVER ()
+               AS BIGINT) AS capped_sum,
+             k - CAST(SUM(capped) OVER () AS BIGINT) AS m
+           FROM g),
+         i AS (SELECT *, budget - capped_sum * 2 AS rstar FROM h),
+         j AS (SELECT source, n_tokens, budget, capped,
+             CASE WHEN capped = 1 THEN n_tokens * 2
+               ELSE rstar // greatest(m, 1)
+                 + CASE WHEN rn > k - (rstar % greatest(m, 1))
+                     THEN 1 ELSE 0 END END AS alloc_tokens
+           FROM i)"""
+
+  /** The per-doc Gopher repetition CTE chain ending in `gop` (source,
+    * doc_id, n_tokens, dup2_cover_ppm, dup3_cover_ppm, keep) —
+    * [[gopherRepetition]]'s mirror, shared by the x163 and x164
+    * oracles. */
+  private def gopherCte: String =
+    s"""tk AS (SELECT source, doc_id,
+             list_filter(string_split(${normOf("text")}, ' '),
+               w -> w <> '') AS t
+           FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         tk1 AS (SELECT source, doc_id, t FROM tk WHERE len(t) >= 1),
+         kg AS (
+           SELECT doc_id, CAST(2 AS BIGINT) AS k, i,
+               t[i] || ' ' || t[i + 1] AS g
+             FROM tk1, unnest(range(1, len(t))) u(i)
+           UNION ALL
+           SELECT doc_id, CAST(3 AS BIGINT), i,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+             FROM tk1, unnest(range(1, len(t) - 1)) u(i)),
+         dup AS (SELECT doc_id, k, g FROM kg
+           GROUP BY doc_id, k, g HAVING COUNT(*) >= 2),
+         cov AS (SELECT DISTINCT b.doc_id, b.k, p
+           FROM kg b JOIN dup d
+             ON b.doc_id = d.doc_id AND b.k = d.k AND b.g = d.g,
+           unnest(range(b.i, b.i + b.k)) v(p)),
+         cnt AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cov2,
+             CAST(SUM(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cov3
+           FROM cov GROUP BY doc_id),
+         gop AS (SELECT t.source, t.doc_id,
+             CAST(len(t.t) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(cov2, 0) * 1000000 // len(t.t) AS BIGINT)
+               AS dup2_cover_ppm,
+             CAST(COALESCE(cov3, 0) * 1000000 // len(t.t) AS BIGINT)
+               AS dup3_cover_ppm,
+             CASE WHEN COALESCE(cov2, 0) * 1000000 // len(t.t) <= 200000
+               AND COALESCE(cov3, 0) * 1000000 // len(t.t) <= 180000
+               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+           FROM tk1 t LEFT JOIN cnt c ON c.doc_id = t.doc_id)"""
+
   /** The shared (qm, pos) CTE text of the x160/x161 oracles —
     * [[qmLabelFrame]]'s mirror. */
   private val qmLabelCte =
@@ -500,45 +580,11 @@ object TrainingQueries {
     "x157_unimax_budget" -> ((s, d) => {
       val nt = size(filter(TextOps.tokens(col("text")), w => w =!= ""))
         .cast("long")
-      val per = t(s, d, "documents")
+      unimaxAlloc(t(s, d, "documents")
         .filter(col("doc_id").isNotNull && col("text").isNotNull
           && col("source").isNotNull)
         .select(col("source"), nt.as("nt"))
-        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
-      val tot = per.agg(sum(col("n_tokens")).as("w_tot"),
-        count(lit(1)).cast("long").as("k"))
-      val rw = Window.orderBy(col("n_tokens").asc, col("source").asc)
-      val pw = rw.rowsBetween(Window.unboundedPreceding, -1)
-      val all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      per.crossJoin(broadcast(tot))
-        .withColumn("budget", expr("(w_tot * 9) div 5"))
-        .withColumn("rn", row_number().over(rw).cast("long"))
-        .withColumn("psum", coalesce(sum(col("n_tokens")).over(pw), lit(0L)))
-        .withColumn("cond", col("n_tokens") * 2L * (col("k") - col("rn") + 1L)
-          <= col("budget") - col("psum") * 2L)
-        .withColumn("fail_rn",
-          min(when(not(col("cond")), col("rn"))).over(all))
-        .withColumn("capped",
-          when(col("fail_rn").isNull || col("rn") < col("fail_rn"), 1L)
-            .otherwise(0L))
-        .withColumn("capped_sum",
-          sum(when(col("capped") === 1L, col("n_tokens")).otherwise(0L))
-            .over(all))
-        .withColumn("m", col("k") - sum(col("capped")).over(all))
-        .withColumn("rstar", col("budget") - col("capped_sum") * 2L)
-        .withColumn("alloc_tokens",
-          when(col("capped") === 1L, col("n_tokens") * 2L)
-            .otherwise(expr("rstar div greatest(m, 1)")
-              + when(col("rn") > col("k") - expr("rstar % greatest(m, 1)"),
-                  1L).otherwise(0L)))
-        .withColumn("epochs_ppm",
-          when(col("n_tokens") === 0L, lit(null).cast("long"))
-            .otherwise(expr("(alloc_tokens div n_tokens) * 1000000 + " +
-              "((alloc_tokens % n_tokens) * 1000000) div n_tokens")))
-        .select(col("source"), col("n_tokens"),
-          (col("n_tokens") * 2L).as("cap_tokens"), col("budget"),
-          col("capped"), col("alloc_tokens"), col("epochs_ppm"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens")))
     }),
 
     // ───── bounded-pool best-fit packing: x156's utilization upgrade
@@ -693,44 +739,124 @@ object TrainingQueries {
     // array ops inside the row (no shuffle), then one groupBy on
     // (doc, k, gram) for the ≥2 filter and one distinct on (doc, k,
     // position) for the union — all keyed by doc, nothing global
-    "x163_gopher_repetition" -> ((s, d) => {
-      val toks = filter(TextOps.tokens(col("text")), w => w =!= "")
-      val base = InternalCaches.register(t(s, d, "documents")
-        .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"), toks.as("t"))
-        .withColumn("n", size(col("t")).cast("long"))
-        .filter(col("n") >= 1))
-      def grams(k: Int) = base
-        .filter(col("n") >= k)
-        .select(col("doc_id"), lit(k.toLong).as("k"),
-          explode(expr(
-            s"transform(sequence(0, CAST(n AS INT) - $k), " +
-              s"i -> struct(CAST(i AS BIGINT) AS i, " +
-              s"concat_ws(' ', slice(t, i + 1, $k)) AS g))")).as("e"))
-        .select(col("doc_id"), col("k"),
-          col("e.i").as("i"), col("e.g").as("g"))
-      val kg = grams(2).unionByName(grams(3))
-      val dup = kg.groupBy(col("doc_id"), col("k"), col("g"))
-        .agg(count(lit(1)).as("c"), collect_list(col("i")).as("is"))
-        .filter(col("c") >= 2)
-      val covered = dup
-        .select(col("doc_id"), col("k"), explode(col("is")).as("i"))
-        .select(col("doc_id"), col("k"),
-          explode(expr("sequence(i, i + k - 1)")).as("p"))
-        .distinct()
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("k") === 2L, 1L).otherwise(0L)).as("cov2"),
-          sum(when(col("k") === 3L, 1L).otherwise(0L)).as("cov3"))
-      base.join(covered, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n").as("n_tokens"),
-          expr("coalesce(cov2, 0) * CAST(1000000 AS BIGINT) div n")
-            .as("dup2_cover_ppm"),
-          expr("coalesce(cov3, 0) * CAST(1000000 AS BIGINT) div n")
-            .as("dup3_cover_ppm"))
-        .withColumn("keep",
-          when(col("dup2_cover_ppm") <= 200000L
-            && col("dup3_cover_ppm") <= 180000L, 1L).otherwise(0L))
+    "x163_gopher_repetition" -> ((s, d) =>
+      gopherRepetition(s, d).drop("source")),
+
+    // ───── the loader manifest end-to-end: the per-source plan a
+    // training run actually consumes, composed from this round's pieces
+    // with ZERO re-implementation — x163's Gopher repetition filter
+    // picks the survivors, x157's UniMax closed form allocates the
+    // epoch-capped budget over the SURVIVING masses, x155's arithmetic
+    // prices the bins one epoch costs. Shared builders
+    // (gopherRepetition / unimaxAlloc) guarantee the composition can
+    // never drift from the standalone operators; a source whose docs
+    // are all dropped gets no row (it gets no allocation). One doc-keyed
+    // filter chain, one source aggregation, then the bounded-dimension
+    // allocation windows
+    "x164_loader_manifest" -> ((s, d) => {
+      val kept = InternalCaches.register(gopherRepetition(s, d))
+      val masses = InternalCaches.register(kept
+        .filter(col("keep") === 1L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_tokens") + lit(1L)).as("stream_len")))
+      val dropped = kept.filter(col("keep") === 0L)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs_dropped"))
+      unimaxAlloc(masses.select(col("source"), col("n_tokens")))
+        .join(masses.select(col("source"), col("n_docs_kept"),
+          col("stream_len")), Seq("source"))
+        .join(dropped, Seq("source"), "left")
+        .select(col("source"), col("n_docs_kept"),
+          coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+          col("n_tokens").as("kept_tokens"),
+          col("alloc_tokens"), col("epochs_ppm"),
+          expr("(stream_len + 511) div 512").as("bins_per_epoch"))
     }))
+
+  /** The per-doc Gopher repetition frame (source, doc_id, n_tokens,
+    * dup2_cover_ppm, dup3_cover_ppm, keep) — shared by the x163 catalog
+    * entry (which drops source) and x164's manifest so the filter can
+    * never drift. See the x163 map entry for the semantics. */
+  private def gopherRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(TextOps.tokens(col("text")), w => w =!= "")
+    val base = InternalCaches.register(t(s, d, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("source"), col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= 1))
+    def grams(k: Int) = base
+      .filter(col("n") >= k)
+      .select(col("doc_id"), lit(k.toLong).as("k"),
+        explode(expr(
+          s"transform(sequence(0, CAST(n AS INT) - $k), " +
+            s"i -> struct(CAST(i AS BIGINT) AS i, " +
+            s"concat_ws(' ', slice(t, i + 1, $k)) AS g))")).as("e"))
+      .select(col("doc_id"), col("k"),
+        col("e.i").as("i"), col("e.g").as("g"))
+    val kg = grams(2).unionByName(grams(3))
+    val dup = kg.groupBy(col("doc_id"), col("k"), col("g"))
+      .agg(count(lit(1)).as("c"), collect_list(col("i")).as("is"))
+      .filter(col("c") >= 2)
+    val covered = dup
+      .select(col("doc_id"), col("k"), explode(col("is")).as("i"))
+      .select(col("doc_id"), col("k"),
+        explode(expr("sequence(i, i + k - 1)")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("k") === 2L, 1L).otherwise(0L)).as("cov2"),
+        sum(when(col("k") === 3L, 1L).otherwise(0L)).as("cov3"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("n").as("n_tokens"),
+        expr("coalesce(cov2, 0) * CAST(1000000 AS BIGINT) div n")
+          .as("dup2_cover_ppm"),
+        expr("coalesce(cov3, 0) * CAST(1000000 AS BIGINT) div n")
+          .as("dup3_cover_ppm"))
+      .withColumn("keep",
+        when(col("dup2_cover_ppm") <= 200000L
+          && col("dup3_cover_ppm") <= 180000L, 1L).otherwise(0L))
+  }
+
+  /** The UniMax prefix-capped closed form over a (source, n_tokens)
+    * frame — shared by the x157 catalog entry and x164's manifest so
+    * the allocation algebra can never drift. E = 2 epochs, B =
+    * ⌊1.8·total⌋; see the x157 map entry for the derivation. */
+  private def unimaxAlloc(per: DataFrame): DataFrame = {
+    val tot = per.agg(sum(col("n_tokens")).as("w_tot"),
+      count(lit(1)).cast("long").as("k"))
+    val rw = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val pw = rw.rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(w_tot * 9) div 5"))
+      .withColumn("rn", row_number().over(rw).cast("long"))
+      .withColumn("psum", coalesce(sum(col("n_tokens")).over(pw), lit(0L)))
+      .withColumn("cond", col("n_tokens") * 2L * (col("k") - col("rn") + 1L)
+        <= col("budget") - col("psum") * 2L)
+      .withColumn("fail_rn",
+        min(when(not(col("cond")), col("rn"))).over(all))
+      .withColumn("capped",
+        when(col("fail_rn").isNull || col("rn") < col("fail_rn"), 1L)
+          .otherwise(0L))
+      .withColumn("capped_sum",
+        sum(when(col("capped") === 1L, col("n_tokens")).otherwise(0L))
+          .over(all))
+      .withColumn("m", col("k") - sum(col("capped")).over(all))
+      .withColumn("rstar", col("budget") - col("capped_sum") * 2L)
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1L, col("n_tokens") * 2L)
+          .otherwise(expr("rstar div greatest(m, 1)")
+            + when(col("rn") > col("k") - expr("rstar % greatest(m, 1)"),
+                1L).otherwise(0L)))
+      .withColumn("epochs_ppm",
+        when(col("n_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(alloc_tokens div n_tokens) * 1000000 + " +
+            "((alloc_tokens % n_tokens) * 1000000) div n_tokens")))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens") * 2L).as("cap_tokens"), col("budget"),
+        col("capped"), col("alloc_tokens"), col("epochs_ppm"))
+  }
 
   /** The (quality micro-score, label) frame shared by the x160 AUC and
     * x161 PR-sweep evaluators: qm = x142's floor(quality · 1e6)
@@ -1055,38 +1181,7 @@ object TrainingQueries {
            FROM documents
            WHERE doc_id IS NOT NULL AND text IS NOT NULL
              AND source IS NOT NULL GROUP BY source),
-         tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS w_tot,
-             CAST(COUNT(*) AS BIGINT) AS k FROM w0),
-         r AS (SELECT source, n_tokens, k,
-             CAST((w_tot * 9) // 5 AS BIGINT) AS budget,
-             CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT)
-               AS rn,
-             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS psum
-           FROM w0 CROSS JOIN tt),
-         c AS (SELECT *,
-             (n_tokens * 2 * (k - rn + 1) <= budget - psum * 2) AS cond
-           FROM r),
-         f AS (SELECT *,
-             MIN(CASE WHEN NOT cond THEN rn END) OVER () AS fail_rn
-           FROM c),
-         g AS (SELECT source, n_tokens, k, budget, rn,
-             CASE WHEN fail_rn IS NULL OR rn < fail_rn
-               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS capped
-           FROM f),
-         h AS (SELECT *,
-             CAST(SUM(CASE WHEN capped = 1 THEN n_tokens ELSE 0 END) OVER ()
-               AS BIGINT) AS capped_sum,
-             k - CAST(SUM(capped) OVER () AS BIGINT) AS m
-           FROM g),
-         i AS (SELECT *, budget - capped_sum * 2 AS rstar FROM h),
-         j AS (SELECT source, n_tokens, budget, capped,
-             CASE WHEN capped = 1 THEN n_tokens * 2
-               ELSE rstar // greatest(m, 1)
-                 + CASE WHEN rn > k - (rstar % greatest(m, 1))
-                     THEN 1 ELSE 0 END END AS alloc_tokens
-           FROM i)
+         ${unimaxCteFrom("w0")}
          SELECT source, n_tokens,
            CAST(n_tokens * 2 AS BIGINT) AS cap_tokens, budget, capped,
            CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
@@ -1250,39 +1345,33 @@ object TrainingQueries {
     // (1-based positions; only counts are emitted, so the base offset
     // cancels)
     "x163_gopher_repetition" ->
-      s"""WITH tk AS (SELECT doc_id,
-             list_filter(string_split(${normOf("text")}, ' '),
-               w -> w <> '') AS t
-           FROM documents
-           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-         tk1 AS (SELECT doc_id, t FROM tk WHERE len(t) >= 1),
-         kg AS (
-           SELECT doc_id, CAST(2 AS BIGINT) AS k, i,
-               t[i] || ' ' || t[i + 1] AS g
-             FROM tk1, unnest(range(1, len(t))) u(i)
-           UNION ALL
-           SELECT doc_id, CAST(3 AS BIGINT), i,
-               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
-             FROM tk1, unnest(range(1, len(t) - 1)) u(i)),
-         dup AS (SELECT doc_id, k, g FROM kg
-           GROUP BY doc_id, k, g HAVING COUNT(*) >= 2),
-         cov AS (SELECT DISTINCT b.doc_id, b.k, p
-           FROM kg b JOIN dup d
-             ON b.doc_id = d.doc_id AND b.k = d.k AND b.g = d.g,
-           unnest(range(b.i, b.i + b.k)) v(p)),
-         cnt AS (SELECT doc_id,
-             CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS cov2,
-             CAST(SUM(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT)
-               AS cov3
-           FROM cov GROUP BY doc_id)
-         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
-           CAST(COALESCE(cov2, 0) * 1000000 // len(t.t) AS BIGINT)
-             AS dup2_cover_ppm,
-           CAST(COALESCE(cov3, 0) * 1000000 // len(t.t) AS BIGINT)
-             AS dup3_cover_ppm,
-           CASE WHEN COALESCE(cov2, 0) * 1000000 // len(t.t) <= 200000
-             AND COALESCE(cov3, 0) * 1000000 // len(t.t) <= 180000
-             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
-         FROM tk1 t LEFT JOIN cnt c ON c.doc_id = t.doc_id""")
+      s"""WITH $gopherCte
+         SELECT doc_id, n_tokens, dup2_cover_ppm, dup3_cover_ppm, keep
+         FROM gop""",
+    // x164: the composition oracle — the gopher chain picks survivors,
+    // the unimax chain allocates over their per-source masses, x155's
+    // ceil arithmetic prices one epoch's bins; kept/dropped counts and
+    // the allocation join back on source
+    "x164_loader_manifest" ->
+      s"""WITH $gopherCte,
+         km AS (SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_tokens + 1) AS BIGINT) AS stream_len
+           FROM gop WHERE keep = 1 GROUP BY source),
+         dr AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_dropped
+           FROM gop WHERE keep = 0 GROUP BY source),
+         ${unimaxCteFrom("km")}
+         SELECT km.source, km.n_docs_kept,
+           COALESCE(dr.n_docs_dropped, 0) AS n_docs_dropped,
+           km.n_tokens AS kept_tokens,
+           CAST(j.alloc_tokens AS BIGINT) AS alloc_tokens,
+           CASE WHEN km.n_tokens = 0 THEN NULL
+             ELSE CAST((j.alloc_tokens // km.n_tokens) * 1000000
+               + ((j.alloc_tokens % km.n_tokens) * 1000000) // km.n_tokens
+               AS BIGINT) END AS epochs_ppm,
+           CAST((km.stream_len + 511) // 512 AS BIGINT) AS bins_per_epoch
+         FROM km
+         JOIN j ON j.source = km.source
+         LEFT JOIN dr ON dr.source = km.source""")
 }

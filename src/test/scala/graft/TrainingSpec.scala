@@ -250,6 +250,48 @@ class TrainingSpec extends SparkSpec {
     assert(cover(Seq("a", "a", "a", "a"), 2) == 4L)
   }
 
+  test("x164 loader manifest: composition cross-lock against x163 survivors and the unimax recurrence") {
+    val sf = "/root/testdata/sf0.001"
+    val gop = graft.queries.TrainingQueries.defs("x163_gopher_repetition")(
+      spark, sf)
+      .select($"doc_id", $"n_tokens", $"keep")
+      .as[(Long, Long, Long)].collect().toSeq
+    // x163's catalog face drops source; recover it independently
+    val srcOf = graft.Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val kept = gop.filter(_._3 == 1L).groupBy(r => srcOf(r._1))
+    val out = graft.queries.TrainingQueries.defs("x164_loader_manifest")(
+      spark, sf)
+      .select($"source", $"n_docs_kept", $"n_docs_dropped", $"kept_tokens",
+        $"alloc_tokens", $"epochs_ppm", $"bins_per_epoch")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).toSet == kept.keySet)
+    // counts and masses match the survivor set exactly
+    val dropped = gop.filter(_._3 == 0L).groupBy(r => srcOf(r._1))
+      .view.mapValues(_.size.toLong).toMap
+    out.foreach { case (src, nk, nd, tok, _, _, bins) =>
+      assert(nk == kept(src).size && tok == kept(src).map(_._2).sum)
+      assert(nd == dropped.getOrElse(src, 0L))
+      val streamLen = kept(src).map(_._2 + 1).sum
+      assert(bins == (streamLen + 511) / 512)
+    }
+    // allocation == the unimax recurrence over the SURVIVING masses
+    val masses = out.map(r => r._1 -> r._4)
+    val budget = (masses.map(_._2).sum * 9) / 5
+    var rem = budget
+    var cnt = masses.size.toLong
+    val replay = masses.sortBy { case (g, w) => (w, g) }.map { case (g, w) =>
+      val alloc = math.min(w * 2, rem / cnt)
+      rem -= alloc; cnt -= 1
+      g -> alloc
+    }.toMap
+    out.foreach { case (src, _, _, tok, alloc, ppm, _) =>
+      assert(alloc == replay(src), s"$src manifest alloc drifted")
+      assert(ppm == (alloc / tok) * 1000000L + (alloc % tok) * 1000000L / tok)
+    }
+  }
+
   test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
     val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
       spark, "/root/testdata/sf0.001")
