@@ -647,9 +647,12 @@ object TrainingQueries {
     // allowlisted class, ≤1e6 rows at any corpus size), never over
     // docs. Doubled midranks keep tie averages integer: midrank2 =
     // 2·(# strictly below) + ties + 1; 2U = Σ_pos midrank2 −
-    // nPos(nPos+1); AUC = 2U / (2·nPos·nNeg). Sums ride DECIMAL(38,0)
-    // (HUGEINT in the oracle, the x132 pairing) — contrib totals grow
-    // as N², past Long at ~2e9 docs
+    // nPos(nPos+1); AUC = 2U / (2·nPos·nNeg). INTERNAL sums ride
+    // DECIMAL(38,0)/HUGEINT (they grow as N², past Long at ~2e9 docs)
+    // but the one-row emit narrows num/den to BIGINT — wide decimals
+    // are the known driver-hash hazard (x132's round-7 lesson, enforced
+    // by CatalogPreflightSpec), and the ANSI cast throws rather than
+    // corrupts if a corpus ever exceeds np·nn < 2⁶² pairs
     "x160_quality_auc" -> ((s, d) => {
       val byScore = qmLabelFrame(s, d)
         .groupBy(col("qm"))
@@ -666,8 +669,9 @@ object TrainingQueries {
           sum(col("contrib")).as("mrsum"))
         .select(col("np").as("n_pos"), col("nn").as("n_neg"),
           (col("mrsum") - (col("np").cast("decimal(38,0)")
-            * (col("np") + 1L))).as("auc_num"),
-          (col("np").cast("decimal(38,0)") * col("nn") * 2L).as("auc_den"))
+            * (col("np") + 1L))).cast("long").as("auc_num"),
+          (col("np").cast("decimal(38,0)") * col("nn") * 2L)
+            .cast("long").as("auc_den"))
         .withColumn("auc",
           col("auc_num").cast("double") / col("auc_den").cast("double"))
     }),
@@ -1281,8 +1285,8 @@ object TrainingQueries {
              SUM(CAST(n_pos AS HUGEINT) * (less * 2 + n + 1)) AS mrsum
            FROM rk)
          SELECT np AS n_pos, nn AS n_neg,
-           mrsum - CAST(np AS HUGEINT) * (np + 1) AS auc_num,
-           CAST(np AS HUGEINT) * nn * 2 AS auc_den,
+           CAST(mrsum - CAST(np AS HUGEINT) * (np + 1) AS BIGINT) AS auc_num,
+           CAST(CAST(np AS HUGEINT) * nn * 2 AS BIGINT) AS auc_den,
            CAST(mrsum - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
              / CAST(CAST(np AS HUGEINT) * nn * 2 AS DOUBLE) AS auc
          FROM ag""",
