@@ -36,9 +36,16 @@ object Bench {
     }
     // Two timed passes, report the per-query minimum — single-shot times
     // on a shared box vary ±30%; min-of-2 is the standard stabilizer.
-    // A query that throws reports the -1 sentinel (and is excluded from the
-    // total) instead of folding its abort time into a silently-faster sum.
-    def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+    // The second pass runs in REVERSED catalog order (r10 verdict #7,
+    // generalizing the x131/x143 finding): queries sharing a cached
+    // chain otherwise charge residual JIT/warmup systematically to the
+    // alphabetically-first member of the pair; with one pass in each
+    // direction, min-of-2 sees each member once in the "warm follower"
+    // position. A query that throws reports the -1 sentinel (and is
+    // excluded from the total) instead of folding its abort time into a
+    // silently-faster sum.
+    def timedPass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double)] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -50,9 +57,9 @@ object Bench {
     // drop caches the warmup populated (minhash/jaccard pin their
     // signature frames) so timed passes measure full computation
     graft.ops.InternalCaches.drainAll(spark)
-    val p1 = timedPass().toMap
+    val p1 = timedPass(ordered).toMap
     graft.ops.InternalCaches.drainAll(spark)
-    val results = timedPass().map { case (k, v) =>
+    val results = timedPass(ordered.reverse).map { case (k, v) =>
       k -> (if (v < 0 || p1(k) < 0) -1.0 else math.min(v, p1(k)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

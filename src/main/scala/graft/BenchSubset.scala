@@ -7,8 +7,28 @@ import org.apache.spark.sql.SparkSession
   * operator family without paying the full-catalog run.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.BenchSubset q1 q2 ..."
+  *
+  * SPARK_GRAFT_CENSUS=1 additionally prints a per-query JOB CENSUS
+  * (jobs / stages / tasks launched by the second timed run) — the
+  * redundant-work detector behind the r9 x152 fusion (−28%): an operator
+  * whose twin is one SQL statement but which launches dozens of Spark
+  * jobs is paying plan-count overhead, not data — the census says which.
   */
 object BenchSubset {
+
+  private final class Census extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(): Unit
+      stages.addAndGet(j.stageInfos.size.toLong): Unit
+      tasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum): Unit
+    }
+    def snapshot(): (Long, Long, Long) = (jobs.get, stages.get, tasks.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -16,6 +36,12 @@ object BenchSubset {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val census =
+      if (sys.env.get("SPARK_GRAFT_CENSUS").contains("1")) {
+        val c = new Census
+        spark.sparkContext.addSparkListener(c)
+        Some(c)
+      } else None
     val names = args.toSeq
     def once(n: String): Double = {
       val t0 = System.nanoTime()
@@ -27,7 +53,17 @@ object BenchSubset {
     names.foreach(once) // warm: codegen + file listing
     graft.ops.InternalCaches.drainAll(spark)
     val t1 = names.map(n => n -> once(n)).toMap
-    val t2 = names.map(n => n -> once(n)).toMap
+    val t2 = names.map { n =>
+      val b = census.map(_.snapshot())
+      val t = once(n)
+      (census, b) match {
+        case (Some(c), Some((j0, s0, k0))) =>
+          val (j1, s1, k1) = c.snapshot()
+          println(f"$n%-28s census: ${j1 - j0}%3d jobs ${s1 - s0}%4d stages ${k1 - k0}%6d tasks")
+        case _ => ()
+      }
+      n -> t
+    }.toMap
     names.foreach(n => println(f"$n%-28s ${math.min(t1(n), t2(n))}%.2f"))
     spark.stop()
   }

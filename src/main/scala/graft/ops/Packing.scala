@@ -28,6 +28,18 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Packing {
 
+  /** The one output schema both packers share (ADVICE r10: the two had
+    * drifted on sizeCol nullability). Pass-through columns are non-null
+    * by construction — null group/order/size rows are filtered up
+    * front. */
+  private def packedSchema(groupCol: String, orderCol: String,
+                           sizeCol: String): StructType = StructType(Seq(
+    StructField(groupCol, StringType, nullable = false),
+    StructField(orderCol, LongType, nullable = false),
+    StructField(sizeCol, LongType, nullable = false),
+    StructField("bin_idx", LongType, nullable = false),
+    StructField("bin_offset", LongType, nullable = false)))
+
   /** Next-fit packing of `sizeCol`-sized items into `capacity`-token
     * bins, independently per `groupCol`, in ascending `orderCol` order.
     *
@@ -40,6 +52,11 @@ object Packing {
     *
     * Output columns: groupCol, orderCol, sizeCol (all pass-through),
     * `bin_idx` (0-based per group), `bin_offset` (fill before placement).
+    * Rows with a null group, order, or size are DROPPED up front — a
+    * null has no position in the order and no width, so it cannot be
+    * packed; without the filter the scan would die mid-task with an
+    * opaque NPE (catalog entries pre-filter, the public API must not
+    * rely on that).
     *
     * Scale: one shuffle (repartition by group), then a per-partition
     * sorted forward scan via mapPartitions with constant state — no
@@ -50,19 +67,15 @@ object Packing {
   def nextFitPack(df: DataFrame, groupCol: String, orderCol: String,
                   sizeCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val spark = df.sparkSession
     val prepared = df
       .select(col(groupCol).cast(StringType).as("__g"),
         col(orderCol).cast(LongType).as("__o"),
         col(sizeCol).cast(LongType).as("__n"))
+      .filter(col("__g").isNotNull && col("__o").isNotNull
+        && col("__n").isNotNull)
       .repartition(col("__g"))
       .sortWithinPartitions(col("__g"), col("__o"))
-    val outSchema = StructType(Seq(
-      StructField(groupCol, StringType, nullable = true),
-      StructField(orderCol, LongType, nullable = true),
-      StructField(sizeCol, LongType, nullable = true),
-      StructField("bin_idx", LongType, nullable = false),
-      StructField("bin_offset", LongType, nullable = false)))
+    val outSchema = packedSchema(groupCol, orderCol, sizeCol)
     val packed = prepared.mapPartitions { rows =>
       var curGroup: String = null
       var bin = 0L
@@ -93,7 +106,8 @@ object Packing {
     * (PackingSpec pins the equivalence as a law).
     *
     * Output: groupCol, orderCol, sizeCol, `bin_idx` (0-based per group,
-    * in OPEN order — not close order), `bin_offset`.
+    * in OPEN order — not close order), `bin_offset`. Null group/order/
+    * size rows are dropped up front, exactly as in [[nextFitPack]].
     *
     * Scale: identical shape to [[nextFitPack]] — one shuffle, secondary
     * sort, forward scan; state grows from three words to `pool` (bin,
@@ -108,14 +122,11 @@ object Packing {
       .select(col(groupCol).cast(StringType).as("__g"),
         col(orderCol).cast(LongType).as("__o"),
         col(sizeCol).cast(LongType).as("__n"))
+      .filter(col("__g").isNotNull && col("__o").isNotNull
+        && col("__n").isNotNull)
       .repartition(col("__g"))
       .sortWithinPartitions(col("__g"), col("__o"))
-    val outSchema = StructType(Seq(
-      StructField(groupCol, StringType, nullable = true),
-      StructField(orderCol, LongType, nullable = true),
-      StructField(sizeCol, LongType, nullable = false),
-      StructField("bin_idx", LongType, nullable = false),
-      StructField("bin_offset", LongType, nullable = false)))
+    val outSchema = packedSchema(groupCol, orderCol, sizeCol)
     val packed = prepared.mapPartitions { rows =>
       var curGroup: String = null
       var nextBin = 0L

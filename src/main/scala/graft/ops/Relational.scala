@@ -90,6 +90,46 @@ object Relational {
     matched.unionByName(allocated.select(df.columns.map(col).toSeq: _*))
   }
 
+  /** Per-group 1-based rank by `orderBy` WITHOUT a per-group window
+    * bottleneck — [[allocateIds]]'s two-level shape generalized to
+    * grouped ranking, for the case where groups are FEW (x165's 8
+    * workers) while rows are data-sized: `row_number().over(
+    * Window.partitionBy(group))` would cap parallelism at the group
+    * count at any corpus size. Level 1 range-partitions on
+    * (groups, orderBy) — equal keys stay together and every group spans
+    * a contiguous run of partitions — and ranks locally in parallel;
+    * level 2 adds each (partition, group)'s starting offset from a
+    * broadcast triangular join over the one-row-per-(partition, group)
+    * counts frame (≤ #partitions + #groups rows). Matches the serial
+    * per-group row_number exactly whenever (orderBy) is unique within a
+    * group (ties tie-break arbitrarily, as any row_number does). */
+  def rankWithinGroups(df: DataFrame, groupCols: Seq[String],
+                       orderBy: Seq[Column], outCol: String): DataFrame = {
+    require(groupCols.nonEmpty && orderBy.nonEmpty,
+      "rankWithinGroups needs group columns and an ordering key")
+    val gcols = groupCols.map(col)
+    val parted = df.repartitionByRange((gcols ++ orderBy): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy((col("__pid") +: gcols): _*)
+      .orderBy(orderBy: _*)
+    val local = parted.withColumn("__lrn", row_number().over(wIn).cast("long"))
+    val counts = parted.groupBy((col("__pid") +: gcols): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val earlier = counts.select((col("__pid").as("__bpid") +:
+      groupCols.map(c => col(c).as(s"__b_$c")) :+
+      col("__cnt").as("__bcnt")): _*)
+    val sameGroupBefore = groupCols.map(c => col(s"__b_$c") <=> col(s"a.$c"))
+      .reduce(_ && _) && col("__bpid") < col("a.__pid")
+    val offsets = counts.as("a")
+      .join(broadcast(earlier), sameGroupBefore, "left")
+      .groupBy((col("a.__pid").as("__pid") +:
+        groupCols.map(c => col(s"a.$c").as(c))): _*)
+      .agg(coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(outCol, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
   /** First-non-null with literal default (reference `iterative_replace_null`
     * `episode_stats/episode_stats_transform.py:32-45`). */
   def firstNonNull(cols: Seq[Column], default: Column): Column =

@@ -119,6 +119,15 @@ object TrainingQueries {
                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
            FROM tk1 t LEFT JOIN cnt c ON c.doc_id = t.doc_id)"""
 
+  /** The surviving-mass CTE over `gop` — [[keptMasses]]'s mirror,
+    * shared by the x164 and x165 oracles. */
+  private def keptMassesCte: String =
+    s"""km AS (SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_tokens + 1) AS BIGINT) AS stream_len
+           FROM gop WHERE keep = 1 GROUP BY source)"""
+
   /** The shared (qm, pos) CTE text of the x160/x161 oracles —
     * [[qmLabelFrame]]'s mirror. */
   private val qmLabelCte =
@@ -739,10 +748,11 @@ object TrainingQueries {
     // count a position twice). x35 flags total token surplus; THIS is
     // the positional-coverage signal the Gopher thresholds are defined
     // on — keep iff dup2 ≤ 0.20 and dup3 ≤ 0.18 (the paper's values;
-    // both branches exercised on this corpus). Shape: n-grams build as
-    // array ops inside the row (no shuffle), then one groupBy on
-    // (doc, k, gram) for the ≥2 filter and one distinct on (doc, k,
-    // position) for the union — all keyed by doc, nothing global
+    // both branches exercised on this corpus). Shape: the metric is
+    // per-document, so the whole computation — gram build, duplicate
+    // detection (sort-adjacency), interval union — runs IN-ROW as array
+    // expressions: ZERO exchanges (PlanAssertSpec pins it); see
+    // gopherRepetition for the algebra
     "x163_gopher_repetition" -> ((s, d) =>
       gopherRepetition(s, d).drop("source")),
 
@@ -759,12 +769,7 @@ object TrainingQueries {
     // allocation windows
     "x164_loader_manifest" -> ((s, d) => {
       val kept = InternalCaches.register(gopherRepetition(s, d))
-      val masses = InternalCaches.register(kept
-        .filter(col("keep") === 1L)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs_kept"),
-          sum(col("n_tokens")).as("n_tokens"),
-          sum(col("n_tokens") + lit(1L)).as("stream_len")))
+      val masses = InternalCaches.register(keptMasses(kept))
       val dropped = kept.filter(col("keep") === 0L)
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs_dropped"))
       unimaxAlloc(masses.select(col("source"), col("n_tokens")))
@@ -776,50 +781,111 @@ object TrainingQueries {
           col("n_tokens").as("kept_tokens"),
           col("alloc_tokens"), col("epochs_ppm"),
           expr("(stream_len + 511) div 512").as("bins_per_epoch"))
+    }),
+
+    // ───── the epoch-order manifest — the LAST loader stage: a seeded,
+    // deterministic, resume-replayable permutation of the surviving
+    // sources' bins into the global step order each worker consumes.
+    // Composition (shared builders, zero re-implementation): x163's
+    // Gopher filter picks the survivors and x155's ceil arithmetic
+    // prices each source's bins_per_epoch (keptMasses — the exact
+    // masses x164's manifest prices), x162's LPT greedy places sources
+    // on 8 workers by surviving token mass; then every (source, bin)
+    // gets a 48-bit md5 order key (the x21/x63 integer-hash convention,
+    // seeded by the 'ep1' literal — a different seed string is a
+    // different epoch's shuffle; no RNG anywhere) and step = per-worker
+    // rank of (order_key, source, bin_idx). The rank runs TWO-LEVEL
+    // (Relational.rankWithinGroups) — a plain per-worker window would
+    // cap parallelism at 8 tasks at any corpus size. Hashing instead of
+    // sampling is what buys checkpoint resume: the order is a pure
+    // function of (seed, source, bin), so restarting mid-epoch is a
+    // step-filter, not a state replay — TrainingSpec pins the law
+    "x165_epoch_order" -> ((s, d) => {
+      val masses = InternalCaches.register(keptMasses(gopherRepetition(s, d)))
+      val plan = graft.ops.Scheduling.lptAssign(
+        masses.select(col("source"), col("n_tokens")),
+        "source", "n_tokens", workers = 8)
+      val bins = masses
+        .join(broadcast(plan.select(col("source"), col("worker"))),
+          Seq("source"))
+        .select(col("source"), col("worker"),
+          explode(expr("sequence(0, (stream_len + 511) div 512 - 1)"))
+            .as("bin_idx"))
+        .withColumn("order_key",
+          conv(substring(md5(concat(lit("ep1_"), col("source"), lit(":"),
+            col("bin_idx"))), 1, 12), 16, 10).cast("long"))
+      graft.ops.Relational.rankWithinGroups(bins, Seq("worker"),
+          Seq(col("order_key"), col("source"), col("bin_idx")), "step")
+        .select(col("worker"), col("step"), col("source"), col("bin_idx"),
+          col("order_key"))
     }))
 
   /** The per-doc Gopher repetition frame (source, doc_id, n_tokens,
     * dup2_cover_ppm, dup3_cover_ppm, keep) — shared by the x163 catalog
     * entry (which drops source) and x164's manifest so the filter can
-    * never drift. See the x163 map entry for the semantics. */
+    * never drift. See the x163 map entry for the semantics.
+    *
+    * Shape (r11): the metric is PER-DOCUMENT, so duplicate-gram
+    * detection and the position-interval union both run IN-ROW with
+    * array expressions — zero exchanges (the r10 plan paid two wide
+    * ones: a (doc, k, gram) groupBy with collect_list, then an exploded
+    * (doc, k, position) distinct). Per row: build the (gram, position)
+    * pairs, `array_sort` them (struct sort = gram-major), mark a
+    * position duplicated iff its gram equals a sorted NEIGHBOR's (the
+    * standard sort-adjacency dedup — O(n log n) per doc instead of the
+    * O(n²) exists-scan), then flatten the [i, i+k-1] intervals of the
+    * duplicated occurrences through `array_distinct` for the exact
+    * union size. The sorted array binds ONCE as a lambda variable
+    * (`transform(array(sorted), srt -> …)[1]`) so projection collapse
+    * can never re-evaluate the sort per element. Memory per row is
+    * O(n·k) gram chars — the same per-doc bound the exploded plan
+    * carried, just held in one row; skew bound = the longest document,
+    * as before. PlanAssertSpec pins the zero-exchange plan. */
   private def gopherRepetition(s: SparkSession, d: String): DataFrame = {
     val toks = filter(TextOps.tokens(col("text")), w => w =!= "")
-    val base = InternalCaches.register(t(s, d, "documents")
+    // exact covered-position count for gram size k, fully row-local;
+    // AND short-circuits guard the element_at(srt, 0)/past-end probes
+    def covSql(k: Int): String =
+      s"""CASE WHEN n >= $k THEN element_at(transform(array(
+            array_sort(transform(sequence(0, CAST(n AS INT) - $k),
+              i -> struct(concat_ws(' ', slice(t, i + 1, $k)) AS g,
+                          CAST(i AS BIGINT) AS i)))),
+            srt -> size(array_distinct(flatten(transform(
+              filter(transform(sequence(0, size(srt) - 1), j ->
+                IF((j > 0 AND
+                      element_at(srt, j + 1).g = element_at(srt, j).g)
+                   OR (j < size(srt) - 1 AND
+                      element_at(srt, j + 1).g = element_at(srt, j + 2).g),
+                  element_at(srt, j + 1).i, CAST(NULL AS BIGINT))),
+                x -> x IS NOT NULL),
+              st -> sequence(st, st + $k - 1)))))), 1)
+          ELSE 0 END"""
+    t(s, d, "documents")
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("source"), col("doc_id"), toks.as("t"))
       .withColumn("n", size(col("t")).cast("long"))
-      .filter(col("n") >= 1))
-    def grams(k: Int) = base
-      .filter(col("n") >= k)
-      .select(col("doc_id"), lit(k.toLong).as("k"),
-        explode(expr(
-          s"transform(sequence(0, CAST(n AS INT) - $k), " +
-            s"i -> struct(CAST(i AS BIGINT) AS i, " +
-            s"concat_ws(' ', slice(t, i + 1, $k)) AS g))")).as("e"))
-      .select(col("doc_id"), col("k"),
-        col("e.i").as("i"), col("e.g").as("g"))
-    val kg = grams(2).unionByName(grams(3))
-    val dup = kg.groupBy(col("doc_id"), col("k"), col("g"))
-      .agg(count(lit(1)).as("c"), collect_list(col("i")).as("is"))
-      .filter(col("c") >= 2)
-    val covered = dup
-      .select(col("doc_id"), col("k"), explode(col("is")).as("i"))
-      .select(col("doc_id"), col("k"),
-        explode(expr("sequence(i, i + k - 1)")).as("p"))
-      .distinct()
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("k") === 2L, 1L).otherwise(0L)).as("cov2"),
-        sum(when(col("k") === 3L, 1L).otherwise(0L)).as("cov3"))
-    base.join(covered, Seq("doc_id"), "left")
+      .filter(col("n") >= 1)
+      .withColumn("cov2", expr(covSql(2)).cast("long"))
+      .withColumn("cov3", expr(covSql(3)).cast("long"))
       .select(col("source"), col("doc_id"), col("n").as("n_tokens"),
-        expr("coalesce(cov2, 0) * CAST(1000000 AS BIGINT) div n")
-          .as("dup2_cover_ppm"),
-        expr("coalesce(cov3, 0) * CAST(1000000 AS BIGINT) div n")
-          .as("dup3_cover_ppm"))
+        expr("cov2 * CAST(1000000 AS BIGINT) div n").as("dup2_cover_ppm"),
+        expr("cov3 * CAST(1000000 AS BIGINT) div n").as("dup3_cover_ppm"))
       .withColumn("keep",
         when(col("dup2_cover_ppm") <= 200000L
           && col("dup3_cover_ppm") <= 180000L, 1L).otherwise(0L))
   }
+
+  /** Per-source masses of the Gopher SURVIVORS (keep = 1) —
+    * (source, n_docs_kept, n_tokens, stream_len) — shared by x164's
+    * manifest and x165's epoch order so the plan a run prices and the
+    * order it consumes can never drift. One partial-combined shuffle
+    * over the per-doc frame. */
+  private def keptMasses(kept: DataFrame): DataFrame = kept
+    .filter(col("keep") === 1L)
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("n_docs_kept"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_tokens") + lit(1L)).as("stream_len"))
 
   /** The UniMax prefix-capped closed form over a (source, n_tokens)
     * frame — shared by the x157 catalog entry and x164's manifest so
@@ -1358,11 +1424,7 @@ object TrainingQueries {
     // the allocation join back on source
     "x164_loader_manifest" ->
       s"""WITH $gopherCte,
-         km AS (SELECT source,
-             CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
-             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-             CAST(SUM(n_tokens + 1) AS BIGINT) AS stream_len
-           FROM gop WHERE keep = 1 GROUP BY source),
+         $keptMassesCte,
          dr AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_dropped
            FROM gop WHERE keep = 0 GROUP BY source),
          ${unimaxCteFrom("km")}
@@ -1377,5 +1439,44 @@ object TrainingQueries {
            CAST((km.stream_len + 511) // 512 AS BIGINT) AS bins_per_epoch
          FROM km
          JOIN j ON j.source = km.source
-         LEFT JOIN dr ON dr.source = km.source""")
+         LEFT JOIN dr ON dr.source = km.source""",
+    // x165: the composition oracle — the gopher chain picks survivors,
+    // the x162 LPT recursion places their masses on 8 workers, each
+    // source's (stream_len + 511) // 512 bins unnest, the 48-bit md5
+    // order key replays bit-for-bit ('0x' prefix-cast = Spark's
+    // conv(..., 16, 10)), and step is the per-worker rank — DuckDB's
+    // serial window vs the engine's two-level parallel rank, identical
+    // because the order key is effectively unique
+    "x165_epoch_order" ->
+      s"""WITH RECURSIVE $gopherCte,
+         $keptMassesCte,
+         o AS (SELECT source, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS rn
+           FROM km),
+         rec AS (
+           SELECT source, rn, CAST(0 AS BIGINT) AS worker,
+             list_transform(range(0, 8), i -> {'w': CAST(i AS BIGINT),
+               'l': CASE WHEN i = 0 THEN n_tokens
+                 ELSE CAST(0 AS BIGINT) END}) AS loads
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT nx.source, nx.rn, st.mk % 1024,
+             list_transform(r.loads, x ->
+               CASE WHEN x.l * 1024 + x.w = st.mk
+                 THEN {'w': x.w, 'l': x.l + nx.n_tokens} ELSE x END)
+           FROM rec r JOIN o nx ON nx.rn = r.rn + 1,
+           LATERAL (SELECT list_min(list_transform(r.loads,
+             x -> x.l * 1024 + x.w)) AS mk) st),
+         bins AS (SELECT r.source, r.worker, CAST(u.b AS BIGINT) AS bin_idx
+           FROM rec r JOIN km ON km.source = r.source,
+           unnest(range(0, (km.stream_len + 511) // 512)) u(b)),
+         h AS (SELECT worker, source, bin_idx,
+             CAST(('0x' || substr(md5('ep1_' || source || ':' || bin_idx),
+               1, 12)) AS BIGINT) AS order_key
+           FROM bins)
+         SELECT CAST(worker AS BIGINT) AS worker,
+           CAST(ROW_NUMBER() OVER (PARTITION BY worker
+             ORDER BY order_key, source, bin_idx) AS BIGINT) AS step,
+           source, bin_idx, order_key
+         FROM h""")
 }

@@ -21,6 +21,11 @@ import graft.ops.InternalCaches.CacheSyntax
   */
 object Streams {
 
+  /** Executor-side logger for the stateful processors (per-JVM, not
+    * serialized — resolved lazily on first use on each executor). */
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.Streams")
+
   /** High-watermark incremental filter (reference
     * `helpers/extract_helpers.py:7-21`, `reddit/reddit_extract.py:86-92`):
     * only rows strictly after the watermark. Pushes down to the scan. */
@@ -350,17 +355,28 @@ object Streams {
                                    rows: Iterator[(String, Long, Long)],
                                    timerValues: TimerValues)
           : Iterator[(String, Long, Long, Long)] = {
-        var (lastId, next) =
-          if (head.exists()) head.get() else (Long.MinValue, 0L)
+        // "has this source packed anything yet" rides state EXISTENCE,
+        // not a lastId sentinel — a sentinel silently swallows a first
+        // doc with id == Long.MinValue (ADVICE r10)
+        var seen = head.exists()
+        var (lastId, next) = if (seen) head.get() else (0L, 0L)
+        var nDropped = 0L
         val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
-          if (id <= lastId || n < 1) None // redelivery / empty doc: no-op
+          if (seen && id <= lastId) { // redelivery (contract): no-op
+            nDropped += 1; None
+          } else if (n < 1) None // empty doc: skip, consume no position
           else {
             val pos = next
-            lastId = id; next += n + 1 // doc + one separator token
+            seen = true; lastId = id; next += n + 1 // doc + separator
             Some((key, id, n, pos))
           }
         }
-        head.update((lastId, next))
+        if (nDropped > 0) // redelivery is expected; an out-of-order NEW
+          // doc is indistinguishable from it — surface the count so a
+          // broken shard contract is observable, not silent
+          log.info(s"streamingPackingOffsets[$key]: dropped $nDropped " +
+            s"row(s) with id <= last packed ($lastId)")
+        if (seen) head.update((lastId, next))
         out.iterator
       }
     }
@@ -407,18 +423,26 @@ object Streams {
                                    rows: Iterator[(String, Long, Long)],
                                    timerValues: TimerValues)
           : Iterator[(String, Long, Long, Long, Long)] = {
-        var (lastId, bin, fill) =
-          if (head.exists()) head.get() else (Long.MinValue, 0L, 0L)
+        // seen-any rides state existence, not a lastId sentinel — see
+        // streamingPackingOffsets (ADVICE r10)
+        var seen = head.exists()
+        var (lastId, bin, fill) = if (seen) head.get() else (0L, 0L, 0L)
+        var nDropped = 0L
         val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
-          if (id <= lastId || n < 1) None // redelivery / empty doc: no-op
+          if (seen && id <= lastId) { // redelivery (contract): no-op
+            nDropped += 1; None
+          } else if (n < 1) None // empty doc: skip, consume no slot
           else {
             if (fill > 0 && fill + n > capacity) { bin += 1; fill = 0L }
             val off = fill
-            lastId = id; fill += n
+            seen = true; lastId = id; fill += n
             Some((key, id, n, bin, off))
           }
         }
-        head.update((lastId, bin, fill))
+        if (nDropped > 0)
+          log.info(s"streamingNextFitPacking[$key]: dropped $nDropped " +
+            s"row(s) with id <= last packed ($lastId)")
+        if (seen) head.update((lastId, bin, fill))
         out.iterator
       }
     }

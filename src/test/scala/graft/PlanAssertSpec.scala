@@ -111,6 +111,27 @@ class PlanAssertSpec extends SparkSpec {
       s"all-pairs join crept into the prefix filter:\n$p")
   }
 
+  test("x163 gopher repetition: fully in-row — ZERO exchanges of any kind") {
+    // the r10 plan paid two wide exchanges ((doc, k, gram) groupBy +
+    // exploded position distinct); the metric is per-document, so the
+    // r11 plan computes the interval union inside the row — a regression
+    // back to a shuffle-based plan fails here
+    val p = plan("x163_gopher_repetition")
+    assert(shuffleExchanges(p) == 0,
+      s"x163 is a pure per-row projection; an exchange crept in:\n$p")
+  }
+
+  test("x165 epoch order: two-level per-worker rank — no single-partition exchange, window keyed by range partition") {
+    // 8 workers would cap a plain Window.partitionBy(worker) at 8 tasks
+    // at any corpus size; rankWithinGroups ranks per range-partition and
+    // adds broadcast offsets instead (q15's shape, grouped)
+    val p = plan("x165_epoch_order")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"serial/per-worker-only window crept into the epoch order:\n$p")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"rank window lost its partition key:\n$p")
+  }
+
   test("catalog sweep: no cartesian products anywhere; single-partition exchanges only where documented") {
     // Documented exceptions. q15: only the max(id) scalar aggregate (one
     // pre-aggregated row per partition) — the allocation window itself is

@@ -54,7 +54,12 @@ class ScaleGateSpec extends SparkSpec {
     * (IVFADC, the heaviest embeddings read path). r10 adds x158, the
     * round's new recurrence class (secondary-sort packing scan): its
     * per-source partitions grow 10× while parallelism stays at the
-    * source count, so a superlinear sort/state regression lands here. */
+    * source count, so a superlinear sort/state regression lands here.
+    * r11 adds x163, the (doc, k, gram)-explosion class (per-doc n-gram
+    * coverage): its r11 plan is an in-row interval union whose work is
+    * Σ n_doc·log n_doc — a regression back to a shuffle-based or
+    * quadratic-per-doc plan is the newest heavy shape with no other
+    * tripwire (r10 verdict gap #3). */
   private val gated = Seq(
     "x27_lsh_dedup_pipeline",
     "x49_incremental_dedup",
@@ -64,7 +69,8 @@ class ScaleGateSpec extends SparkSpec {
     "x150_bpe_train",
     "x151_ann_index_upsert",
     "x123_ivf_pq_residual_ann",
-    "x158_bestfit_packing")
+    "x158_bestfit_packing",
+    "x163_gopher_repetition")
 
   private def ensureFixture(): Unit = {
     val docs = Tables.load(spark, sf01, "documents")

@@ -292,6 +292,52 @@ class TrainingSpec extends SparkSpec {
     }
   }
 
+  test("x165 epoch order: seeded permutation laws + mid-epoch checkpoint resume reproduces the suffix exactly") {
+    val sf = "/root/testdata/sf0.001"
+    def run(): Seq[(Long, Long, String, Long, Long)] =
+      graft.queries.TrainingQueries.defs("x165_epoch_order")(spark, sf)
+        .select($"worker", $"step", $"source", $"bin_idx", $"order_key")
+        .as[(Long, Long, String, Long, Long)].collect().toSeq
+    val full = run()
+    assert(full.nonEmpty)
+    // steps per worker are contiguous 1..n (a total consumption order)
+    full.groupBy(_._1).foreach { case (w, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size).toSeq,
+        s"worker $w steps not contiguous")
+    }
+    // the bins consumed are EXACTLY the bins x164's manifest prices:
+    // same surviving sources, same bins_per_epoch, bin ids 0..n-1
+    val priced = graft.queries.TrainingQueries.defs("x164_loader_manifest")(
+      spark, sf).select($"source", $"bins_per_epoch")
+      .as[(String, Long)].collect().toMap
+    val consumed = full.groupBy(_._3).view
+      .mapValues(_.map(_._4).sorted).toMap
+    assert(consumed.keySet == priced.keySet,
+      "epoch order consumes a different source set than the manifest prices")
+    consumed.foreach { case (src, bins) =>
+      assert(bins == (0L until priced(src)).toSeq,
+        s"$src bins drift from the priced bins_per_epoch")
+    }
+    // each source lives on exactly one worker, and the order within a
+    // worker is the hash order (order_key, source, bin_idx)
+    assert(full.groupBy(_._3).forall(_._2.map(_._1).distinct.size == 1))
+    full.groupBy(_._1).foreach { case (_, rows) =>
+      val inStep = rows.sortBy(_._2).map(r => (r._5, r._3, r._4))
+      assert(inStep == inStep.sorted, "step order is not the hash order")
+    }
+    // THE RESUME LAW: the order is a pure function of (seed, source,
+    // bin), so restarting from a mid-epoch checkpoint is a step-filter —
+    // an independent recomputation reproduces the suffix row-for-row
+    val ckpt = full.groupBy(_._1).map { case (w, rows) =>
+      w -> rows.map(_._2).max / 2
+    }
+    def suffix(rs: Seq[(Long, Long, String, Long, Long)]) =
+      rs.filter(r => r._2 > ckpt(r._1)).sortBy(r => (r._1, r._2))
+    val rerun = run()
+    assert(suffix(rerun) == suffix(full),
+      "mid-epoch resume did not reproduce the suffix")
+  }
+
   test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
     val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
       spark, "/root/testdata/sf0.001")

@@ -5,13 +5,24 @@ then write the COMPLETE merged per-query map to BENCH_LOCAL_r{N}.json —
 the driver's BENCH_r{N}.json artifact keeps only a 2 KB stdout tail, so
 this tracked file is the round's citable evidence for every query.
 
+Same-session by construction (r10 verdict #1): both engines run
+back-to-back inside this one invocation, AND a session scale ANCHOR is
+recorded — three pinned oracle queries are re-timed in DuckDB immediately
+BEFORE the Spark bench and again AFTER the DuckDB bench. The after/before
+ratio measures how much the machine's effective speed drifted across the
+whole run window; per-query Spark/DuckDB ratios from this artifact are
+trustworthy iff the anchor drift is ~1. (r10's committed evidence mixed a
+slow Spark session with a normal DuckDB session — uniform ~1.3-1.5x
+phantom regressions with zero code cause; the anchor makes that failure
+mode visible inside the artifact itself.)
+
 Usage: python3 tools/bench_local.py <round> [sfdir] [verify_outdir]
   round         round number N → writes BENCH_LOCAL_r{N}.json in repo root
   sfdir         default /root/testdata/sf0.1
   verify_outdir a graft.Verify dump holding oracle_sql.json
                 (default /tmp/graft_verify — run tools/check.py first)
 """
-import json, os, subprocess, sys
+import json, os, subprocess, sys, time
 
 if len(sys.argv) < 2:
     sys.exit(__doc__)
@@ -21,30 +32,76 @@ outdir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/graft_verify"
 repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 bench_out = "/tmp/graft_bench_local.json"
 
+# mid-weight, shape-diverse, long-stable catalog queries (scan+scalar /
+# join+agg / string-heavy) — ~1-3 s each in DuckDB at sf0.1
+ANCHORS = ["x09_quality_score", "x49_incremental_dedup", "x97_cdc_chunks"]
+
+def duckdb_anchor():
+    """min-of-2 DuckDB wall seconds for each pinned anchor query."""
+    import duckdb
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sfdir}/{t}.parquet')")
+    out = {}
+    for name in ANCHORS:
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            con.execute(oracle[name]).fetchall()
+            runs.append(time.monotonic() - t0)
+        out[name] = min(runs)
+    con.close()
+    return out
+
+anchor_before = duckdb_anchor()
+
+t_spark0 = time.time()
 env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir, SPARK_GRAFT_BENCH_OUT=bench_out)
 r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                    cwd=repo_root, env=env, capture_output=True, text=True,
                    timeout=3600)
+t_spark1 = time.time()
 if r.returncode != 0 or not os.path.exists(bench_out):
     print("SPARK BENCH FAILED"); print(r.stdout[-3000:]); print(r.stderr[-2000:])
     sys.exit(1)
 spark = json.load(open(bench_out))
 
+t_duck0 = time.time()
 d = subprocess.run([sys.executable, "tools/bench_duckdb.py", sfdir, outdir],
                    cwd=repo_root, capture_output=True, text=True, timeout=3600)
+t_duck1 = time.time()
 duck = json.loads(d.stdout) if d.returncode == 0 else {"error": d.stderr[-2000:]}
+
+anchor_after = duckdb_anchor()
+drift = (sum(anchor_after.values()) / sum(anchor_before.values())
+         if sum(anchor_before.values()) > 0 else None)
 
 merged = {
     "round": rnd, "sf": sfdir,
+    "protocol": "same-session: anchor -> spark -> duckdb -> anchor; "
+                "spark pass 2 in reversed catalog order",
     "spark_total_sec": spark.get("value"),
     "duckdb_total_sec": duck.get("total"),
     "spark_queries": spark.get("queries"),
     "duckdb_queries": duck.get("queries"),
     "skew": spark.get("skew"),
     "failed": spark.get("failed"),
+    "session_anchor": {
+        "queries": ANCHORS,
+        "duckdb_before_sec": anchor_before,
+        "duckdb_after_sec": anchor_after,
+        "drift_after_over_before": drift,
+        "spark_window": [t_spark0, t_spark1],
+        "duckdb_window": [t_duck0, t_duck1],
+    },
 }
 path = os.path.join(repo_root, f"BENCH_LOCAL_r{rnd}.json")
 with open(path, "w") as f:
     json.dump(merged, f, indent=1, sort_keys=True)
+drift_s = f"{drift:.3f}" if drift is not None else "n/a"
 print(f"wrote {path}: spark {merged['spark_total_sec']}s "
-      f"vs duckdb {merged['duckdb_total_sec']}s, failed={merged['failed']}")
+      f"vs duckdb {merged['duckdb_total_sec']}s, failed={merged['failed']}, "
+      f"anchor drift {drift_s}")
