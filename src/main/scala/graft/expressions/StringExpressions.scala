@@ -3,7 +3,8 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The Jaro–Winkler kernel, shared verbatim by the interpreted `eval`
@@ -292,6 +293,104 @@ case class WinnowAnchors(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
     copy(child = newChild)
+}
+
+/** The Gopher duplicate-n-gram coverage kernel (Rae '21 Table A1's
+  * positional class), shared by the interpreted `eval` path and the
+  * generated code: the number of 0-based token POSITIONS covered by any
+  * k-gram that occurs ≥ 2 times in the token array — an exact interval
+  * union (overlapping repeats count a position once).
+  *
+  * Gram equality is token-TUPLE equality, which is identical to the
+  * oracle's joined-string equality because tokens come from a
+  * whitespace split and cannot contain the joiner. Duplicates are found
+  * by sorting the m = n−k+1 gram start indices under token-wise
+  * lexicographic order and walking equal runs — O(m log m · k) token
+  * compares per document, all on UTF8String bytes with zero per-gram
+  * string allocation (the nested-HOF formulation this replaced paid
+  * ~14 µs/gram in interpreted lambda dispatch; see SCALE.md r11).
+  * Null array elements compare as empty strings (the engine's token
+  * builders never produce them).
+  */
+object GopherAlgo {
+  def coveredCount(arr: ArrayData, k: Int): Long = {
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (k <= 0 || m <= 0) return 0L
+    val toks = new Array[UTF8String](n)
+    var p = 0
+    while (p < n) {
+      toks(p) =
+        if (arr.isNullAt(p)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(p)
+      p += 1
+    }
+    def cmp(a: Int, b: Int): Int = {
+      var t = 0
+      while (t < k) {
+        val c = toks(a + t).compareTo(toks(b + t))
+        if (c != 0) return c
+        t += 1
+      }
+      0
+    }
+    val idx = new Array[Integer](m)
+    var i = 0
+    while (i < m) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx,
+      (x: Integer, y: Integer) => cmp(x.intValue(), y.intValue()))
+    val covered = new Array[Boolean](n)
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && cmp(idx(i).intValue(), idx(j).intValue()) == 0) j += 1
+      if (j - i >= 2) {
+        var r = i
+        while (r < j) {
+          val s = idx(r).intValue()
+          var q = s
+          while (q < s + k) { covered(q) = true; q += 1 }
+          r += 1
+        }
+      }
+      i = j
+    }
+    var cnt = 0L
+    p = 0
+    while (p < n) { if (covered(p)) cnt += 1; p += 1 }
+    cnt
+  }
+}
+
+/** `graft_gopher_cov(tokens, k)` — the exact duplicated-k-gram position
+  * coverage of an array<string> token column (see [[GopherAlgo]]).
+  * Null tokens-array or null k → null. k must be a foldable positive
+  * int in practice (the engine calls it with literals 2 and 3).
+  */
+case class GopherCoverage(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gopher_cov"
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(StringType, _) if right.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_gopher_cov expects (array<string>, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GopherAlgo.coveredCount(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.expressions.GopherAlgo.coveredCount($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GopherCoverage =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native codegen Jaro–Winkler similarity over two string columns —

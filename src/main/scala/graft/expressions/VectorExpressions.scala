@@ -99,6 +99,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowAnchors].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowAnchors(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gopher_cov"),
+      new ExpressionInfo(classOf[GopherCoverage].getName, "graft_gopher_cov"),
+      (children: Seq[Expression]) => GopherCoverage(children(0), children(1))))
   }
 }
 
@@ -127,6 +131,10 @@ object GraftFunctions {
         FunctionIdentifier("graft_winnow"),
         new ExpressionInfo(classOf[WinnowAnchors].getName, "graft_winnow"),
         (children: Seq[Expression]) => WinnowAnchors(children(0)))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_gopher_cov"),
+        new ExpressionInfo(classOf[GopherCoverage].getName, "graft_gopher_cov"),
+        (children: Seq[Expression]) => GopherCoverage(children(0), children(1)))
       registered += key
     }
   }

@@ -826,47 +826,29 @@ object TrainingQueries {
     * never drift. See the x163 map entry for the semantics.
     *
     * Shape (r11): the metric is PER-DOCUMENT, so duplicate-gram
-    * detection and the position-interval union both run IN-ROW with
-    * array expressions — zero exchanges (the r10 plan paid two wide
-    * ones: a (doc, k, gram) groupBy with collect_list, then an exploded
-    * (doc, k, position) distinct). Per row: build the (gram, position)
-    * pairs, `array_sort` them (struct sort = gram-major), mark a
-    * position duplicated iff its gram equals a sorted NEIGHBOR's (the
-    * standard sort-adjacency dedup — O(n log n) per doc instead of the
-    * O(n²) exists-scan), then flatten the [i, i+k-1] intervals of the
-    * duplicated occurrences through `array_distinct` for the exact
-    * union size. The sorted array binds ONCE as a lambda variable
-    * (`transform(array(sorted), srt -> …)[1]`) so projection collapse
-    * can never re-evaluate the sort per element. Memory per row is
-    * O(n·k) gram chars — the same per-doc bound the exploded plan
-    * carried, just held in one row; skew bound = the longest document,
-    * as before. PlanAssertSpec pins the zero-exchange plan. */
+    * detection and the position-interval union both run IN-ROW — zero
+    * exchanges (the r10 plan paid two wide ones: a (doc, k, gram)
+    * groupBy with collect_list, then an exploded (doc, k, position)
+    * distinct). The per-row kernel is the `graft_gopher_cov` codegen
+    * Expression ([[graft.expressions.GopherAlgo]]): sort the gram start
+    * indices token-wise on UTF8String bytes, walk equal runs, mark the
+    * covered interval union — O(n log n · k) compares per doc with zero
+    * per-gram string allocation. (A first r11 cut expressed the same
+    * algebra as nested higher-order array functions; interpreted lambda
+    * dispatch cost ~14 µs/gram — 20× the kernel. SCALE.md r11.) Memory
+    * per row is one index array — below the exploded plan's per-doc
+    * bound; skew bound = the longest document, as before.
+    * PlanAssertSpec pins the zero-exchange plan. */
   private def gopherRepetition(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(s)
     val toks = filter(TextOps.tokens(col("text")), w => w =!= "")
-    // exact covered-position count for gram size k, fully row-local;
-    // AND short-circuits guard the element_at(srt, 0)/past-end probes
-    def covSql(k: Int): String =
-      s"""CASE WHEN n >= $k THEN element_at(transform(array(
-            array_sort(transform(sequence(0, CAST(n AS INT) - $k),
-              i -> struct(concat_ws(' ', slice(t, i + 1, $k)) AS g,
-                          CAST(i AS BIGINT) AS i)))),
-            srt -> size(array_distinct(flatten(transform(
-              filter(transform(sequence(0, size(srt) - 1), j ->
-                IF((j > 0 AND
-                      element_at(srt, j + 1).g = element_at(srt, j).g)
-                   OR (j < size(srt) - 1 AND
-                      element_at(srt, j + 1).g = element_at(srt, j + 2).g),
-                  element_at(srt, j + 1).i, CAST(NULL AS BIGINT))),
-                x -> x IS NOT NULL),
-              st -> sequence(st, st + $k - 1)))))), 1)
-          ELSE 0 END"""
     t(s, d, "documents")
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("source"), col("doc_id"), toks.as("t"))
       .withColumn("n", size(col("t")).cast("long"))
       .filter(col("n") >= 1)
-      .withColumn("cov2", expr(covSql(2)).cast("long"))
-      .withColumn("cov3", expr(covSql(3)).cast("long"))
+      .withColumn("cov2", call_function("graft_gopher_cov", col("t"), lit(2)))
+      .withColumn("cov3", call_function("graft_gopher_cov", col("t"), lit(3)))
       .select(col("source"), col("doc_id"), col("n").as("n_tokens"),
         expr("cov2 * CAST(1000000 AS BIGINT) div n").as("dup2_cover_ppm"),
         expr("cov3 * CAST(1000000 AS BIGINT) div n").as("dup3_cover_ppm"))

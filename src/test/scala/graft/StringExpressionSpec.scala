@@ -80,6 +80,48 @@ class StringExpressionSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("graft_gopher_cov: exact interval-union coverage, edges, null, and a brute-force law") {
+    import graft.expressions.GopherAlgo
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def cov(toks: Seq[String], k: Int): Long =
+      GopherAlgo.coveredCount(
+        new GenericArrayData(toks.map(UTF8String.fromString).toArray), k)
+    // the overlap law (pinned in TrainingSpec on the catalog surface):
+    // "a a a a" has 3 duplicated bigram occurrences over 4 positions —
+    // occurrence weighting would claim 6
+    assert(cov(Seq("a", "a", "a", "a"), 2) == 4L)
+    // disjoint duplicated bigrams cover their own intervals only
+    assert(cov(Seq("x", "y", "z", "x", "y", "q"), 2) == 4L)
+    // no duplicates -> 0; doc shorter than k -> 0; k <= 0 -> 0
+    assert(cov(Seq("a", "b", "c"), 2) == 0L)
+    assert(cov(Seq("a", "b"), 3) == 0L)
+    assert(cov(Seq("a", "b"), 0) == 0L)
+    // tuple equality, not joined-string prefix confusion
+    assert(cov(Seq("ab", "c", "ab", "c"), 2) == 4L)
+    assert(cov(Seq("ab", "c", "a", "bc"), 2) == 0L)
+    // brute-force law on pseudo-random small alphabets
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50; k <- Seq(2, 3)) {
+      val t = Seq.fill(3 + rnd.nextInt(40))(('a' + rnd.nextInt(3)).toChar.toString)
+      val grams = t.sliding(k).filter(_.size == k).toSeq
+      val dup = grams.groupBy(identity).filter(_._2.size >= 2).keySet
+      val expect = grams.zipWithIndex.collect {
+        case (g, i) if dup(g) => i until i + k
+      }.flatten.distinct.size.toLong
+      assert(cov(t, k) == expect, s"k=$k t=$t")
+    }
+    // SQL registration: null array -> null; codegen path == kernel
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val nul = spark.sql(
+      "SELECT graft_gopher_cov(CAST(NULL AS ARRAY<STRING>), 2)").collect().head
+    assert(nul.isNullAt(0))
+    val viaSql = Seq(Seq("a", "a", "a", "a"), Seq("x", "y", "x", "y"))
+      .toDF("t")
+      .select(call_function("graft_gopher_cov", $"t", lit(2)))
+      .as[Long].collect().toSeq
+    assert(viaSql == Seq(4L, 4L))
+  }
+
   test("symmetric and bounded in [0, 1] over corpus tokens") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val toks = graft.text.TextOps.tokenRows(docs, "doc_id", "text")
