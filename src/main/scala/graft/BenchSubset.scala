@@ -20,13 +20,33 @@ object BenchSubset {
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
+    private val starts =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val durations =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
     override def onJobStart(
         j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       jobs.incrementAndGet(): Unit
       stages.addAndGet(j.stageInfos.size.toLong): Unit
       tasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum): Unit
+      val desc = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .orElse(j.stageInfos.lastOption.map(_.name)).getOrElse("?")
+      starts.put(j.jobId, (j.time, desc.take(90))): Unit
+    }
+    override def onJobEnd(
+        e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      Option(starts.remove(e.jobId)).foreach { case (t0, desc) =>
+        durations.add(((e.time - t0) / 1e3, s"job ${e.jobId}: $desc")): Unit
+      }
     }
     def snapshot(): (Long, Long, Long) = (jobs.get, stages.get, tasks.get)
+    def drainDurations(): Seq[(Double, String)] = {
+      val out = Vector.newBuilder[(Double, String)]
+      var d = durations.poll()
+      while (d != null) { out += d; d = durations.poll() }
+      out.result()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,6 +80,10 @@ object BenchSubset {
         case (Some(c), Some((j0, s0, k0))) =>
           val (j1, s1, k1) = c.snapshot()
           println(f"$n%-28s census: ${j1 - j0}%3d jobs ${s1 - s0}%4d stages ${k1 - k0}%6d tasks")
+          Thread.sleep(300) // let the listener bus drain job-end events
+          c.drainDurations().sortBy(-_._1).take(6).foreach { case (s, d) =>
+            println(f"    $s%6.2fs  $d")
+          }
         case _ => ()
       }
       n -> t

@@ -59,7 +59,11 @@ class ScaleGateSpec extends SparkSpec {
     * coverage): its r11 plan is an in-row interval union whose work is
     * Σ n_doc·log n_doc — a regression back to a shuffle-based or
     * quadratic-per-doc plan is the newest heavy shape with no other
-    * tripwire (r10 verdict gap #3). */
+    * tripwire (r10 verdict gap #3) — and x165, the grouped two-level
+    * rank (rankWithinGroups): its bins grow ~10× with the corpus while
+    * the group count stays at 8 workers, so a regression back to a
+    * per-group window (8-task cap) or a superlinear offsets join lands
+    * here. */
   private val gated = Seq(
     "x27_lsh_dedup_pipeline",
     "x49_incremental_dedup",
@@ -70,7 +74,8 @@ class ScaleGateSpec extends SparkSpec {
     "x151_ann_index_upsert",
     "x123_ivf_pq_residual_ann",
     "x158_bestfit_packing",
-    "x163_gopher_repetition")
+    "x163_gopher_repetition",
+    "x165_epoch_order")
 
   private def ensureFixture(): Unit = {
     val docs = Tables.load(spark, sf01, "documents")
