@@ -120,13 +120,51 @@ object TrainingQueries {
            FROM tk1 t LEFT JOIN cnt c ON c.doc_id = t.doc_id)"""
 
   /** The surviving-mass CTE over `gop` — [[keptMasses]]'s mirror,
-    * shared by the x164 and x165 oracles. */
+    * shared by the x164–x167 oracles. */
   private def keptMassesCte: String =
     s"""km AS (SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
              CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
              CAST(SUM(n_tokens + 1) AS BIGINT) AS stream_len
            FROM gop WHERE keep = 1 GROUP BY source)"""
+
+  /** The epoch-order CTE chain — gopher survivors → x162's LPT
+    * recursion → per-source bin unnest → 48-bit md5 order keys →
+    * per-worker rank — ending in `ranked` (worker, step, source,
+    * bin_idx, order_key): [[epochOrderFrom]]'s mirror, shared by the
+    * x165/x166/x167 oracles. Needs WITH RECURSIVE. */
+  private def epochOrderCte: String =
+    s"""$gopherCte,
+         $keptMassesCte,
+         o AS (SELECT source, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS rn
+           FROM km),
+         rec AS (
+           SELECT source, rn, CAST(0 AS BIGINT) AS worker,
+             list_transform(range(0, 8), i -> {'w': CAST(i AS BIGINT),
+               'l': CASE WHEN i = 0 THEN n_tokens
+                 ELSE CAST(0 AS BIGINT) END}) AS loads
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT nx.source, nx.rn, st.mk % 1024,
+             list_transform(r.loads, x ->
+               CASE WHEN x.l * 1024 + x.w = st.mk
+                 THEN {'w': x.w, 'l': x.l + nx.n_tokens} ELSE x END)
+           FROM rec r JOIN o nx ON nx.rn = r.rn + 1,
+           LATERAL (SELECT list_min(list_transform(r.loads,
+             x -> x.l * 1024 + x.w)) AS mk) st),
+         eobins AS (SELECT r.source, r.worker, CAST(u.b AS BIGINT) AS bin_idx
+           FROM rec r JOIN km ON km.source = r.source,
+           unnest(range(0, (km.stream_len + 511) // 512)) u(b)),
+         eoh AS (SELECT worker, source, bin_idx,
+             CAST(('0x' || substr(md5('ep1_' || source || ':' || bin_idx),
+               1, 12)) AS BIGINT) AS order_key
+           FROM eobins),
+         ranked AS (SELECT CAST(worker AS BIGINT) AS worker,
+             CAST(ROW_NUMBER() OVER (PARTITION BY worker
+               ORDER BY order_key, source, bin_idx) AS BIGINT) AS step,
+             source, bin_idx, order_key
+           FROM eoh)"""
 
   /** The shared (qm, pos) CTE text of the x160/x161 oracles —
     * [[qmLabelFrame]]'s mirror. */
@@ -800,25 +838,85 @@ object TrainingQueries {
     // sampling is what buys checkpoint resume: the order is a pure
     // function of (seed, source, bin), so restarting mid-epoch is a
     // step-filter, not a state replay — TrainingSpec pins the law
-    "x165_epoch_order" -> ((s, d) => {
-      val masses = InternalCaches.register(keptMasses(gopherRepetition(s, d)))
-      val plan = graft.ops.Scheduling.lptAssign(
-        masses.select(col("source"), col("n_tokens")),
-        "source", "n_tokens", workers = 8)
-      val bins = masses
-        .join(broadcast(plan.select(col("source"), col("worker"))),
-          Seq("source"))
-        .select(col("source"), col("worker"),
-          explode(expr("sequence(0, (stream_len + 511) div 512 - 1)"))
-            .as("bin_idx"))
-        .withColumn("order_key",
-          conv(substring(md5(concat(lit("ep1_"), col("source"), lit(":"),
-            col("bin_idx"))), 1, 12), 16, 10).cast("long"))
-      graft.ops.Relational.rankWithinGroups(bins, Seq("worker"),
-          Seq(col("order_key"), col("source"), col("bin_idx")), "step")
+    "x165_epoch_order" -> ((s, d) =>
+      epochOrderFrom(InternalCaches.register(
+        keptMasses(gopherRepetition(s, d))))),
+
+    // ───── interleaving audit over the epoch order — the diagnostic a
+    // loader team runs on its shuffle: per (worker, source), how many
+    // steps, how many RUNS of consecutive same-source steps, and the
+    // longest such run (a weak permutation trains on long single-source
+    // stretches — the curriculum-drift failure mode seeded shuffles
+    // exist to prevent). Runs via gaps-and-islands: rank each source's
+    // steps within its worker (rankWithinGroups again — groups are
+    // (worker, source), still bounded, rows are bins) — step − rank is
+    // constant exactly on a consecutive run. No lag window, no serial
+    // pass; two bounded-key aggregations after the rank
+    "x166_interleave_audit" -> ((s, d) => {
+      val e = epochOrderFrom(InternalCaches.register(
+          keptMasses(gopherRepetition(s, d))))
+        .select(col("worker"), col("step"), col("source"))
+      graft.ops.Relational.rankWithinGroups(e, Seq("worker", "source"),
+          Seq(col("step")), "rk")
+        .withColumn("island", col("step") - col("rk"))
+        .groupBy(col("worker"), col("source"), col("island"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("worker"), col("source"))
+        .agg(sum(col("run_len")).as("n_steps"),
+          count(lit(1)).as("n_runs"),
+          max(col("run_len")).as("max_run_len"))
+    }),
+
+    // ───── step lineage — loss-spike forensics: resolve each (worker,
+    // step) of the epoch order to the exact documents and in-bin
+    // segment boundaries that training step consumes. The survivors
+    // pack through the SAME x154 arithmetic (packFrame over the Gopher
+    // keep=1 frame — stream_len per source matches keptMasses exactly,
+    // so every ordered bin resolves and no segment lacks a step), each
+    // doc explodes to the bins its [sp, sp+n+1) range intersects
+    // (x159's algebra), and one (source, bin) equi-join attaches the
+    // consumption order. Output ≈ kept docs + bins rows; the join is
+    // bin-keyed — nothing global
+    "x167_step_lineage" -> ((s, d) => {
+      val gop = InternalCaches.register(
+        gopherRepetition(s, d).filter(col("keep") === 1L))
+      val order = epochOrderFrom(InternalCaches.register(keptMasses(gop)))
+      val segs = packFrame(gop
+          .select(col("source"), col("doc_id"), col("n_tokens")))
+        .withColumn("bin_idx", explode(expr("sequence(bin_first, bin_last)")))
+        .select(col("source"), col("bin_idx"), col("doc_id"),
+          greatest(col("stream_pos") - col("bin_idx") * 512L, lit(0L))
+            .as("seg_start"),
+          least(col("stream_pos") + col("n_tokens") + 1L
+            - col("bin_idx") * 512L, lit(512L)).as("seg_end"))
+      order.select(col("worker"), col("step"), col("source"), col("bin_idx"))
+        .join(segs, Seq("source", "bin_idx"))
         .select(col("worker"), col("step"), col("source"), col("bin_idx"),
-          col("order_key"))
+          col("doc_id"), col("seg_start"), col("seg_end"))
     }))
+
+  /** The x165 epoch-order frame over a pinned surviving-mass frame —
+    * (worker, step, source, bin_idx, order_key); shared by the x165
+    * catalog entry and the x166/x167 audits so the order they analyze
+    * is the order a run consumes. See the x165 map entry. */
+  private def epochOrderFrom(masses: DataFrame): DataFrame = {
+    val plan = graft.ops.Scheduling.lptAssign(
+      masses.select(col("source"), col("n_tokens")),
+      "source", "n_tokens", workers = 8)
+    val bins = masses
+      .join(broadcast(plan.select(col("source"), col("worker"))),
+        Seq("source"))
+      .select(col("source"), col("worker"),
+        explode(expr("sequence(0, (stream_len + 511) div 512 - 1)"))
+          .as("bin_idx"))
+      .withColumn("order_key",
+        conv(substring(md5(concat(lit("ep1_"), col("source"), lit(":"),
+          col("bin_idx"))), 1, 12), 16, 10).cast("long"))
+    graft.ops.Relational.rankWithinGroups(bins, Seq("worker"),
+        Seq(col("order_key"), col("source"), col("bin_idx")), "step")
+      .select(col("worker"), col("step"), col("source"), col("bin_idx"),
+        col("order_key"))
+  }
 
   /** The per-doc Gopher repetition frame (source, doc_id, n_tokens,
     * dup2_cover_ppm, dup3_cover_ppm, keep) — shared by the x163 catalog
@@ -928,20 +1026,15 @@ object TrainingQueries {
           .otherwise(0L).as("pos"))
   }
 
-  /** x154's packed frame — shared by the per-doc catalog entry and the
-    * x155 report so the two can never drift. See the x154 map entry for
-    * the semantics. */
-  private def sequencePack(s: SparkSession, d: String): DataFrame = {
+  /** x154's concat-and-chunk packing arithmetic over a prepared
+    * (source, doc_id, n_tokens ≥ 1) frame — shared by [[sequencePack]]
+    * (the whole corpus) and x167's lineage (the Gopher survivors) so
+    * the stream algebra can never drift between them. */
+  private def packFrame(base: DataFrame): DataFrame = {
     val B = 512L
-    val n = size(filter(TextOps.tokens(col("text")), w => w =!= ""))
-      .cast("long")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    t(s, d, "documents")
-      .filter(col("doc_id").isNotNull && col("text").isNotNull
-        && col("source").isNotNull)
-      .select(col("source"), col("doc_id"), n.as("n_tokens"))
-      .filter(col("n_tokens") >= 1)
+    base
       .withColumn("stream_pos",
         coalesce(sum(col("n_tokens") + lit(1L)).over(w), lit(0L)))
       .select(col("source"), col("doc_id"), col("n_tokens"),
@@ -950,6 +1043,19 @@ object TrainingQueries {
         // end index = stream_pos + (n_tokens + 1) - 1
         expr(s"(stream_pos + n_tokens) div $B").as("bin_last"),
         expr(s"stream_pos % $B").as("bin_offset"))
+  }
+
+  /** x154's packed frame — shared by the per-doc catalog entry and the
+    * x155 report so the two can never drift. See the x154 map entry for
+    * the semantics. */
+  private def sequencePack(s: SparkSession, d: String): DataFrame = {
+    val n = size(filter(TextOps.tokens(col("text")), w => w =!= ""))
+      .cast("long")
+    packFrame(t(s, d, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull
+        && col("source").isNotNull)
+      .select(col("source"), col("doc_id"), n.as("n_tokens"))
+      .filter(col("n_tokens") >= 1))
   }
 
   val oracle: Map[String, String] = Map(
@@ -1430,35 +1536,45 @@ object TrainingQueries {
     // serial window vs the engine's two-level parallel rank, identical
     // because the order key is effectively unique
     "x165_epoch_order" ->
-      s"""WITH RECURSIVE $gopherCte,
-         $keptMassesCte,
-         o AS (SELECT source, n_tokens,
-             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS rn
-           FROM km),
-         rec AS (
-           SELECT source, rn, CAST(0 AS BIGINT) AS worker,
-             list_transform(range(0, 8), i -> {'w': CAST(i AS BIGINT),
-               'l': CASE WHEN i = 0 THEN n_tokens
-                 ELSE CAST(0 AS BIGINT) END}) AS loads
-           FROM o WHERE rn = 1
-           UNION ALL
-           SELECT nx.source, nx.rn, st.mk % 1024,
-             list_transform(r.loads, x ->
-               CASE WHEN x.l * 1024 + x.w = st.mk
-                 THEN {'w': x.w, 'l': x.l + nx.n_tokens} ELSE x END)
-           FROM rec r JOIN o nx ON nx.rn = r.rn + 1,
-           LATERAL (SELECT list_min(list_transform(r.loads,
-             x -> x.l * 1024 + x.w)) AS mk) st),
-         bins AS (SELECT r.source, r.worker, CAST(u.b AS BIGINT) AS bin_idx
-           FROM rec r JOIN km ON km.source = r.source,
-           unnest(range(0, (km.stream_len + 511) // 512)) u(b)),
-         h AS (SELECT worker, source, bin_idx,
-             CAST(('0x' || substr(md5('ep1_' || source || ':' || bin_idx),
-               1, 12)) AS BIGINT) AS order_key
-           FROM bins)
-         SELECT CAST(worker AS BIGINT) AS worker,
-           CAST(ROW_NUMBER() OVER (PARTITION BY worker
-             ORDER BY order_key, source, bin_idx) AS BIGINT) AS step,
-           source, bin_idx, order_key
-         FROM h""")
+      s"""WITH RECURSIVE $epochOrderCte
+         SELECT worker, step, source, bin_idx, order_key FROM ranked""",
+    // x166: the same chain, runs found by the identical gaps-and-islands
+    // algebra (step − per-(worker,source) rank is constant exactly on a
+    // consecutive run)
+    "x166_interleave_audit" ->
+      s"""WITH RECURSIVE $epochOrderCte,
+         rk AS (SELECT worker, source, step,
+             step - ROW_NUMBER() OVER (PARTITION BY worker, source
+               ORDER BY step) AS island
+           FROM ranked),
+         runs AS (SELECT worker, source, island,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+           FROM rk GROUP BY 1, 2, 3)
+         SELECT worker, source,
+           CAST(SUM(run_len) AS BIGINT) AS n_steps,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run_len
+         FROM runs GROUP BY worker, source""",
+    // x167: the survivors re-run x154's stream window (over gop keep=1
+    // — the same masses km aggregates), explode to intersected bins
+    // with x159's segment arithmetic, and join the ranked order
+    "x167_step_lineage" ->
+      s"""WITH RECURSIVE $epochOrderCte,
+         sp AS (SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS stream_pos
+           FROM gop WHERE keep = 1),
+         seg AS (SELECT source, CAST(u.b AS BIGINT) AS bin_idx, doc_id,
+             CAST(greatest(stream_pos - u.b * 512, 0)
+               AS BIGINT) AS seg_start,
+             CAST(least(stream_pos + n_tokens + 1 - u.b * 512, 512)
+               AS BIGINT) AS seg_end
+           FROM sp, unnest(range(stream_pos // 512,
+             (stream_pos + n_tokens) // 512 + 1)) AS u(b))
+         SELECT r.worker, r.step, r.source, r.bin_idx, s.doc_id,
+           s.seg_start, s.seg_end
+         FROM ranked r JOIN seg s
+           ON s.source = r.source AND s.bin_idx = r.bin_idx""")
 }

@@ -338,6 +338,71 @@ class TrainingSpec extends SparkSpec {
       "mid-epoch resume did not reproduce the suffix")
   }
 
+  test("x166 interleave audit: runs replay exactly from the collected x165 order") {
+    val sf = "/root/testdata/sf0.001"
+    val order = graft.queries.TrainingQueries.defs("x165_epoch_order")(
+      spark, sf).select($"worker", $"step", $"source")
+      .as[(Long, Long, String)].collect().toSeq
+    // independent run computation: walk each worker's steps in order
+    val expect = order.groupBy(_._1).toSeq.flatMap { case (w, rows) =>
+      val srcs = rows.sortBy(_._2).map(_._3)
+      val runs = srcs.foldLeft(List.empty[(String, Long)]) {
+        case ((s, n) :: tail, cur) if s == cur => (s, n + 1) :: tail
+        case (acc, cur) => (cur, 1L) :: acc
+      }
+      runs.groupBy(_._1).map { case (src, rs) =>
+        (w, src) -> ((rs.map(_._2).sum, rs.size.toLong, rs.map(_._2).max))
+      }
+    }.toMap
+    val got = graft.queries.TrainingQueries.defs("x166_interleave_audit")(
+      spark, sf)
+      .select($"worker", $"source", $"n_steps", $"n_runs", $"max_run_len")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.size == expect.size)
+    got.foreach { case (w, src, steps, runs, maxRun) =>
+      assert(expect((w, src)) == ((steps, runs, maxRun)),
+        s"worker $w source $src audit drifted")
+    }
+  }
+
+  test("x167 step lineage: segments tile each step's bin; every kept doc's coverage is n_tokens + 1") {
+    val sf = "/root/testdata/sf0.001"
+    val lin = graft.queries.TrainingQueries.defs("x167_step_lineage")(
+      spark, sf)
+      .select($"worker", $"step", $"source", $"bin_idx", $"doc_id",
+        $"seg_start", $"seg_end")
+      .as[(Long, Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(lin.nonEmpty)
+    // every ordered (worker, step) resolves: the step set equals x165's
+    val order = graft.queries.TrainingQueries.defs("x165_epoch_order")(
+      spark, sf).select($"worker", $"step", $"source", $"bin_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(lin.map(r => (r._1, r._2, r._3, r._4)).toSet ==
+      order.map(r => (r._1, r._2, r._3, r._4)).toSet)
+    // per (worker, step): segments tile [0, fill) contiguously
+    lin.groupBy(r => (r._1, r._2)).foreach { case ((w, st), rows) =>
+      val segs = rows.map(r => (r._6, r._7)).sortBy(_._1)
+      assert(segs.head._1 == 0L, s"step ($w,$st) does not start at 0")
+      segs.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 == s2,
+          s"step ($w,$st) segments not contiguous")
+        case _ => ()
+      }
+      assert(segs.forall { case (s, e) => s < e && e <= 512L })
+    }
+    // every kept doc appears with total coverage n_tokens + 1 (its text
+    // plus the one separator), split across its straddled bins
+    val kept = graft.queries.TrainingQueries.defs("x163_gopher_repetition")(
+      spark, sf).filter($"keep" === 1L)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    val covered = lin.groupBy(_._5).view
+      .mapValues(_.map(r => r._7 - r._6).sum).toMap
+    assert(covered.keySet == kept.keySet)
+    covered.foreach { case (doc, tot) =>
+      assert(tot == kept(doc) + 1L, s"doc $doc coverage drifted")
+    }
+  }
+
   test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
     val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
       spark, "/root/testdata/sf0.001")
