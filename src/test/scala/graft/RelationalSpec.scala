@@ -43,6 +43,37 @@ class RelationalSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("rankWithinGroups parity: two-level grouped rank matches the serial per-group row_number") {
+    // the x165 contract: removing the per-group window bottleneck must
+    // not move a single rank. Reference = driver-side per-group sort.
+    // Few groups × many rows (the shape the op exists for), unique keys,
+    // shuffled input partitioning.
+    val n = 20000
+    val rows = (1 to n).map { i =>
+      val g = s"w${i % 7}"
+      val key = (i * 2654435761L) % 1000000007L // unique per i within group
+      (g, key, s"payload-$i")
+    }
+    val df = rows.toDF("g", "k", "p").repartition(13)
+    val out = Relational.rankWithinGroups(df, Seq("g"), Seq(col("k")), "rk")
+      .select($"g", $"k", $"rk").as[(String, Long, Long)].collect()
+    assert(out.length == n)
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(_._2).sorted.zipWithIndex.map { case (k, i) =>
+        (g, k) -> (i + 1L)
+      }
+    }
+    out.foreach { case (g, k, rk) =>
+      assert(rk == expected((g, k)), s"rank moved for ($g, $k)")
+    }
+    // multi-column groups resolve too (x166's (worker, source) shape)
+    val out2 = Relational.rankWithinGroups(
+      df.withColumn("g2", $"k" % 3), Seq("g", "g2"), Seq(col("k")), "rk")
+      .groupBy($"g", $"g2").agg(max($"rk").as("mx"), count(lit(1)).as("n"))
+      .filter($"mx" =!= $"n").count()
+    assert(out2 == 0, "per-(g,g2) ranks are not 1..n")
+  }
+
   test("allocateIds bulk parity: two-level allocation matches the serial row_number on 10k unmatched rows") {
     // the round-6 rewrite's contract: removing the single-partition window
     // must not move a single assigned id. Reference = driver-side sort +
