@@ -893,6 +893,58 @@ object TrainingQueries {
         .join(segs, Seq("source", "bin_idx"))
         .select(col("worker"), col("step"), col("source"), col("bin_idx"),
           col("doc_id"), col("seg_start"), col("seg_end"))
+    }),
+
+    // ───── per-epoch consumption schedule: what the UniMax allocation
+    // MEANS in passes — x164 prices tokens, x165 orders one epoch, THIS
+    // resolves alloc_tokens into ⌈alloc/n⌉ passes per source: full
+    // epochs consume the whole stream (n_tokens, all docs, stream_len
+    // positions, x155's bins), the final TRUNCATED epoch consumes the
+    // stream prefix holding the remaining alloc mod n tokens — its
+    // consumed stream position is rem + (docs fully inside rem),
+    // because each fully-consumed doc also consumes its separator.
+    // Consumption is in stream order (the unshuffled sequential scan);
+    // a zero-allocation source gets no epoch row (x164's discipline).
+    // One doc-keyed window (the cumulative token prefix), one bounded
+    // aggregation, then bounded-dimension joins and a ≤3-row explode
+    // per source — nothing data-sized crosses the epoch dimension
+    "x168_epoch_consumption" -> ((s, d) => {
+      val gop = InternalCaches.register(
+        gopherRepetition(s, d).filter(col("keep") === 1L))
+      val masses = InternalCaches.register(keptMasses(gop))
+      val alloc = unimaxAlloc(masses.select(col("source"), col("n_tokens")))
+        .filter(col("alloc_tokens") > 0L)
+        .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+          expr("alloc_tokens div n_tokens").as("n_full"),
+          expr("alloc_tokens % n_tokens").as("rem_x"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val docs = gop.select(col("source"), col("doc_id"), col("n_tokens"))
+        .withColumn("cumtok", sum(col("n_tokens")).over(w))
+      val trunc = docs
+        .join(broadcast(alloc.select(col("source"), col("rem_x"))),
+          Seq("source"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("cumtok") <= col("rem_x"), 1L).otherwise(0L))
+          .as("docs_full_trunc"))
+      alloc
+        .join(trunc, Seq("source"))
+        .join(masses.select(col("source"), col("n_docs_kept"),
+          col("stream_len")), Seq("source"))
+        .withColumn("epoch_idx", explode(expr(
+          "sequence(0, CAST(n_full + CASE WHEN rem_x > 0 THEN 1 ELSE 0 END AS INT) - 1)")))
+        .withColumn("tokens_consumed",
+          when(col("epoch_idx") < col("n_full"), col("n_tokens"))
+            .otherwise(col("rem_x")))
+        .withColumn("docs_full",
+          when(col("epoch_idx") < col("n_full"), col("n_docs_kept"))
+            .otherwise(col("docs_full_trunc")))
+        .withColumn("stream_pos_end",
+          when(col("epoch_idx") < col("n_full"), col("stream_len"))
+            .otherwise(col("rem_x") + col("docs_full_trunc")))
+        .select(col("source"), col("epoch_idx").cast("long").as("epoch_idx"),
+          col("tokens_consumed"), col("docs_full"), col("stream_pos_end"),
+          expr("(stream_pos_end + 511) div 512").as("bins_consumed"))
     }))
 
   /** The x165 epoch-order frame over a pinned surviving-mass frame —
@@ -1576,5 +1628,48 @@ object TrainingQueries {
          SELECT r.worker, r.step, r.source, r.bin_idx, s.doc_id,
            s.seg_start, s.seg_end
          FROM ranked r JOIN seg s
-           ON s.source = r.source AND s.bin_idx = r.bin_idx""")
+           ON s.source = r.source AND s.bin_idx = r.bin_idx""",
+    // x168: the unimax chain's alloc split into full + truncated passes;
+    // the truncated pass's consumed stream position = rem + the count of
+    // docs whose cumulative token prefix fits inside rem (each fully
+    // consumed doc consumes its separator too)
+    "x168_epoch_consumption" ->
+      s"""WITH $gopherCte,
+         $keptMassesCte,
+         ${unimaxCteFrom("km")},
+         al AS (SELECT source, n_tokens, alloc_tokens,
+             CAST(alloc_tokens // n_tokens AS BIGINT) AS n_full,
+             CAST(alloc_tokens % n_tokens AS BIGINT) AS rem_x
+           FROM j WHERE alloc_tokens > 0),
+         dc AS (SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumtok
+           FROM gop WHERE keep = 1),
+         tr AS (SELECT a.source,
+             CAST(SUM(CASE WHEN d.cumtok <= a.rem_x THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_full_trunc
+           FROM al a JOIN dc d ON d.source = a.source GROUP BY a.source),
+         ep AS (SELECT a.source, a.n_tokens, a.n_full, a.rem_x,
+             t.docs_full_trunc, km.n_docs_kept, km.stream_len,
+             CAST(u.e AS BIGINT) AS epoch_idx
+           FROM al a
+           JOIN tr t ON t.source = a.source
+           JOIN km ON km.source = a.source,
+           unnest(range(0, a.n_full
+             + CASE WHEN a.rem_x > 0 THEN 1 ELSE 0 END)) u(e)),
+         fin AS (SELECT source, epoch_idx,
+             CASE WHEN epoch_idx < n_full THEN n_tokens
+               ELSE rem_x END AS tokens_consumed,
+             CASE WHEN epoch_idx < n_full THEN n_docs_kept
+               ELSE docs_full_trunc END AS docs_full,
+             CASE WHEN epoch_idx < n_full THEN stream_len
+               ELSE rem_x + docs_full_trunc END AS stream_pos_end
+           FROM ep)
+         SELECT source, epoch_idx,
+           CAST(tokens_consumed AS BIGINT) AS tokens_consumed,
+           CAST(docs_full AS BIGINT) AS docs_full,
+           CAST(stream_pos_end AS BIGINT) AS stream_pos_end,
+           CAST((stream_pos_end + 511) // 512 AS BIGINT) AS bins_consumed
+         FROM fin""")
 }

@@ -180,8 +180,10 @@ class PlanAssertSpec extends SparkSpec {
     // x146's exact class. x160/x161: the cumulative-rank window and
     // class-total scalars over the per-distinct-score aggregate
     // (bounded by the 1e6-value micro grid, not the corpus) — x111's
-    // exact class. x164: the composition re-runs x157's allocation
-    // windows over the bounded source dimension — the same class.
+    // exact class. x164/x168: the compositions re-run x157's allocation
+    // windows over the bounded source dimension — the same class
+    // (x168's only data-sized work, the per-doc cumulative token
+    // window, is source-keyed).
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -195,7 +197,7 @@ class PlanAssertSpec extends SparkSpec {
         "x144_langid_agreement", "x146_token_apportionment",
         "x148_freshness_audit", "x157_unimax_budget",
         "x160_quality_auc", "x161_quality_pr_sweep",
-        "x164_loader_manifest")
+        "x164_loader_manifest", "x168_epoch_consumption")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

@@ -403,6 +403,61 @@ class TrainingSpec extends SparkSpec {
     }
   }
 
+  test("x168 epoch consumption: passes sum to the x164 allocation; truncated prefix replays exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val sched = graft.queries.TrainingQueries.defs("x168_epoch_consumption")(
+      spark, sf)
+      .select($"source", $"epoch_idx", $"tokens_consumed", $"docs_full",
+        $"stream_pos_end", $"bins_consumed")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sched.nonEmpty)
+    val manifest = graft.queries.TrainingQueries.defs("x164_loader_manifest")(
+      spark, sf)
+      .select($"source", $"alloc_tokens", $"bins_per_epoch", $"n_docs_kept",
+        $"kept_tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // Σ tokens over a source's passes == its x164 allocation, exactly
+    sched.groupBy(_._1).foreach { case (src, rows) =>
+      val (alloc, binsPer, nDocs, keptTok) = manifest(src)
+      assert(rows.map(_._3).sum == alloc, s"$src passes do not sum to alloc")
+      // epoch indices are 0..k-1; full epochs mirror x155/x164's pricing
+      assert(rows.map(_._2).sorted == (0L until rows.size).toSeq)
+      rows.filter(r => r._3 == keptTok).foreach { r =>
+        assert(r._4 == nDocs && r._6 == binsPer,
+          s"$src full epoch drifted from the manifest")
+      }
+      // truncated epoch (if any) is the unique non-full final pass
+      val trunc = rows.filter(r => r._3 != keptTok)
+      assert(trunc.size <= 1)
+      trunc.foreach(r => assert(r._2 == rows.map(_._2).max))
+    }
+    // truncated-prefix replay from the x163 survivors: docs_full = docs
+    // whose cumulative token prefix fits in rem; pos = rem + docs_full
+    val kept = graft.queries.TrainingQueries.defs("x163_gopher_repetition")(
+      spark, sf).filter($"keep" === 1L)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    val srcOf = graft.Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val bySrc = kept.toSeq.groupBy(kv => srcOf(kv._1)).view
+      .mapValues(_.sortBy(_._1).map(_._2)).toMap
+    sched.groupBy(_._1).foreach { case (src, rows) =>
+      val (_, _, _, keptTok) = manifest(src)
+      rows.filter(r => r._3 != keptTok).foreach { r =>
+        val rem = r._3
+        val cums = bySrc(src).scanLeft(0L)(_ + _).tail
+        val docsFull = cums.count(_ <= rem).toLong
+        assert(r._4 == docsFull, s"$src truncated docs_full drifted")
+        assert(r._5 == rem + docsFull, s"$src truncated pos drifted")
+        assert(r._6 == (r._5 + 511) / 512)
+      }
+    }
+    // both branches live on this corpus
+    assert(sched.exists(r => manifest(r._1)._4 == r._3) &&
+      sched.exists(r => manifest(r._1)._4 != r._3))
+  }
+
   test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
     val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
       spark, "/root/testdata/sf0.001")
