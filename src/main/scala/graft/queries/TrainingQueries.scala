@@ -945,6 +945,54 @@ object TrainingQueries {
         .select(col("source"), col("epoch_idx").cast("long").as("epoch_idx"),
           col("tokens_consumed"), col("docs_full"), col("stream_pos_end"),
           expr("(stream_pos_end + 511) div 512").as("bins_consumed"))
+    }),
+
+    // ───── mixture-drift monitor: does the shuffled order actually
+    // SERVE the planned mixture, window by window? Training consumes
+    // steps in parallel across workers, so window w = (step−1) div 4
+    // groups the fleet's simultaneous consumption; realized stream
+    // tokens per (window, source) come from x167's lineage segments
+    // (each stream position counted once — the tile law), the plan is
+    // each source's share of the total epoch stream (x165 orders one
+    // full epoch, so the asymptotic share IS stream_len/Σstream_len),
+    // and drift_ppm = realized − planned, signed. The check a loader
+    // fleet alarms on: a healthy seeded shuffle shows per-window drift
+    // collapsing as windows widen; a broken one shows single-source
+    // stretches (x166's runs) as sustained drift. Bins-keyed
+    // aggregation over the lineage, bounded (window × source) output,
+    // one broadcast scalar — nothing global but the one-row total
+    "x169_mixture_drift" -> ((s, d) => {
+      val gop = InternalCaches.register(
+        gopherRepetition(s, d).filter(col("keep") === 1L))
+      val masses = InternalCaches.register(keptMasses(gop))
+      val order = epochOrderFrom(masses)
+      val segs = packFrame(gop
+          .select(col("source"), col("doc_id"), col("n_tokens")))
+        .withColumn("bin_idx", explode(expr("sequence(bin_first, bin_last)")))
+        .select(col("source"), col("bin_idx"),
+          (least(col("stream_pos") + col("n_tokens") + 1L
+            - col("bin_idx") * 512L, lit(512L))
+            - greatest(col("stream_pos") - col("bin_idx") * 512L, lit(0L)))
+            .as("seg_tokens"))
+      val tot = masses.agg(sum(col("stream_len")).as("__tot"))
+      val planned = masses.select(col("source"),
+        col("stream_len").as("planned_stream"))
+      order.select(col("worker"), col("source"), col("bin_idx"),
+          expr("(step - 1) div 4").as("window_idx"))
+        .join(segs, Seq("source", "bin_idx"))
+        .groupBy(col("window_idx"), col("source"))
+        .agg(sum(col("seg_tokens")).as("realized_tokens"))
+        .join(broadcast(planned), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("window_total",
+          sum(col("realized_tokens"))
+            .over(Window.partitionBy(col("window_idx"))))
+        .select(col("window_idx"), col("source"), col("realized_tokens"),
+          expr("realized_tokens * CAST(1000000 AS BIGINT) div window_total")
+            .as("realized_ppm"),
+          expr("planned_stream * CAST(1000000 AS BIGINT) div __tot")
+            .as("planned_ppm"))
+        .withColumn("drift_ppm", col("realized_ppm") - col("planned_ppm"))
     }))
 
   /** The x165 epoch-order frame over a pinned surviving-mass frame —
@@ -1671,5 +1719,41 @@ object TrainingQueries {
            CAST(docs_full AS BIGINT) AS docs_full,
            CAST(stream_pos_end AS BIGINT) AS stream_pos_end,
            CAST((stream_pos_end + 511) // 512 AS BIGINT) AS bins_consumed
-         FROM fin""")
+         FROM fin""",
+    // x169: the ranked chain joined to the survivors' segment tokens,
+    // grouped into (step-1)//4 fleet windows; planned share = the
+    // source's stream_len over the epoch total
+    "x169_mixture_drift" ->
+      s"""WITH RECURSIVE $epochOrderCte,
+         sp AS (SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS stream_pos
+           FROM gop WHERE keep = 1),
+         seg AS (SELECT source, CAST(u.b AS BIGINT) AS bin_idx,
+             CAST(least(stream_pos + n_tokens + 1 - u.b * 512, 512)
+               - greatest(stream_pos - u.b * 512, 0) AS BIGINT)
+               AS seg_tokens
+           FROM sp, unnest(range(stream_pos // 512,
+             (stream_pos + n_tokens) // 512 + 1)) AS u(b)),
+         tt AS (SELECT CAST(SUM(stream_len) AS BIGINT) AS tot FROM km),
+         rw AS (SELECT CAST((r.step - 1) // 4 AS BIGINT) AS window_idx,
+             r.source, s.seg_tokens
+           FROM ranked r JOIN seg s
+             ON s.source = r.source AND s.bin_idx = r.bin_idx),
+         ag AS (SELECT window_idx, source,
+             CAST(SUM(seg_tokens) AS BIGINT) AS realized_tokens
+           FROM rw GROUP BY 1, 2),
+         wt AS (SELECT *, CAST(SUM(realized_tokens)
+             OVER (PARTITION BY window_idx) AS BIGINT) AS window_total
+           FROM ag)
+         SELECT window_idx, wt.source, realized_tokens,
+           CAST(realized_tokens * 1000000 // window_total AS BIGINT)
+             AS realized_ppm,
+           CAST(km.stream_len * 1000000 // tt.tot AS BIGINT)
+             AS planned_ppm,
+           CAST(realized_tokens * 1000000 // window_total
+             - km.stream_len * 1000000 // tt.tot AS BIGINT) AS drift_ppm
+         FROM wt JOIN km ON km.source = wt.source CROSS JOIN tt""")
 }

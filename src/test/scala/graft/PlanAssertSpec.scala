@@ -183,7 +183,10 @@ class PlanAssertSpec extends SparkSpec {
     // exact class. x164/x168: the compositions re-run x157's allocation
     // windows over the bounded source dimension — the same class
     // (x168's only data-sized work, the per-doc cumulative token
-    // window, is source-keyed).
+    // window, is source-keyed). x169: the Σstream_len scalar over the
+    // bounded source masses (one pre-aggregated row per partition,
+    // broadcast back) — q23/x79's class; its per-window total runs
+    // partitioned BY window, never single.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -197,7 +200,8 @@ class PlanAssertSpec extends SparkSpec {
         "x144_langid_agreement", "x146_token_apportionment",
         "x148_freshness_audit", "x157_unimax_budget",
         "x160_quality_auc", "x161_quality_pr_sweep",
-        "x164_loader_manifest", "x168_epoch_consumption")
+        "x164_loader_manifest", "x168_epoch_consumption",
+        "x169_mixture_drift")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

@@ -458,6 +458,37 @@ class TrainingSpec extends SparkSpec {
       sched.exists(r => manifest(r._1)._4 != r._3))
   }
 
+  test("x169 mixture drift: realized tokens conserve the stream; ppm algebra exact") {
+    val sf = "/root/testdata/sf0.001"
+    val drift = graft.queries.TrainingQueries.defs("x169_mixture_drift")(
+      spark, sf)
+      .select($"window_idx", $"source", $"realized_tokens", $"realized_ppm",
+        $"planned_ppm", $"drift_ppm")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(drift.nonEmpty)
+    // conservation: every stream position is consumed exactly once, so
+    // per-source realized tokens across all windows == its stream_len
+    val masses = graft.queries.TrainingQueries.defs("x164_loader_manifest")(
+      spark, sf).select($"source", $"n_docs_kept", $"kept_tokens")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._3 + r._2)).toMap // stream_len = tokens + docs
+    val realized = drift.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(realized.keySet == masses.keySet)
+    realized.foreach { case (src, tot) =>
+      assert(tot == masses(src), s"$src realized tokens drifted")
+    }
+    // windows are contiguous from 0; each window's shares floor-sum to
+    // ≤ 1e6 and the signed drift column is exactly realized − planned
+    assert(drift.map(_._1).distinct.sorted ==
+      (0L to drift.map(_._1).max).toSeq)
+    drift.groupBy(_._1).foreach { case (w, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.size,
+        s"window $w shares do not floor-sum to 1e6")
+    }
+    drift.foreach { case (_, _, _, rp, pp, dp) => assert(dp == rp - pp) }
+  }
+
   test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
     val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
       spark, "/root/testdata/sf0.001")
