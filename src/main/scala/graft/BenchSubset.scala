@@ -78,9 +78,20 @@ object BenchSubset {
       val t = once(n)
       (census, b) match {
         case (Some(c), Some((j0, s0, k0))) =>
+          // deterministic drain (ADVICE r11): wait for the async listener
+          // bus to deliver every posted event before reading the census,
+          // so late job-end events can't bleed into the NEXT query's
+          // durations and no fixed sleep pads the wall. listenerBus is
+          // private[spark] in source but public in bytecode — reflection,
+          // acceptable for a diagnostic-only tool.
+          try {
+            val sc = spark.sparkContext
+            val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+            bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+              .invoke(bus, java.lang.Long.valueOf(5000L)): Unit
+          } catch { case _: Exception => Thread.sleep(300) }
           val (j1, s1, k1) = c.snapshot()
           println(f"$n%-28s census: ${j1 - j0}%3d jobs ${s1 - s0}%4d stages ${k1 - k0}%6d tasks")
-          Thread.sleep(300) // let the listener bus drain job-end events
           c.drainDurations().sortBy(-_._1).take(6).foreach { case (s, d) =>
             println(f"    $s%6.2fs  $d")
           }

@@ -77,8 +77,12 @@ object Relational {
       .withColumn("__pid", spark_partition_id())
     val wIn = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
     val local = parted.withColumn("__lrn", row_number().over(wIn))
-    // level 2: per-range starting offsets (≤ #shuffle-partitions rows)
-    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // level 2: per-range starting offsets (≤ #shuffle-partitions rows).
+    // Derived from `local` (max local rank ≡ partition count) so both
+    // levels consume the one window frame — the second subplan over the
+    // range exchange goes away, and with it the dependency on exchange
+    // reuse keeping two sampled range partitionings identical (ADVICE r11)
+    val counts = local.groupBy(col("__pid")).agg(max(col("__lrn")).as("__cnt"))
     val offsets = counts.as("a")
       .join(broadcast(counts.select(col("__pid").as("__bpid"),
         col("__cnt").as("__bcnt"))), col("__bpid") < col("a.__pid"), "left")
@@ -113,8 +117,13 @@ object Relational {
     val wIn = Window.partitionBy((col("__pid") +: gcols): _*)
       .orderBy(orderBy: _*)
     val local = parted.withColumn("__lrn", row_number().over(wIn).cast("long"))
-    val counts = parted.groupBy((col("__pid") +: gcols): _*)
-      .agg(count(lit(1)).as("__cnt"))
+    // counts derive from `local` (max local rank ≡ group size in the
+    // partition), not from a second aggregation over `parted`: both
+    // levels then share the one computed window frame, so correctness no
+    // longer rests on exchange reuse resolving two range exchanges to
+    // the same sampled bounds (ADVICE r11)
+    val counts = local.groupBy((col("__pid") +: gcols): _*)
+      .agg(max(col("__lrn")).as("__cnt"))
     val earlier = counts.select((col("__pid").as("__bpid") +:
       groupCols.map(c => col(c).as(s"__b_$c")) :+
       col("__cnt").as("__bcnt")): _*)
@@ -125,9 +134,19 @@ object Relational {
       .groupBy((col("a.__pid").as("__pid") +:
         groupCols.map(c => col(s"a.$c").as(c))): _*)
       .agg(coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
-    local.join(broadcast(offsets), "__pid" +: groupCols)
+    // final join null-safe on the group columns (matching the <=> the
+    // triangular offsets join uses): a null-valued group is a real group
+    // to row_number-over-window semantics, so its rows must pick up
+    // their offset rather than silently drop through an equi-join
+    // (ADVICE r11)
+    val off = offsets.select((col("__pid").as("__opid") +:
+      groupCols.map(c => col(c).as(s"__og_$c")) :+ col("__off")): _*)
+    val onPidAndGroups = (col("__pid") === col("__opid")) &&
+      groupCols.map(c => col(c) <=> col(s"__og_$c")).reduce(_ && _)
+    local.join(broadcast(off), onPidAndGroups)
       .withColumn(outCol, col("__off") + col("__lrn"))
-      .drop("__pid", "__lrn", "__off")
+      .drop("__pid", "__opid", "__lrn", "__off")
+      .drop(groupCols.map(c => s"__og_$c"): _*)
   }
 
   /** First-non-null with literal default (reference `iterative_replace_null`

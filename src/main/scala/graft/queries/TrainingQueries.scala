@@ -86,7 +86,8 @@ object TrainingQueries {
              list_filter(string_split(${normOf("text")}, ' '),
                w -> w <> '') AS t
            FROM documents
-           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             AND source IS NOT NULL),
          tk1 AS (SELECT source, doc_id, t FROM tk WHERE len(t) >= 1),
          kg AS (
            SELECT doc_id, CAST(2 AS BIGINT) AS k, i,
@@ -1041,7 +1042,14 @@ object TrainingQueries {
     graft.expressions.GraftFunctions.ensureRegistered(s)
     val toks = filter(TextOps.tokens(col("text")), w => w =!= "")
     t(s, d, "documents")
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      // source participates in every downstream group/equi-join of the
+      // x164–x170 chain; a null-source doc would be counted by the
+      // null-tolerant groupBys but silently dropped by the inner joins,
+      // breaking the conservation laws TrainingSpec pins (ADVICE r11) —
+      // filter it here so the per-source stream algebra sees only
+      // addressable sources, like the other source-keyed builders
+      .filter(col("doc_id").isNotNull && col("text").isNotNull
+        && col("source").isNotNull)
       .select(col("source"), col("doc_id"), toks.as("t"))
       .withColumn("n", size(col("t")).cast("long"))
       .filter(col("n") >= 1)
