@@ -49,6 +49,20 @@ object BenchSubset {
     }
   }
 
+  /** Deterministic listener-bus drain (ADVICE r11): wait for the async
+    * bus to deliver every posted event before reading census state, so
+    * late job-end events can't bleed into another query's durations and
+    * no fixed sleep pads the wall. `listenerBus` is private[spark] in
+    * source but public in bytecode — reflection, acceptable for a
+    * diagnostic-only tool. */
+  private def waitBusEmpty(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(5000L)): Unit
+    } catch { case _: Exception => Thread.sleep(300) }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -74,22 +88,14 @@ object BenchSubset {
     graft.ops.InternalCaches.drainAll(spark)
     val t1 = names.map(n => n -> once(n)).toMap
     val t2 = names.map { n =>
+      // discard queued job-end durations from the warm/t1 passes so the
+      // census drain below holds exactly this run's jobs
+      census.foreach { c => waitBusEmpty(spark); c.drainDurations(): Unit }
       val b = census.map(_.snapshot())
       val t = once(n)
       (census, b) match {
         case (Some(c), Some((j0, s0, k0))) =>
-          // deterministic drain (ADVICE r11): wait for the async listener
-          // bus to deliver every posted event before reading the census,
-          // so late job-end events can't bleed into the NEXT query's
-          // durations and no fixed sleep pads the wall. listenerBus is
-          // private[spark] in source but public in bytecode — reflection,
-          // acceptable for a diagnostic-only tool.
-          try {
-            val sc = spark.sparkContext
-            val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-            bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
-              .invoke(bus, java.lang.Long.valueOf(5000L)): Unit
-          } catch { case _: Exception => Thread.sleep(300) }
+          waitBusEmpty(spark)
           val (j1, s1, k1) = c.snapshot()
           println(f"$n%-28s census: ${j1 - j0}%3d jobs ${s1 - s0}%4d stages ${k1 - k0}%6d tasks")
           c.drainDurations().sortBy(-_._1).take(6).foreach { case (s, d) =>

@@ -1404,15 +1404,27 @@ object CorpusQueries {
       // (5.4 s vs 2.5 s) — the payload-carrying explode chain falls out of
       // whole-stage codegen, and interpreted row processing of the ~10M
       // candidate rows costs far more than the guard's parallelism buys at
-      // |brand block| ≈ 10³. The naive SMJ keeps pair-gen + JW + threshold
+      // |brand block| ≈ 10³. The naive join keeps pair-gen + JW + threshold
       // inside one codegen span. When brand populations outgrow a task
       // (≳10⁵ rows/brand), route through the guard as x84 does — that
-      // crossover is where the n²-per-task cost overtakes the codegen win
+      // crossover is where the n²-per-task cost overtakes the codegen win.
+      //
+      // r12: the build side is PINNED broadcast and the probe side is
+      // round-robin rebalanced first. Without this the planner broadcast
+      // the dim side anyway, but the probe then inherited the SCAN's task
+      // count — a single-row-group parquet (the driver testdata shape, and
+      // any small-file block dim at cluster scale) ran ALL ~10M JW
+      // comparisons on 1 task (census: 3 tasks, one 2.46 s job = the whole
+      // query). A broadcast join puts no co-partitioning demand on the
+      // probe, so the rebalance of the narrow (brand, key, name)
+      // projection is free parallelism for the n²-per-block CPU — the
+      // winnowAnchors pattern applied to a join probe
+      val parts = s.sparkContext.defaultParallelism
       val a = p.select(col("p_brand"), col("p_partkey").as("id_a"),
-        col("p_name").as("name_a"))
+        col("p_name").as("name_a")).repartition(parts)
       val b = p.select(col("p_brand"), col("p_partkey").as("id_b"),
         col("p_name").as("name_b"))
-      a.join(b, Seq("p_brand"))
+      a.join(broadcast(b), Seq("p_brand"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("jw",
           call_function("graft_jaro_winkler", col("name_a"), col("name_b")))
