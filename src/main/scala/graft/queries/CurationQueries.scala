@@ -899,14 +899,36 @@ object CurationQueries {
       val nb = TextOps.nbLangId(docs, "doc_id", "text", "lang",
           trainPred = col("doc_id") >= 20)
         .select(col("doc_id"), col("pred_lang").as("nb_pred"))
-      val j = rule.join(nb, Seq("doc_id")).cacheRegistered // registry-managed
-      val counts = j.agg(count(lit(1)).as("n_docs"),
-        sum(when(col("lang_pred") === col("nb_pred"), 1L).otherwise(0L))
-          .as("n_agree"))
-      val rl = j.groupBy(col("lang_pred").as("l")).agg(count(lit(1)).as("r"))
-      val bl = j.groupBy(col("nb_pred").as("l")).agg(count(lit(1)).as("b"))
-      val pe = rl.join(bl, Seq("l")).agg(sum(col("r") * col("b")).as("pe_num"))
-      counts.crossJoin(broadcast(pe))
+      // every marginal the kappa needs derives from the lang² confusion
+      // matrix, and the matrix folds to the scalar row in ONE LINEAR
+      // plan: each cm cell contributes its count to the rule marginal of
+      // lang_pred and the NB marginal of nb_pred (a two-row role
+      // explode), a per-label groupBy rebuilds (r_l, b_l, agree_l), and
+      // the final agg emits n_docs = Σr_l, n_agree = Σagree_l,
+      // pe_num = Σ r_l·b_l. r11's shape instead cached the per-doc join
+      // and fanned out three consumers (counts + rl⋈bl under a broadcast
+      // crossJoin) — the concurrent broadcast-subquery jobs raced the
+      // cache materialization and AQE re-planned the expensive classifier
+      // chain per consumer (r11 directive: 42-job census; the fan-out
+      // cache variant measured 9.7 s vs 4.9 s same-session). A label in
+      // only one marginal contributes r·0 or 0·b = 0, matching the old
+      // inner rl⋈bl join
+      val cm = rule.join(nb, Seq("doc_id"))
+        .groupBy(col("lang_pred"), col("nb_pred"))
+        .agg(count(lit(1)).as("n"))
+      val perLabel = cm.select(explode(array(
+          struct(col("lang_pred").as("l"), col("n").as("r"),
+            lit(0L).as("b"),
+            when(col("lang_pred") === col("nb_pred"), col("n"))
+              .otherwise(0L).as("ag")),
+          struct(col("nb_pred").as("l"), lit(0L).as("r"),
+            col("n").as("b"), lit(0L).as("ag")))).as("e"))
+        .groupBy(col("e.l"))
+        .agg(sum(col("e.r")).as("r"), sum(col("e.b")).as("b"),
+          sum(col("e.ag")).as("agree_l"))
+      perLabel.agg(sum(col("r")).as("n_docs"),
+          sum(col("agree_l")).as("n_agree"),
+          sum(col("r") * col("b")).as("pe_num"))
         .withColumn("pe_num", coalesce(col("pe_num"), lit(0L)))
         .select(col("n_docs"), col("n_agree"),
           expr("(n_agree * CAST(1000000 AS BIGINT)) div n_docs")
