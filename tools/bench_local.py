@@ -79,9 +79,43 @@ anchor_after = duckdb_anchor()
 drift = (sum(anchor_after.values()) / sum(anchor_before.values())
          if sum(anchor_before.values()) > 0 else None)
 
+
+def spark_anchor():
+    """Re-time the pinned anchors SPARK-side (graft.BenchSubset, min-of-2
+    warm — the full bench's own methodology) AFTER the DuckDB sweep. The
+    DuckDB-only anchor cannot indict a Spark-side-only slow session
+    (r10's actual failure mode); comparing these walls to the same
+    queries' walls inside the full bench run catches exactly that. The
+    subset runs in a fresh JVM, so its walls carry cold-JIT overhead the
+    in-bench walls don't — the ratio is an indicator with a stable
+    protocol across rounds, not an identity."""
+    r = subprocess.run(
+        ["sbt", "-batch", "runMain graft.BenchSubset " + " ".join(ANCHORS)],
+        cwd=repo_root, env=dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir),
+        capture_output=True, text=True, timeout=1800)
+    out = {}
+    for line in r.stdout.splitlines():
+        parts = line.replace("[info]", "").split()
+        if len(parts) == 2 and parts[0] in ANCHORS:
+            try:
+                out[parts[0]] = float(parts[1])
+            except ValueError:
+                pass
+    return out
+
+
+spark_after = spark_anchor()
+spark_in_bench = {a: spark.get("queries", {}).get(a) for a in ANCHORS}
+spark_drift = None
+if (len(spark_after) == len(ANCHORS)
+        and all(spark_in_bench.get(a) for a in ANCHORS)):
+    spark_drift = (sum(spark_after.values())
+                   / sum(spark_in_bench[a] for a in ANCHORS))
+
 merged = {
     "round": rnd, "sf": sfdir,
-    "protocol": "same-session: anchor -> spark -> duckdb -> anchor; "
+    "protocol": "same-session: duckdb anchor -> spark -> duckdb -> "
+                "duckdb anchor -> spark anchor (fresh-JVM BenchSubset); "
                 "spark pass 2 in reversed catalog order",
     "spark_total_sec": spark.get("value"),
     "duckdb_total_sec": duck.get("total"),
@@ -94,6 +128,9 @@ merged = {
         "duckdb_before_sec": anchor_before,
         "duckdb_after_sec": anchor_after,
         "drift_after_over_before": drift,
+        "spark_in_bench_sec": spark_in_bench,
+        "spark_after_sec": spark_after,
+        "spark_drift": spark_drift,
         "spark_window": [t_spark0, t_spark1],
         "duckdb_window": [t_duck0, t_duck1],
     },
@@ -102,6 +139,7 @@ path = os.path.join(repo_root, f"BENCH_LOCAL_r{rnd}.json")
 with open(path, "w") as f:
     json.dump(merged, f, indent=1, sort_keys=True)
 drift_s = f"{drift:.3f}" if drift is not None else "n/a"
+sdrift_s = f"{spark_drift:.3f}" if spark_drift is not None else "n/a"
 print(f"wrote {path}: spark {merged['spark_total_sec']}s "
       f"vs duckdb {merged['duckdb_total_sec']}s, failed={merged['failed']}, "
-      f"anchor drift {drift_s}")
+      f"anchor drift {drift_s}, spark drift {sdrift_s}")

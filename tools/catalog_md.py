@@ -63,6 +63,14 @@ groups = [
      lambda n: n.startswith("x") and qnum(n) >= 62),
 ]
 
+# Bench class boundary (r11 verdict #3): a query whose DuckDB twin
+# finishes under this wall at sf0.1 is OVERHEAD-BOUND — the ratio
+# column measures Spark's fixed per-query job overhead (~0.2-0.7 s)
+# against a sub-toy frame, not the plans. Overhead-bound rows grade on
+# absolute wall + job census + the 10x scale gate (SCALE.md "Grading
+# rule"); data-bound rows grade on the ratio.
+DATA_BOUND_TWIN_SEC = 0.3
+
 out = ["# QUERIES — the oracle-checked catalog",
        "",
        "One row per `SparkEntry.queries` entry. Every query has a full DuckDB",
@@ -70,6 +78,13 @@ out = ["# QUERIES — the oracle-checked catalog",
        "output size, timings are sf0.1 on the same 32-core box (Spark:",
        "`graft.Bench` min-of-2 warm through the noop sink; DuckDB: identical",
        "oracle SQL via `tools/bench_duckdb.py`).",
+       "",
+       "`class` (r11 verdict #3): **data** if the DuckDB twin took ≥ "
+       f"{DATA_BOUND_TWIN_SEC} s at sf0.1 (the ratio measures the plans), "
+       "**ovhd** otherwise (the twin is so small that the ratio measures "
+       "Spark's fixed per-query job overhead against a toy frame — these "
+       "rows grade on absolute wall + census + the 10× scale gate; see "
+       "SCALE.md \"Grading rule\").",
        ""]
 tot_s = tot_d = 0.0
 for title, pred in groups:
@@ -77,15 +92,17 @@ for title, pred in groups:
     if not members:
         continue
     out += [f"## {title}", "",
-            "| query | sf0.01 rows | spark s | duckdb s | ratio | notes |",
-            "|---|---|---|---|---|---|"]
+            "| query | sf0.01 rows | spark s | duckdb s | ratio | class | notes |",
+            "|---|---|---|---|---|---|---|"]
     for n in members:
         s, dd = bench.get(n), duck.get(n)
         ratio = f"{dd / s:.1f}×" if s and dd and s > 0 else "—"
         s_txt = f"{s:.2f}" if s is not None else "—"
         d_txt = f"{dd:.2f}" if dd is not None else "—"
+        cls = ("data" if dd is not None and dd >= DATA_BOUND_TWIN_SEC
+               else "ovhd" if dd is not None else "—")
         note = BASELINE_NOTES.get(n, "")
-        out.append(f"| {n} | {rows[n]} | {s_txt} | {d_txt} | {ratio} | {note} |")
+        out.append(f"| {n} | {rows[n]} | {s_txt} | {d_txt} | {ratio} | {cls} | {note} |")
         if s and s > 0:
             tot_s += s
         if dd:
