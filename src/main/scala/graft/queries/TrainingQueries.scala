@@ -167,6 +167,42 @@ object TrainingQueries {
              source, bin_idx, order_key
            FROM eoh)"""
 
+  /** The per-epoch consumption CTE chain ending in `fin` (source,
+    * epoch_idx, tokens_consumed, docs_full, stream_pos_end) — needs
+    * `gop`, `km`, and the unimax chain's `j` in scope;
+    * [[epochConsumptionFrom]]'s mirror, shared by the x168 and x170
+    * oracles. */
+  private def epochConsumptionCte: String =
+    s"""al AS (SELECT source, n_tokens, alloc_tokens,
+             CAST(alloc_tokens // n_tokens AS BIGINT) AS n_full,
+             CAST(alloc_tokens % n_tokens AS BIGINT) AS rem_x
+           FROM j WHERE alloc_tokens > 0),
+         dc AS (SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumtok
+           FROM gop WHERE keep = 1),
+         tr AS (SELECT a.source,
+             CAST(SUM(CASE WHEN d.cumtok <= a.rem_x THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_full_trunc
+           FROM al a JOIN dc d ON d.source = a.source GROUP BY a.source),
+         ep AS (SELECT a.source, a.n_tokens, a.n_full, a.rem_x,
+             t.docs_full_trunc, km.n_docs_kept, km.stream_len,
+             CAST(u.e AS BIGINT) AS epoch_idx
+           FROM al a
+           JOIN tr t ON t.source = a.source
+           JOIN km ON km.source = a.source,
+           unnest(range(0, a.n_full
+             + CASE WHEN a.rem_x > 0 THEN 1 ELSE 0 END)) u(e)),
+         fin AS (SELECT source, epoch_idx,
+             CASE WHEN epoch_idx < n_full THEN n_tokens
+               ELSE rem_x END AS tokens_consumed,
+             CASE WHEN epoch_idx < n_full THEN n_docs_kept
+               ELSE docs_full_trunc END AS docs_full,
+             CASE WHEN epoch_idx < n_full THEN stream_len
+               ELSE rem_x + docs_full_trunc END AS stream_pos_end
+           FROM ep)"""
+
   /** The shared (qm, pos) CTE text of the x160/x161 oracles —
     * [[qmLabelFrame]]'s mirror. */
   private val qmLabelCte =
@@ -913,39 +949,51 @@ object TrainingQueries {
       val gop = InternalCaches.register(
         gopherRepetition(s, d).filter(col("keep") === 1L))
       val masses = InternalCaches.register(keptMasses(gop))
-      val alloc = unimaxAlloc(masses.select(col("source"), col("n_tokens")))
-        .filter(col("alloc_tokens") > 0L)
-        .select(col("source"), col("n_tokens"), col("alloc_tokens"),
-          expr("alloc_tokens div n_tokens").as("n_full"),
-          expr("alloc_tokens % n_tokens").as("rem_x"))
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val docs = gop.select(col("source"), col("doc_id"), col("n_tokens"))
-        .withColumn("cumtok", sum(col("n_tokens")).over(w))
-      val trunc = docs
-        .join(broadcast(alloc.select(col("source"), col("rem_x"))),
+      epochConsumptionFrom(gop, masses)
+    }),
+
+    // ───── the CONCATENATED cross-epoch consumption order — the full
+    // run's schedule, closing the loader chain: x168 resolves each
+    // source's UniMax allocation into passes (full epochs + at most one
+    // truncated final pass), and THIS shuffles every pass with its own
+    // epoch seed ('ep{e+1}_' — epoch 0 replays x165's 'ep1_' keys
+    // bit-for-bit) over the SAME x162 LPT worker placement, ranking
+    // per worker by (epoch_idx, order_key, ...) so every epoch-e step
+    // precedes every epoch-(e+1) step. The truncated epoch's bin SET is
+    // x168's prefix (bins_consumed) — the prefix cut defines WHICH bins
+    // the final pass touches, the seed defines their order. Composition
+    // only: epochConsumptionFrom + lptAssign + rankWithinGroups, zero
+    // re-implementation, so the schedule can never drift from what x164
+    // prices and x168 consumes. Resume across an epoch boundary is
+    // still a pure step-filter (the TrainingSpec law crosses one):
+    // the order is a function of (epoch seed, source, bin), never of
+    // runtime state. Scale shape: the epoch dimension multiplies bins
+    // by epochs_ppm (≤ ~2× under the 2× UniMax cap), the rank stays
+    // two-level, and nothing data-sized crosses epochs
+    "x170_multiepoch_order" -> ((s, d) => {
+      val gop = InternalCaches.register(
+        gopherRepetition(s, d).filter(col("keep") === 1L))
+      val masses = InternalCaches.register(keptMasses(gop))
+      val cons = epochConsumptionFrom(gop, masses)
+        .select(col("source"), col("epoch_idx"), col("bins_consumed"))
+      val plan = graft.ops.Scheduling.lptAssign(
+        masses.select(col("source"), col("n_tokens")),
+        "source", "n_tokens", workers = 8)
+      val bins = cons
+        .join(broadcast(plan.select(col("source"), col("worker"))),
           Seq("source"))
-        .groupBy(col("source"))
-        .agg(sum(when(col("cumtok") <= col("rem_x"), 1L).otherwise(0L))
-          .as("docs_full_trunc"))
-      alloc
-        .join(trunc, Seq("source"))
-        .join(masses.select(col("source"), col("n_docs_kept"),
-          col("stream_len")), Seq("source"))
-        .withColumn("epoch_idx", explode(expr(
-          "sequence(0, CAST(n_full + CASE WHEN rem_x > 0 THEN 1 ELSE 0 END AS INT) - 1)")))
-        .withColumn("tokens_consumed",
-          when(col("epoch_idx") < col("n_full"), col("n_tokens"))
-            .otherwise(col("rem_x")))
-        .withColumn("docs_full",
-          when(col("epoch_idx") < col("n_full"), col("n_docs_kept"))
-            .otherwise(col("docs_full_trunc")))
-        .withColumn("stream_pos_end",
-          when(col("epoch_idx") < col("n_full"), col("stream_len"))
-            .otherwise(col("rem_x") + col("docs_full_trunc")))
-        .select(col("source"), col("epoch_idx").cast("long").as("epoch_idx"),
-          col("tokens_consumed"), col("docs_full"), col("stream_pos_end"),
-          expr("(stream_pos_end + 511) div 512").as("bins_consumed"))
+        .select(col("source"), col("worker"), col("epoch_idx"),
+          explode(expr("sequence(0, bins_consumed - 1)")).as("bin_idx"))
+        .withColumn("order_key",
+          conv(substring(md5(concat(lit("ep"),
+            (col("epoch_idx") + 1L).cast("string"), lit("_"),
+            col("source"), lit(":"), col("bin_idx"))), 1, 12), 16, 10)
+            .cast("long"))
+      graft.ops.Relational.rankWithinGroups(bins, Seq("worker"),
+          Seq(col("epoch_idx"), col("order_key"), col("source"),
+            col("bin_idx")), "step")
+        .select(col("worker"), col("step"), col("epoch_idx"),
+          col("source"), col("bin_idx"), col("order_key"))
     }),
 
     // ───── mixture-drift monitor: does the shuffled order actually
@@ -995,6 +1043,49 @@ object TrainingQueries {
             .as("planned_ppm"))
         .withColumn("drift_ppm", col("realized_ppm") - col("planned_ppm"))
     }))
+
+  /** The x168 per-epoch consumption frame over pinned survivor / mass
+    * frames — (source, epoch_idx, tokens_consumed, docs_full,
+    * stream_pos_end, bins_consumed); shared by the x168 catalog entry
+    * and x170's cross-epoch schedule so the passes a run prices and the
+    * passes it orders can never drift. See the x168 map entry for the
+    * semantics and shuffle ledger. */
+  private def epochConsumptionFrom(gop: DataFrame,
+                                   masses: DataFrame): DataFrame = {
+    val alloc = unimaxAlloc(masses.select(col("source"), col("n_tokens")))
+      .filter(col("alloc_tokens") > 0L)
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        expr("alloc_tokens div n_tokens").as("n_full"),
+        expr("alloc_tokens % n_tokens").as("rem_x"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = gop.select(col("source"), col("doc_id"), col("n_tokens"))
+      .withColumn("cumtok", sum(col("n_tokens")).over(w))
+    val trunc = docs
+      .join(broadcast(alloc.select(col("source"), col("rem_x"))),
+        Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("cumtok") <= col("rem_x"), 1L).otherwise(0L))
+        .as("docs_full_trunc"))
+    alloc
+      .join(trunc, Seq("source"))
+      .join(masses.select(col("source"), col("n_docs_kept"),
+        col("stream_len")), Seq("source"))
+      .withColumn("epoch_idx", explode(expr(
+        "sequence(0, CAST(n_full + CASE WHEN rem_x > 0 THEN 1 ELSE 0 END AS INT) - 1)")))
+      .withColumn("tokens_consumed",
+        when(col("epoch_idx") < col("n_full"), col("n_tokens"))
+          .otherwise(col("rem_x")))
+      .withColumn("docs_full",
+        when(col("epoch_idx") < col("n_full"), col("n_docs_kept"))
+          .otherwise(col("docs_full_trunc")))
+      .withColumn("stream_pos_end",
+        when(col("epoch_idx") < col("n_full"), col("stream_len"))
+          .otherwise(col("rem_x") + col("docs_full_trunc")))
+      .select(col("source"), col("epoch_idx").cast("long").as("epoch_idx"),
+        col("tokens_consumed"), col("docs_full"), col("stream_pos_end"),
+        expr("(stream_pos_end + 511) div 512").as("bins_consumed"))
+  }
 
   /** The x165 epoch-order frame over a pinned surviving-mass frame —
     * (worker, step, source, bin_idx, order_key); shared by the x165
@@ -1693,41 +1784,40 @@ object TrainingQueries {
       s"""WITH $gopherCte,
          $keptMassesCte,
          ${unimaxCteFrom("km")},
-         al AS (SELECT source, n_tokens, alloc_tokens,
-             CAST(alloc_tokens // n_tokens AS BIGINT) AS n_full,
-             CAST(alloc_tokens % n_tokens AS BIGINT) AS rem_x
-           FROM j WHERE alloc_tokens > 0),
-         dc AS (SELECT source, doc_id, n_tokens,
-             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cumtok
-           FROM gop WHERE keep = 1),
-         tr AS (SELECT a.source,
-             CAST(SUM(CASE WHEN d.cumtok <= a.rem_x THEN 1 ELSE 0 END)
-               AS BIGINT) AS docs_full_trunc
-           FROM al a JOIN dc d ON d.source = a.source GROUP BY a.source),
-         ep AS (SELECT a.source, a.n_tokens, a.n_full, a.rem_x,
-             t.docs_full_trunc, km.n_docs_kept, km.stream_len,
-             CAST(u.e AS BIGINT) AS epoch_idx
-           FROM al a
-           JOIN tr t ON t.source = a.source
-           JOIN km ON km.source = a.source,
-           unnest(range(0, a.n_full
-             + CASE WHEN a.rem_x > 0 THEN 1 ELSE 0 END)) u(e)),
-         fin AS (SELECT source, epoch_idx,
-             CASE WHEN epoch_idx < n_full THEN n_tokens
-               ELSE rem_x END AS tokens_consumed,
-             CASE WHEN epoch_idx < n_full THEN n_docs_kept
-               ELSE docs_full_trunc END AS docs_full,
-             CASE WHEN epoch_idx < n_full THEN stream_len
-               ELSE rem_x + docs_full_trunc END AS stream_pos_end
-           FROM ep)
+         $epochConsumptionCte
          SELECT source, epoch_idx,
            CAST(tokens_consumed AS BIGINT) AS tokens_consumed,
            CAST(docs_full AS BIGINT) AS docs_full,
            CAST(stream_pos_end AS BIGINT) AS stream_pos_end,
            CAST((stream_pos_end + 511) // 512 AS BIGINT) AS bins_consumed
          FROM fin""",
+    // x170: the cross-epoch composition oracle — x168's fin passes
+    // (unimax alloc → full + truncated epochs) re-enter x165's machinery
+    // per epoch: the SAME LPT recursion places sources, each pass's
+    // bins_consumed prefix unnests, the md5 key re-seeds per epoch
+    // ('ep' || epoch+1 || '_'), and the per-worker rank orders by
+    // (epoch_idx, order_key, source, bin_idx) so epochs concatenate
+    "x170_multiepoch_order" ->
+      s"""WITH RECURSIVE $epochOrderCte,
+         ${unimaxCteFrom("km")},
+         $epochConsumptionCte,
+         mbins AS (SELECT fn.source, rc.worker,
+             fn.epoch_idx, CAST(u.b AS BIGINT) AS bin_idx
+           FROM fin fn JOIN rec rc ON rc.source = fn.source,
+           unnest(range(0, (fn.stream_pos_end + 511) // 512)) u(b)),
+         mh AS (SELECT worker, epoch_idx, source, bin_idx,
+             CAST(('0x' || substr(md5('ep'
+               || CAST(epoch_idx + 1 AS VARCHAR) || '_' || source || ':'
+               || bin_idx), 1, 12)) AS BIGINT) AS order_key
+           FROM mbins),
+         mranked AS (SELECT CAST(worker AS BIGINT) AS worker,
+             CAST(ROW_NUMBER() OVER (PARTITION BY worker
+               ORDER BY epoch_idx, order_key, source, bin_idx) AS BIGINT)
+               AS step,
+             epoch_idx, source, bin_idx, order_key
+           FROM mh)
+         SELECT worker, step, epoch_idx, source, bin_idx, order_key
+         FROM mranked""",
     // x169: the ranked chain joined to the survivors' segment tokens,
     // grouped into (step-1)//4 fleet windows; planned share = the
     // source's stream_len over the epoch total

@@ -186,7 +186,9 @@ class PlanAssertSpec extends SparkSpec {
     // window, is source-keyed). x169: the Σstream_len scalar over the
     // bounded source masses (one pre-aggregated row per partition,
     // broadcast back) — q23/x79's class; its per-window total runs
-    // partitioned BY window, never single.
+    // partitioned BY window, never single. x170: x168's composition —
+    // the same bounded-source UniMax windows; the cross-epoch rank
+    // itself is two-level (__pid-keyed, pinned in the x165 test below).
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -201,7 +203,7 @@ class PlanAssertSpec extends SparkSpec {
         "x148_freshness_audit", "x157_unimax_budget",
         "x160_quality_auc", "x161_quality_pr_sweep",
         "x164_loader_manifest", "x168_epoch_consumption",
-        "x169_mixture_drift")
+        "x169_mixture_drift", "x170_multiepoch_order")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

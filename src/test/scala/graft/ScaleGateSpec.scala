@@ -63,7 +63,10 @@ class ScaleGateSpec extends SparkSpec {
     * rank (rankWithinGroups): its bins grow ~10× with the corpus while
     * the group count stays at 8 workers, so a regression back to a
     * per-group window (8-task cap) or a superlinear offsets join lands
-    * here. */
+    * here. (x170 rides the same rank over the same bins × a bounded
+    * epoch factor — the UniMax cap holds epochs ≤ ~2× — so the x165
+    * chain already trips any regression in its heavy shape; gating both
+    * would re-run a near-identical plan for no new coverage.) */
   private val gated = Seq(
     "x27_lsh_dedup_pipeline",
     "x49_incremental_dedup",

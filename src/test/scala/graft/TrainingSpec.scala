@@ -489,6 +489,74 @@ class TrainingSpec extends SparkSpec {
     drift.foreach { case (_, _, _, rp, pp, dp) => assert(dp == rp - pp) }
   }
 
+  test("x170 multi-epoch order: epochs concatenate per x168's passes; resume crosses an epoch boundary") {
+    val sf = "/root/testdata/sf0.001"
+    def run(): Seq[(Long, Long, Long, String, Long, Long)] =
+      graft.queries.TrainingQueries.defs("x170_multiepoch_order")(spark, sf)
+        .select($"worker", $"step", $"epoch_idx", $"source", $"bin_idx",
+          $"order_key")
+        .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    val full = run()
+    assert(full.nonEmpty)
+    // the corpus exercises multiple epochs (UniMax's 1.8x budget forces
+    // capped 2x sources into epoch 1) — otherwise the boundary law below
+    // is vacuous
+    assert(full.exists(_._3 > 0L), "no multi-epoch source on this corpus")
+    // steps per worker are contiguous 1..n, and every epoch-e step
+    // precedes every epoch-(e+1) step (epochs CONCATENATE)
+    full.groupBy(_._1).foreach { case (w, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size).toSeq,
+        s"worker $w steps not contiguous")
+      val byStep = rows.sortBy(_._2)
+      assert(byStep.map(_._3) == byStep.map(_._3).sorted,
+        s"worker $w interleaves epochs")
+      // within a worker, step order is the (epoch, hash) order
+      val key = byStep.map(r => (r._3, r._6, r._4, r._5))
+      assert(key == key.sorted, s"worker $w step order is not hash order")
+    }
+    // per (source, epoch): the bin set is EXACTLY x168's consumed prefix
+    val sched = graft.queries.TrainingQueries.defs("x168_epoch_consumption")(
+      spark, sf).select($"source", $"epoch_idx", $"bins_consumed")
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val got = full.groupBy(r => (r._4, r._3)).view
+      .mapValues(_.map(_._5).sorted).toMap
+    assert(got.keySet == sched.keySet,
+      "order consumes different (source, epoch) passes than x168")
+    got.foreach { case (k, bins) =>
+      assert(bins == (0L until sched(k)).toSeq, s"$k bins drift from x168")
+    }
+    // epoch 0 replays x165's seed bit-for-bit: same (source, bin) →
+    // same order_key (x165 orders FULL epochs, so compare on the
+    // intersection — a truncated epoch 0 is a prefix of x165's bins)
+    val ep1Keys = graft.queries.TrainingQueries.defs("x165_epoch_order")(
+      spark, sf).select($"source", $"bin_idx", $"order_key")
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    full.filter(_._3 == 0L).foreach { r =>
+      assert(ep1Keys((r._4, r._5)) == r._6,
+        s"epoch-0 key for (${r._4}, ${r._5}) drifts from x165's ep1 seed")
+    }
+    // THE BOUNDARY-CROSSING RESUME LAW: checkpoint one step BEFORE each
+    // worker's last epoch-0 step, so the replayed suffix contains the
+    // tail of epoch 0 AND every later epoch — an independent
+    // recomputation reproduces it row-for-row (the order is a pure
+    // function of (epoch seed, source, bin), never of run state)
+    val ckpt = full.groupBy(_._1).map { case (w, rows) =>
+      val ep0 = rows.filter(_._3 == 0L).map(_._2)
+      w -> (if (ep0.nonEmpty) ep0.max - 1 else 0L)
+    }
+    // the law must actually cross: some worker's suffix spans 2+ epochs
+    assert(full.exists(r => r._2 > ckpt(r._1) && r._3 > 0L) &&
+      full.exists(r => r._2 > ckpt(r._1) && r._3 == 0L),
+      "checkpoint does not cross an epoch boundary on this corpus")
+    def suffix(rs: Seq[(Long, Long, Long, String, Long, Long)]) =
+      rs.filter(r => r._2 > ckpt(r._1)).sortBy(r => (r._1, r._2))
+    val rerun = run()
+    assert(suffix(rerun) == suffix(full),
+      "epoch-boundary resume did not reproduce the suffix")
+  }
+
   test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
     val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
       spark, "/root/testdata/sf0.001")
