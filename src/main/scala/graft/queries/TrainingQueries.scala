@@ -134,26 +134,37 @@ object TrainingQueries {
     * per-worker rank — ending in `ranked` (worker, step, source,
     * bin_idx, order_key): [[epochOrderFrom]]'s mirror, shared by the
     * x165/x166/x167 oracles. Needs WITH RECURSIVE. */
-  private def epochOrderCte: String =
-    s"""$gopherCte,
-         $keptMassesCte,
-         o AS (SELECT source, n_tokens,
+  /** The LPT recursion CTE pair — Graham's greedy replayed serially:
+    * `o` ranks groups (weight desc, source asc), `rec` walks them,
+    * packing (load, worker) into l·1024 + w so list_min picks the
+    * least-loaded / lowest-id worker, exactly [[Scheduling.lptAssign]]'s
+    * tiebreak. `src` must expose (source, n_tokens); parameterized so
+    * x171 can re-run the greedy over REMAINING masses on a different
+    * fleet size in the same WITH RECURSIVE list. */
+  private def lptCte(src: String, o: String, rec: String,
+                     workers: Int): String =
+    s"""$o AS (SELECT source, n_tokens,
              ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS rn
-           FROM km),
-         rec AS (
+           FROM $src),
+         $rec AS (
            SELECT source, rn, CAST(0 AS BIGINT) AS worker,
-             list_transform(range(0, 8), i -> {'w': CAST(i AS BIGINT),
+             list_transform(range(0, $workers), i -> {'w': CAST(i AS BIGINT),
                'l': CASE WHEN i = 0 THEN n_tokens
                  ELSE CAST(0 AS BIGINT) END}) AS loads
-           FROM o WHERE rn = 1
+           FROM $o WHERE rn = 1
            UNION ALL
            SELECT nx.source, nx.rn, st.mk % 1024,
              list_transform(r.loads, x ->
                CASE WHEN x.l * 1024 + x.w = st.mk
                  THEN {'w': x.w, 'l': x.l + nx.n_tokens} ELSE x END)
-           FROM rec r JOIN o nx ON nx.rn = r.rn + 1,
+           FROM $rec r JOIN $o nx ON nx.rn = r.rn + 1,
            LATERAL (SELECT list_min(list_transform(r.loads,
-             x -> x.l * 1024 + x.w)) AS mk) st),
+             x -> x.l * 1024 + x.w)) AS mk) st)"""
+
+  private def epochOrderCte: String =
+    s"""$gopherCte,
+         $keptMassesCte,
+         ${lptCte("km", "o", "rec", 8)},
          eobins AS (SELECT r.source, r.worker, CAST(u.b AS BIGINT) AS bin_idx
            FROM rec r JOIN km ON km.source = r.source,
            unnest(range(0, (km.stream_len + 511) // 512)) u(b)),
@@ -202,6 +213,47 @@ object TrainingQueries {
              CASE WHEN epoch_idx < n_full THEN stream_len
                ELSE rem_x + docs_full_trunc END AS stream_pos_end
            FROM ep)"""
+
+  /** The cross-epoch order CTE chain ending in `mranked` (worker, step,
+    * epoch_idx, source, bin_idx, order_key) — needs `fin` (the
+    * consumption chain) and `rec` (the LPT placement) in scope;
+    * [[multiEpochOrderFrom]]'s mirror, shared by the x170 and x171
+    * oracles. */
+  private def multiEpochOrderCte: String =
+    s"""mbins AS (SELECT fn.source, rc.worker,
+             fn.epoch_idx, CAST(u.b AS BIGINT) AS bin_idx
+           FROM fin fn JOIN rec rc ON rc.source = fn.source,
+           unnest(range(0, (fn.stream_pos_end + 511) // 512)) u(b)),
+         mh AS (SELECT worker, epoch_idx, source, bin_idx,
+             CAST(('0x' || substr(md5('ep'
+               || CAST(epoch_idx + 1 AS VARCHAR) || '_' || source || ':'
+               || bin_idx), 1, 12)) AS BIGINT) AS order_key
+           FROM mbins),
+         mranked AS (SELECT CAST(worker AS BIGINT) AS worker,
+             CAST(ROW_NUMBER() OVER (PARTITION BY worker
+               ORDER BY epoch_idx, order_key, source, bin_idx) AS BIGINT)
+               AS step,
+             epoch_idx, source, bin_idx, order_key
+           FROM mh)"""
+
+  /** The lineage segment CTE pair ending in `seg` (source, bin_idx,
+    * doc_id, seg_start, seg_end) over the Gopher survivors — needs
+    * `gop` in scope; the packFrame/x159 algebra, shared by the x167 and
+    * x173 oracles. */
+  private def lineageSegCte: String =
+    s"""sp AS (SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS stream_pos
+           FROM gop WHERE keep = 1),
+         seg AS (SELECT source, CAST(u.b AS BIGINT) AS bin_idx, doc_id,
+             CAST(greatest(stream_pos - u.b * 512, 0)
+               AS BIGINT) AS seg_start,
+             CAST(least(stream_pos + n_tokens + 1 - u.b * 512, 512)
+               AS BIGINT) AS seg_end
+           FROM sp, unnest(range(stream_pos // 512,
+             (stream_pos + n_tokens) // 512 + 1)) AS u(b))"""
 
   /** The shared (qm, pos) CTE text of the x160/x161 oracles —
     * [[qmLabelFrame]]'s mirror. */
@@ -917,19 +969,7 @@ object TrainingQueries {
     "x167_step_lineage" -> ((s, d) => {
       val gop = InternalCaches.register(
         gopherRepetition(s, d).filter(col("keep") === 1L))
-      val order = epochOrderFrom(InternalCaches.register(keptMasses(gop)))
-      val segs = packFrame(gop
-          .select(col("source"), col("doc_id"), col("n_tokens")))
-        .withColumn("bin_idx", explode(expr("sequence(bin_first, bin_last)")))
-        .select(col("source"), col("bin_idx"), col("doc_id"),
-          greatest(col("stream_pos") - col("bin_idx") * 512L, lit(0L))
-            .as("seg_start"),
-          least(col("stream_pos") + col("n_tokens") + 1L
-            - col("bin_idx") * 512L, lit(512L)).as("seg_end"))
-      order.select(col("worker"), col("step"), col("source"), col("bin_idx"))
-        .join(segs, Seq("source", "bin_idx"))
-        .select(col("worker"), col("step"), col("source"), col("bin_idx"),
-          col("doc_id"), col("seg_start"), col("seg_end"))
+      stepLineageFrom(gop, InternalCaches.register(keptMasses(gop)))
     }),
 
     // ───── per-epoch consumption schedule: what the UniMax allocation
@@ -974,26 +1014,107 @@ object TrainingQueries {
       val gop = InternalCaches.register(
         gopherRepetition(s, d).filter(col("keep") === 1L))
       val masses = InternalCaches.register(keptMasses(gop))
-      val cons = epochConsumptionFrom(gop, masses)
-        .select(col("source"), col("epoch_idx"), col("bins_consumed"))
-      val plan = graft.ops.Scheduling.lptAssign(
-        masses.select(col("source"), col("n_tokens")),
-        "source", "n_tokens", workers = 8)
-      val bins = cons
-        .join(broadcast(plan.select(col("source"), col("worker"))),
-          Seq("source"))
-        .select(col("source"), col("worker"), col("epoch_idx"),
-          explode(expr("sequence(0, bins_consumed - 1)")).as("bin_idx"))
-        .withColumn("order_key",
-          conv(substring(md5(concat(lit("ep"),
-            (col("epoch_idx") + 1L).cast("string"), lit("_"),
-            col("source"), lit(":"), col("bin_idx"))), 1, 12), 16, 10)
-            .cast("long"))
-      graft.ops.Relational.rankWithinGroups(bins, Seq("worker"),
+      multiEpochOrderFrom(gop, masses)
+    }),
+
+    // ───── elastic fleet rescale — resume the x170 schedule on a
+    // DIFFERENT worker count: after every worker has consumed its first
+    // 4 steps (the pinned mid-run checkpoint; a worker with ≤ 4 steps
+    // has simply finished), the remaining bins re-balance onto 12
+    // workers — x162's LPT greedy again, weighted by each source's
+    // REMAINING bin count — while the seeded consumption order is
+    // untouched: the same (epoch_idx, order_key, source, bin_idx) rank,
+    // just under new groups. This is the mid-run scale-up a training
+    // fleet actually performs: placement is fleet state and may change;
+    // the data order is a pure function of the seeds and must not.
+    // TrainingSpec pins the conservation law (old suffix multiset ≡
+    // rescaled multiset) and the pure-function replay. Scale shape:
+    // one bounded aggregation for the remaining masses, the driver-side
+    // greedy, one broadcast join, and the same two-level rank
+    "x171_elastic_rescale" -> ((s, d) => {
+      val gop = InternalCaches.register(
+        gopherRepetition(s, d).filter(col("keep") === 1L))
+      val masses = InternalCaches.register(keptMasses(gop))
+      val rem = multiEpochOrderFrom(gop, masses)
+        .filter(col("step") > 4L)
+        .select(col("epoch_idx"), col("source"), col("bin_idx"),
+          col("order_key"))
+      val rmass = rem.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins_left"))
+      val plan2 = graft.ops.Scheduling.lptAssign(
+        rmass, "source", "n_bins_left", workers = 12)
+      graft.ops.Relational.rankWithinGroups(
+          rem.join(broadcast(plan2.select(col("source"), col("worker"))),
+            Seq("source")),
+          Seq("worker"),
           Seq(col("epoch_idx"), col("order_key"), col("source"),
             col("bin_idx")), "step")
         .select(col("worker"), col("step"), col("epoch_idx"),
           col("source"), col("bin_idx"), col("order_key"))
+    }),
+
+    // ───── curriculum mixture schedule — anneal the per-source data
+    // mixture from the NATURAL stream shares (x169's planned_ppm: each
+    // survivor source's stream_len over the epoch total) to the
+    // QUALITY-weighted shares (each source's Σ floor(quality·1e6) over
+    // the survivors' total — x142's micro-score convention) across 4
+    // pinned phases: share(p) = ((3−p)·nat + p·qual) div 3 — phase 0 IS
+    // the natural mixture, phase 3 IS the quality mixture, integers all
+    // the way so both engines replay it exactly. The anneal-to-quality
+    // curriculum a curation team schedules the tail of training on.
+    // Scale shape: one doc-keyed semi join + per-source aggregation;
+    // everything after is bounded-source arithmetic under a ≤4× explode
+    "x172_curriculum_mixture" -> ((s, d) => {
+      val gop = InternalCaches.register(
+        gopherRepetition(s, d).filter(col("keep") === 1L))
+      val masses = InternalCaches.register(keptMasses(gop))
+      val qs = t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull
+          && col("source").isNotNull)
+        .select(col("doc_id"), col("source"),
+          floor(TextOps.qualityScore(col("text"))
+            * expr("CAST(1000000.0 AS DOUBLE)")).as("qm"))
+        .join(gop.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .groupBy(col("source")).agg(sum(col("qm")).as("q_mass"))
+      val qt = qs.agg(sum(col("q_mass")).as("q_tot"))
+      val nt = masses.agg(sum(col("stream_len")).as("s_tot"))
+      masses.select(col("source"), col("stream_len"))
+        .join(qs, Seq("source"))
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(qt))
+        .select(col("source"),
+          expr("stream_len * CAST(1000000 AS BIGINT) div s_tot")
+            .as("nat_ppm"),
+          expr("q_mass * CAST(1000000 AS BIGINT) div q_tot")
+            .as("qual_ppm"))
+        .withColumn("phase_idx",
+          explode(sequence(lit(0L), lit(3L))))
+        .select(col("phase_idx"), col("source"), col("nat_ppm"),
+          col("qual_ppm"),
+          expr("((3 - phase_idx) * nat_ppm + phase_idx * qual_ppm) div 3")
+            .as("share_ppm"))
+    }),
+
+    // ───── shard checksum manifest — the integrity layer a loader
+    // fleet verifies shards against: every (worker, step) of the x167
+    // lineage signs the exact segments it consumes with an order-free
+    // integer signature — Σ over segments of the 48-bit md5 of
+    // (source:doc:bin:start:end) — so a corrupted, re-packed, or
+    // version-skewed shard fails its manifest row without comparing any
+    // payloads. 48-bit terms keep the per-step sum far under 2⁶³ (a
+    // 512-token bin holds ≤ 512 segments). Shared lineage builder, so
+    // the signed rows ARE x167's rows; one bounded (worker, step)
+    // aggregation on top
+    "x173_shard_checksums" -> ((s, d) => {
+      val gop = InternalCaches.register(
+        gopherRepetition(s, d).filter(col("keep") === 1L))
+      stepLineageFrom(gop, InternalCaches.register(keptMasses(gop)))
+        .withColumn("h",
+          conv(substring(md5(concat(col("source"), lit(":"),
+            col("doc_id"), lit(":"), col("bin_idx"), lit(":"),
+            col("seg_start"), lit(":"), col("seg_end"))), 1, 12), 16, 10)
+            .cast("long"))
+        .groupBy(col("worker"), col("step"))
+        .agg(count(lit(1)).as("n_segs"), sum(col("h")).as("checksum"))
     }),
 
     // ───── mixture-drift monitor: does the shuffled order actually
@@ -1043,6 +1164,57 @@ object TrainingQueries {
             .as("planned_ppm"))
         .withColumn("drift_ppm", col("realized_ppm") - col("planned_ppm"))
     }))
+
+  /** The x167 step-lineage frame over pinned survivor / mass frames —
+    * (worker, step, source, bin_idx, doc_id, seg_start, seg_end);
+    * shared by the x167 catalog entry and x173's checksum manifest so
+    * the segments a step consumes and the segments its checksum signs
+    * are the same rows. See the x167 map entry for the semantics. */
+  private def stepLineageFrom(gop: DataFrame,
+                              masses: DataFrame): DataFrame = {
+    val order = epochOrderFrom(masses)
+    val segs = packFrame(gop
+        .select(col("source"), col("doc_id"), col("n_tokens")))
+      .withColumn("bin_idx", explode(expr("sequence(bin_first, bin_last)")))
+      .select(col("source"), col("bin_idx"), col("doc_id"),
+        greatest(col("stream_pos") - col("bin_idx") * 512L, lit(0L))
+          .as("seg_start"),
+        least(col("stream_pos") + col("n_tokens") + 1L
+          - col("bin_idx") * 512L, lit(512L)).as("seg_end"))
+    order.select(col("worker"), col("step"), col("source"), col("bin_idx"))
+      .join(segs, Seq("source", "bin_idx"))
+      .select(col("worker"), col("step"), col("source"), col("bin_idx"),
+        col("doc_id"), col("seg_start"), col("seg_end"))
+  }
+
+  /** The x170 cross-epoch order frame over pinned survivor / mass
+    * frames — (worker, step, epoch_idx, source, bin_idx, order_key);
+    * shared by the x170 catalog entry and x171's elastic rescale so the
+    * schedule a fleet resumes is the schedule it was consuming. See the
+    * x170 map entry for the semantics. */
+  private def multiEpochOrderFrom(gop: DataFrame,
+                                  masses: DataFrame): DataFrame = {
+    val cons = epochConsumptionFrom(gop, masses)
+      .select(col("source"), col("epoch_idx"), col("bins_consumed"))
+    val plan = graft.ops.Scheduling.lptAssign(
+      masses.select(col("source"), col("n_tokens")),
+      "source", "n_tokens", workers = 8)
+    val bins = cons
+      .join(broadcast(plan.select(col("source"), col("worker"))),
+        Seq("source"))
+      .select(col("source"), col("worker"), col("epoch_idx"),
+        explode(expr("sequence(0, bins_consumed - 1)")).as("bin_idx"))
+      .withColumn("order_key",
+        conv(substring(md5(concat(lit("ep"),
+          (col("epoch_idx") + 1L).cast("string"), lit("_"),
+          col("source"), lit(":"), col("bin_idx"))), 1, 12), 16, 10)
+          .cast("long"))
+    graft.ops.Relational.rankWithinGroups(bins, Seq("worker"),
+        Seq(col("epoch_idx"), col("order_key"), col("source"),
+          col("bin_idx")), "step")
+      .select(col("worker"), col("step"), col("epoch_idx"),
+        col("source"), col("bin_idx"), col("order_key"))
+  }
 
   /** The x168 per-epoch consumption frame over pinned survivor / mass
     * frames — (source, epoch_idx, tokens_consumed, docs_full,
@@ -1759,19 +1931,7 @@ object TrainingQueries {
     // with x159's segment arithmetic, and join the ranked order
     "x167_step_lineage" ->
       s"""WITH RECURSIVE $epochOrderCte,
-         sp AS (SELECT source, doc_id, n_tokens,
-             CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY source
-               ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS stream_pos
-           FROM gop WHERE keep = 1),
-         seg AS (SELECT source, CAST(u.b AS BIGINT) AS bin_idx, doc_id,
-             CAST(greatest(stream_pos - u.b * 512, 0)
-               AS BIGINT) AS seg_start,
-             CAST(least(stream_pos + n_tokens + 1 - u.b * 512, 512)
-               AS BIGINT) AS seg_end
-           FROM sp, unnest(range(stream_pos // 512,
-             (stream_pos + n_tokens) // 512 + 1)) AS u(b))
+         $lineageSegCte
          SELECT r.worker, r.step, r.source, r.bin_idx, s.doc_id,
            s.seg_start, s.seg_end
          FROM ranked r JOIN seg s
@@ -1801,23 +1961,72 @@ object TrainingQueries {
       s"""WITH RECURSIVE $epochOrderCte,
          ${unimaxCteFrom("km")},
          $epochConsumptionCte,
-         mbins AS (SELECT fn.source, rc.worker,
-             fn.epoch_idx, CAST(u.b AS BIGINT) AS bin_idx
-           FROM fin fn JOIN rec rc ON rc.source = fn.source,
-           unnest(range(0, (fn.stream_pos_end + 511) // 512)) u(b)),
-         mh AS (SELECT worker, epoch_idx, source, bin_idx,
-             CAST(('0x' || substr(md5('ep'
-               || CAST(epoch_idx + 1 AS VARCHAR) || '_' || source || ':'
-               || bin_idx), 1, 12)) AS BIGINT) AS order_key
-           FROM mbins),
-         mranked AS (SELECT CAST(worker AS BIGINT) AS worker,
-             CAST(ROW_NUMBER() OVER (PARTITION BY worker
-               ORDER BY epoch_idx, order_key, source, bin_idx) AS BIGINT)
-               AS step,
-             epoch_idx, source, bin_idx, order_key
-           FROM mh)
+         $multiEpochOrderCte
          SELECT worker, step, epoch_idx, source, bin_idx, order_key
          FROM mranked""",
+    // x171: the rescale oracle — the x170 chain through mranked, the
+    // consumed prefix (step ≤ 4 per worker) cut, the remaining bin
+    // counts re-enter the SAME LPT recursion at 12 workers (rmass names
+    // its weight n_tokens for the shared CTE), and the rank replays
+    // over the new placement with the ORIGINAL epoch-seeded keys
+    "x171_elastic_rescale" ->
+      s"""WITH RECURSIVE $epochOrderCte,
+         ${unimaxCteFrom("km")},
+         $epochConsumptionCte,
+         $multiEpochOrderCte,
+         rem2 AS (SELECT epoch_idx, source, bin_idx, order_key
+           FROM mranked WHERE step > 4),
+         rmass AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM rem2 GROUP BY source),
+         ${lptCte("rmass", "o2", "rec2", 12)}
+         SELECT CAST(rc.worker AS BIGINT) AS worker,
+           CAST(ROW_NUMBER() OVER (PARTITION BY rc.worker
+             ORDER BY r.epoch_idx, r.order_key, r.source, r.bin_idx)
+             AS BIGINT) AS step,
+           r.epoch_idx, r.source, r.bin_idx, r.order_key
+         FROM rem2 r JOIN rec2 rc ON rc.source = r.source""",
+    // x172: the curriculum oracle — natural shares from km's stream
+    // masses, quality shares from the survivors' floor(quality·1e6)
+    // micro-scores (x142's convention), linearly annealed over the 4
+    // pinned phases in pure integer arithmetic
+    "x172_curriculum_mixture" ->
+      s"""WITH $gopherCte,
+         $keptMassesCte,
+         qd AS (SELECT g.source,
+             CAST(floor(($qualitySql) * CAST(1000000.0 AS DOUBLE))
+               AS BIGINT) AS qm
+           FROM documents JOIN gop g ON g.doc_id = documents.doc_id
+           WHERE g.keep = 1),
+         qs AS (SELECT source, CAST(SUM(qm) AS BIGINT) AS q_mass
+           FROM qd GROUP BY source),
+         qt AS (SELECT CAST(SUM(q_mass) AS BIGINT) AS q_tot FROM qs),
+         nt AS (SELECT CAST(SUM(stream_len) AS BIGINT) AS s_tot FROM km),
+         cb AS (SELECT km.source,
+             CAST(km.stream_len * 1000000 // nt.s_tot AS BIGINT)
+               AS nat_ppm,
+             CAST(qs.q_mass * 1000000 // qt.q_tot AS BIGINT) AS qual_ppm
+           FROM km JOIN qs ON qs.source = km.source
+           CROSS JOIN nt CROSS JOIN qt)
+         SELECT CAST(u.p AS BIGINT) AS phase_idx, source, nat_ppm,
+           qual_ppm,
+           CAST(((3 - u.p) * nat_ppm + u.p * qual_ppm) // 3 AS BIGINT)
+             AS share_ppm
+         FROM cb, unnest(range(0, 4)) u(p)""",
+    // x173: the checksum oracle — x167's lineage rows signed with the
+    // 48-bit md5 of (source:doc:bin:start:end), summed per (worker,
+    // step); '0x' prefix-cast = Spark's conv(..., 16, 10)
+    "x173_shard_checksums" ->
+      s"""WITH RECURSIVE $epochOrderCte,
+         $lineageSegCte,
+         lin AS (SELECT r.worker, r.step, r.source, r.bin_idx,
+             s.doc_id, s.seg_start, s.seg_end
+           FROM ranked r JOIN seg s
+             ON s.source = r.source AND s.bin_idx = r.bin_idx)
+         SELECT worker, step, CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CAST(('0x' || substr(md5(source || ':' || doc_id
+             || ':' || bin_idx || ':' || seg_start || ':' || seg_end),
+             1, 12)) AS BIGINT)) AS BIGINT) AS checksum
+         FROM lin GROUP BY worker, step""",
     // x169: the ranked chain joined to the survivors' segment tokens,
     // grouped into (step-1)//4 fleet windows; planned share = the
     // source's stream_len over the epoch total

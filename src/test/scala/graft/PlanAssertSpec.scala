@@ -189,6 +189,11 @@ class PlanAssertSpec extends SparkSpec {
     // partitioned BY window, never single. x170: x168's composition —
     // the same bounded-source UniMax windows; the cross-epoch rank
     // itself is two-level (__pid-keyed, pinned in the x165 test below).
+    // x171: x170's chain again (the rescale adds only the driver-side
+    // LPT over the bounded remaining-mass aggregate). x172: the two
+    // mixture-total scalars (Σstream_len, Σq_mass — one pre-aggregated
+    // row per partition, broadcast back into the bounded source
+    // dimension), q23/x79's class.
     val singlePartitionOk =
       Set("q15_id_allocation", "q23_scalar_minmax", "q30_watermark_incremental",
         "x54_bigram_familiarity", "x56_bottomk_sample", "x57_temperature_mixture",
@@ -203,7 +208,8 @@ class PlanAssertSpec extends SparkSpec {
         "x148_freshness_audit", "x157_unimax_budget",
         "x160_quality_auc", "x161_quality_pr_sweep",
         "x164_loader_manifest", "x168_epoch_consumption",
-        "x169_mixture_drift", "x170_multiepoch_order")
+        "x169_mixture_drift", "x170_multiepoch_order",
+        "x171_elastic_rescale", "x172_curriculum_mixture")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

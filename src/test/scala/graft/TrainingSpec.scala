@@ -557,6 +557,92 @@ class TrainingSpec extends SparkSpec {
       "epoch-boundary resume did not reproduce the suffix")
   }
 
+  test("x171 elastic rescale: conserves the x170 suffix exactly; order survives the fleet resize") {
+    val sf = "/root/testdata/sf0.001"
+    val full = graft.queries.TrainingQueries.defs("x170_multiepoch_order")(
+      spark, sf)
+      .select($"worker", $"step", $"epoch_idx", $"source", $"bin_idx",
+        $"order_key")
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    def run(): Seq[(Long, Long, Long, String, Long, Long)] =
+      graft.queries.TrainingQueries.defs("x171_elastic_rescale")(spark, sf)
+        .select($"worker", $"step", $"epoch_idx", $"source", $"bin_idx",
+          $"order_key")
+        .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    val res = run()
+    assert(res.nonEmpty)
+    // CONSERVATION: the rescaled rows are EXACTLY x170's post-checkpoint
+    // suffix — same (epoch, source, bin, key) multiset, nothing lost or
+    // re-consumed when the fleet resizes
+    val want = full.filter(_._2 > 4L).map(r => (r._3, r._4, r._5, r._6))
+    assert(res.map(r => (r._3, r._4, r._5, r._6)).sorted == want.sorted,
+      "rescale does not conserve the x170 suffix")
+    // new fleet: workers 0..11 only, steps contiguous per worker, and
+    // the within-worker order is still the seeded (epoch, hash) order
+    assert(res.map(_._1).forall(w => w >= 0L && w < 12L))
+    res.groupBy(_._1).foreach { case (w, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size).toSeq,
+        s"worker $w steps not contiguous after rescale")
+      val key = rows.sortBy(_._2).map(r => (r._3, r._6, r._4, r._5))
+      assert(key == key.sorted, s"worker $w lost the seeded order")
+    }
+    // a source lives on ONE new worker (placement is per-source)
+    assert(res.groupBy(_._4).forall(_._2.map(_._1).distinct.size == 1))
+    // pure function: an independent recomputation is identical
+    assert(run().sortBy(r => (r._1, r._2)) == res.sortBy(r => (r._1, r._2)),
+      "rescale is not replayable")
+  }
+
+  test("x172 curriculum mixture: phase 0 is the natural mixture, phase 3 the quality mixture; anneal is linear") {
+    val sf = "/root/testdata/sf0.001"
+    val cur = graft.queries.TrainingQueries.defs("x172_curriculum_mixture")(
+      spark, sf)
+      .select($"phase_idx", $"source", $"nat_ppm", $"qual_ppm", $"share_ppm")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(cur.nonEmpty)
+    assert(cur.map(_._1).distinct.sorted == Seq(0L, 1L, 2L, 3L))
+    cur.foreach { case (p, src, nat, qual, share) =>
+      assert(share == ((3 - p) * nat + p * qual) / 3,
+        s"phase $p $src share is not the linear anneal")
+      if (p == 0L) assert(share == nat, s"$src phase 0 is not natural")
+      if (p == 3L) assert(share == qual, s"$src phase 3 is not quality")
+    }
+    // each phase's floor shares sum to ≤ 1e6 with bounded slack
+    cur.groupBy(_._1).foreach { case (p, rows) =>
+      val s = rows.map(_._5).sum
+      assert(s <= 1000000L && s > 1000000L - 3 * rows.size,
+        s"phase $p shares do not floor-sum toward 1e6 ($s)")
+    }
+    // the mixtures genuinely differ on this corpus (the anneal moves)
+    assert(cur.exists(r => r._3 != r._4), "natural == quality everywhere")
+  }
+
+  test("x173 shard checksums: every x167 step signed, replayable, segment counts conserved") {
+    val sf = "/root/testdata/sf0.001"
+    def run(): Seq[(Long, Long, Long, Long)] =
+      graft.queries.TrainingQueries.defs("x173_shard_checksums")(spark, sf)
+        .select($"worker", $"step", $"n_segs", $"checksum")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val cs = run()
+    assert(cs.nonEmpty)
+    val lin = graft.queries.TrainingQueries.defs("x167_step_lineage")(
+      spark, sf).select($"worker", $"step")
+      .as[(Long, Long)].collect().toSeq
+    // one manifest row per lineage step; n_segs counts its segments
+    val wantCounts = lin.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(cs.map(r => (r._1, r._2)).toSet == wantCounts.keySet)
+    cs.foreach { case (w, st, n, _) =>
+      assert(n == wantCounts((w, st)), s"($w,$st) n_segs drifted")
+    }
+    // signatures are 48-bit sums: positive, bounded by n_segs·2^48
+    cs.foreach { case (w, st, n, sum) =>
+      assert(sum >= 0L && sum <= n * (1L << 48),
+        s"($w,$st) checksum outside the 48-bit sum range")
+    }
+    // replayable: an independent recomputation signs identically
+    assert(run().sorted == cs.sorted, "checksums are not replayable")
+  }
+
   test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
     val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
       spark, "/root/testdata/sf0.001")
