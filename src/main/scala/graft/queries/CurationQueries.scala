@@ -518,10 +518,19 @@ object CurationQueries {
       val pairs = adjacentPairRows(docs).cacheRegistered
       val cnt = pairs.groupBy(col("pr")).agg(count(lit(1)).as("n"))
       val supported = pairs.join(cnt, Seq("pr"))
+      // the global mean DERIVES from the per-doc aggregate (gsum = Σ
+      // support, gcnt = Σ n_bigrams), so aggregate the pair join ONCE
+      // and materialize it eagerly before the plan fans out into the
+      // broadcast subquery + the main join — concurrent first readers
+      // would otherwise re-run the whole chain per consumer (the x144
+      // AQE-cache race, SCALE.md r12). perDoc is doc-sized, not
+      // pair-sized, so the pinned cache is the small frame
       val perDoc = supported.groupBy(col("doc_id"))
         .agg(sum(col("n")).as("support"), count(lit(1)).as("n_bigrams"))
-      val global = supported.agg(sum(col("n")).as("gsum"),
-        count(lit(1)).as("gcnt"))
+        .cacheRegistered
+      perDoc.count(): Unit
+      val global = perDoc.agg(sum(col("support")).as("gsum"),
+        sum(col("n_bigrams")).as("gcnt"))
       docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
         .crossJoin(broadcast(global))
         .select(col("doc_id"),
