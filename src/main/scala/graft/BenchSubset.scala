@@ -98,7 +98,7 @@ object BenchSubset {
           waitBusEmpty(spark)
           val (j1, s1, k1) = c.snapshot()
           println(f"$n%-28s census: ${j1 - j0}%3d jobs ${s1 - s0}%4d stages ${k1 - k0}%6d tasks")
-          c.drainDurations().sortBy(-_._1).take(6).foreach { case (s, d) =>
+          c.drainDurations().sortBy(-_._1).take(40).foreach { case (s, d) =>
             println(f"    $s%6.2fs  $d")
           }
         case _ => ()

@@ -13,6 +13,23 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object Relational {
 
+  /** Broadcast hint gated on the optimizer's size estimate: hint only
+    * when the estimated build side fits the session's
+    * autoBroadcastJoinThreshold, otherwise hand the join back to the
+    * planner (shuffle join at scale). Exists because (a) an UNGATED hint
+    * bypasses the threshold and grows O(build) into every executor —
+    * broadcast OOM at 100 TB (r12 advice on x106), and (b) frames that
+    * ride a cache's partitioning reach the join without a materialized
+    * exchange, so AQE has no runtime stats to convert a small SMJ side
+    * itself. */
+  def gatedBroadcast(df: DataFrame): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr))
+      broadcast(df)
+    else df
+  }
+
   /** Schema conformance (SURVEY §2.3 P7; reference
     * `helpers/transform_helpers.py:5-39` `sync_with_remote`): the target
     * schema is the authority. Missing columns are added as typed nulls,

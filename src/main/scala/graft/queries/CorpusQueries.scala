@@ -1419,12 +1419,25 @@ object CorpusQueries {
       // probe, so the rebalance of the narrow (brand, key, name)
       // projection is free parallelism for the n²-per-block CPU — the
       // winnowAnchors pattern applied to a join probe
+      // r12 advice: the explicit broadcast() hint bypasses
+      // autoBroadcastJoinThreshold, so an oversized build side would grow
+      // O(|part|) into every executor (broadcast OOM/timeout) — gate the
+      // hint on the optimizer's size estimate and let the planner pick a
+      // shuffle join when the projection outgrows the threshold. That
+      // fallback is also roughly where the ≳10⁵ rows/brand n² crossover
+      // (above) demands the Skew guard anyway.
       val parts = s.sparkContext.defaultParallelism
       val a = p.select(col("p_brand"), col("p_partkey").as("id_a"),
         col("p_name").as("name_a")).repartition(parts)
       val b = p.select(col("p_brand"), col("p_partkey").as("id_b"),
         col("p_name").as("name_b"))
-      a.join(broadcast(b), Seq("p_brand"))
+      val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
+      val bSized =
+        if (bcThreshold > 0
+            && b.queryExecution.optimizedPlan.stats.sizeInBytes
+                 <= BigInt(bcThreshold)) broadcast(b)
+        else b
+      a.join(bSized, Seq("p_brand"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("jw",
           call_function("graft_jaro_winkler", col("name_a"), col("name_b")))

@@ -879,19 +879,29 @@ object CurationQueries {
           .filter(col("doc_id").isNotNull && col("text").isNotNull
             && col("lang").isNotNull),
         "doc_id", "text", "lang", trainPred = col("doc_id") >= 20)
-      // n_actual as a WINDOW over the lang² confusion rows instead of a
-      // groupBy+self-join: the NB likelihood-train+score chain above cm
-      // is the expensive subtree, and with a single linear consumer it
-      // executes exactly once with nothing pinned — r7/r8 bench showed
-      // the join form re-running the chain at ~1.8× x131's cost (the
-      // open r7 directive #3; the window closes it without a cache).
-      val byActual = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("actual"))
-      pred.groupBy(col("actual"), col("pred_lang"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("n_actual", sum(col("n")).over(byActual))
-        .withColumn("share_ppm",
-          expr("(n * CAST(1000000 AS BIGINT)) div n_actual"))
+      // the distributed work ends at the lang² confusion counts — a
+      // MODEL-SIZED frame (bounded collect, require-guarded). The row
+      // totals and integer shares fold at the driver: the r12 shape ran
+      // the window + share projection as two more AQE exchanges over a
+      // ≤|langs|² frame, pure scheduling floor (r12 directive #1 census)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val cm = pred.groupBy(col("actual"), col("pred_lang"))
+        .agg(count(lit(1)).as("n")).collect()
+      require(cm.length <= 4096,
+        s"confusion matrix is model-sized by contract: got ${cm.length} cells")
+      val nActual = cm.groupBy(_.get(0)).view
+        .mapValues(_.map(_.getLong(2)).sum).toMap
+      val rows = cm.toSeq.map { r =>
+        val na = nActual(r.get(0))
+        Row(r.get(0), r.get(1), r.getLong(2), na, r.getLong(2) * 1000000L / na)
+      }
+      val dt = pred.schema("actual").dataType
+      s.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("actual", dt), StructField("pred_lang", dt),
+        StructField("n", LongType), StructField("n_actual", LongType),
+        StructField("share_ppm", LongType))))
     }),
 
     // ───── model agreement: Cohen's kappa between the RULE-BASED lang-id
@@ -905,48 +915,58 @@ object CurationQueries {
         .filter(col("doc_id").isNotNull && col("text").isNotNull
           && col("lang").isNotNull)
       val rule = TextOps.langIdDF(docs, "doc_id", "text")
-      val nb = TextOps.nbLangId(docs, "doc_id", "text", "lang",
-          trainPred = col("doc_id") >= 20)
-        .select(col("doc_id"), col("pred_lang").as("nb_pred"))
-      // every marginal the kappa needs derives from the lang² confusion
-      // matrix, and the matrix folds to the scalar row in ONE LINEAR
-      // plan: each cm cell contributes its count to the rule marginal of
-      // lang_pred and the NB marginal of nb_pred (a two-row role
-      // explode), a per-label groupBy rebuilds (r_l, b_l, agree_l), and
-      // the final agg emits n_docs = Σr_l, n_agree = Σagree_l,
-      // pe_num = Σ r_l·b_l. r11's shape instead cached the per-doc join
-      // and fanned out three consumers (counts + rl⋈bl under a broadcast
-      // crossJoin) — the concurrent broadcast-subquery jobs raced the
-      // cache materialization and AQE re-planned the expensive classifier
-      // chain per consumer (r11 directive: 42-job census; the fan-out
-      // cache variant measured 9.7 s vs 4.9 s same-session). A label in
-      // only one marginal contributes r·0 or 0·b = 0, matching the old
-      // inner rl⋈bl join
-      val cm = rule.join(nb, Seq("doc_id"))
-        .groupBy(col("lang_pred"), col("nb_pred"))
-        .agg(count(lit(1)).as("n"))
-      val perLabel = cm.select(explode(array(
-          struct(col("lang_pred").as("l"), col("n").as("r"),
-            lit(0L).as("b"),
-            when(col("lang_pred") === col("nb_pred"), col("n"))
-              .otherwise(0L).as("ag")),
-          struct(col("nb_pred").as("l"), lit(0L).as("r"),
-            col("n").as("b"), lit(0L).as("ag")))).as("e"))
-        .groupBy(col("e.l"))
-        .agg(sum(col("e.r")).as("r"), sum(col("e.b")).as("b"),
-          sum(col("e.ag")).as("agree_l"))
-      perLabel.agg(sum(col("r")).as("n_docs"),
-          sum(col("agree_l")).as("n_agree"),
-          sum(col("r") * col("b")).as("pe_num"))
-        .withColumn("pe_num", coalesce(col("pe_num"), lit(0L)))
-        .select(col("n_docs"), col("n_agree"),
-          expr("(n_agree * CAST(1000000 AS BIGINT)) div n_docs")
-            .as("agree_ppm"),
-          col("pe_num"),
-          expr("""CASE WHEN n_docs * n_docs = pe_num THEN NULL
-             ELSE CAST(n_docs * n_agree - pe_num AS DOUBLE)
-                / CAST(n_docs * n_docs - pe_num AS DOUBLE) END""")
-            .as("kappa"))
+      // the SPARSE NB core: rule's surface already carries the full doc
+      // universe, so the NB side attaches as one broadcast-gated
+      // left-join + coalesce(default) instead of paying nbLangId's own
+      // docs attach-back join — both classifier probes fuse into a
+      // single final stage over the shared pinned token frame
+      val (nbBest, nbDefault) = TextOps.nbLangIdSparse(
+        docs, "doc_id", "text", "lang", trainPred = col("doc_id") >= 20)
+      val nb = nbBest.select(col("doc_id"), col("pred_lang").as("nb_pred"))
+      // the distributed work ends at the lang² confusion counts; every
+      // marginal the kappa needs (r_l, b_l, agree, N, pe = Σ r_l·b_l)
+      // folds from that MODEL-SIZED frame at the driver in exact integer
+      // arithmetic — the only double is the final kappa division, IEEE-
+      // identical in both engines. The r12 shape ran the fold as a role-
+      // explode + two more aggs: three extra AQE exchanges over ≤lang²
+      // rows, pure scheduling floor (r12 directive #1 census). Zero-row
+      // corpus keeps the one-row global-agg convention: n_docs = 0,
+      // agree_ppm = NULL (0 div 0), kappa = NULL (0 = pe)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val joined = nbDefault match {
+        case Some((p, _)) => rule
+          .join(graft.ops.Relational.gatedBroadcast(nb), Seq("doc_id"), "left")
+          .select(col("lang_pred"),
+            coalesce(col("nb_pred"), lit(p)).as("nb_pred"))
+        // no trained labels: nb's surface is empty, inner-join convention
+        case None => rule.join(nb, Seq("doc_id"))
+          .select(col("lang_pred"), col("nb_pred"))
+      }
+      val cm = joined.groupBy(col("lang_pred"), col("nb_pred"))
+        .agg(count(lit(1)).as("n")).collect()
+      require(cm.length <= 4096,
+        s"confusion matrix is model-sized by contract: got ${cm.length} cells")
+      val rl = cm.groupBy(_.get(0)).view.mapValues(_.map(_.getLong(2)).sum)
+      val bl = cm.groupBy(_.get(1)).view.mapValues(_.map(_.getLong(2)).sum)
+      val nDocs = cm.map(_.getLong(2)).sum
+      val nAgree = cm.filter(r => r.get(0) == r.get(1)).map(_.getLong(2)).sum
+      val pe = rl.keys.map(l => rl(l) * bl.getOrElse(l, 0L)).sum
+      val agreePpm: java.lang.Long =
+        if (nDocs == 0L) null else java.lang.Long.valueOf(nAgree * 1000000L / nDocs)
+      val kappa: java.lang.Double =
+        if (nDocs * nDocs == pe) null
+        else java.lang.Double.valueOf(
+          (nDocs * nAgree - pe).toDouble / (nDocs * nDocs - pe).toDouble)
+      s.createDataFrame(
+        Seq(Row(nDocs, nAgree, agreePpm, pe, kappa)).asJava,
+        StructType(Seq(
+          StructField("n_docs", LongType),
+          StructField("n_agree", LongType),
+          StructField("agree_ppm", LongType),
+          StructField("pe_num", LongType),
+          StructField("kappa", DoubleType))))
     }),
 
     // ───── per-source adaptive quality floor (CCNet-style per-domain

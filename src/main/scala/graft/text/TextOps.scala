@@ -72,6 +72,16 @@ object TextOps {
       (col(idCol) +: extraCols.map(col)) :+
         posexplode(tokens(col(textCol))).as(Seq("pos", "tok")): _*)
 
+  /** The canonical REGISTRY-PINNED token frame: non-empty token rows,
+    * hash(idCol)-partitioned. One exchange that every per-doc grouping
+    * key downstream ((id), (id,tok), (id,cand)) rides exchange-free, and
+    * one canonical plan so two classifiers over the same doc set share a
+    * single cache entry (nbLangId + langIdDF in x144). */
+  def pinnedTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.InternalCaches.register(
+      tokenRows(docs, idCol, textCol).filter(col("tok") =!= "")
+        .repartition(col(idCol)))
+
   /** Distinct word-k-shingles as rows: (idCol, …extraCols, g).
     * Same strings as [[shingles]] (lead-composed, nulls skipped by
     * concat_ws = the short-document tail rule), built with one window pass
@@ -145,7 +155,14 @@ object TextOps {
     * copies). Output: (idCol, lang_pred). */
   def langIdDF(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val langs = stopwords.keys.toSeq.sorted
-    val tr = tokenRows(docs, idCol, textCol)
+    // the CANONICAL pinned token frame — the same plan nbLangId pins, so
+    // a query running both classifiers over one doc set (x144) tokenizes
+    // once and both groupBys ride the one hash(id) exchange (cache
+    // lookup is by canonicalized plan, so the second register() reuses
+    // the first's InMemoryRelation). Dropping empty tokens is score-
+    // neutral here: "" is never a stopword, and zero-token docs return
+    // via the left join as 'und' either way
+    val tr = pinnedTokens(docs, idCol, textCol)
     val scores = langs.map(l =>
       count(when(col("tok").isInCollection(stopwords(l)), 1)).as(s"s_$l"))
     val grouped = tr.groupBy(col(idCol)).agg(scores.head, scores.tail: _*)
@@ -156,7 +173,7 @@ object TextOps {
     val pick = langs.foldRight(lit(langs.last)) { (l, rest) =>
       when(coalesce(col(s"s_$l"), lit(0L)) === m, lit(l)).otherwise(rest)
     }
-    docs.select(col(idCol)).join(grouped, Seq(idCol), "left")
+    docs.select(col(idCol)).join(graft.ops.Relational.gatedBroadcast(grouped), Seq(idCol), "left")
       .select(col(idCol),
         when(m === 0, lit("und")).otherwise(pick).as("lang_pred"))
   }
@@ -365,56 +382,167 @@ object TextOps {
     * Output: (idCol, actual, pred_lang, score_micro, correct). */
   def nbLangId(docs: DataFrame, idCol: String, textCol: String,
                labelCol: String, trainPred: Column): DataFrame = {
-    val tr = graft.ops.InternalCaches.register(
-      tokenRows(docs, idCol, textCol).filter(col("tok") =!= ""))
+    val (best, bestDefault) =
+      nbLangIdSparse(docs, idCol, textCol, labelCol, trainPred)
+    val out = docs.select(col(idCol), col(labelCol))
+      .join(graft.ops.Relational.gatedBroadcast(best), Seq(idCol), "left")
+    val filled = bestDefault match {
+      case Some((p, sc)) => out.select(col(idCol),
+        col(labelCol).as("actual"),
+        coalesce(col("pred_lang"), lit(p)).as("pred_lang"),
+        coalesce(col("score_micro"), lit(sc)).as("score_micro"))
+      // no trained labels at all: the old docs × labels cross join was
+      // empty, so the operator's contract is an empty result
+      case None => out.filter(lit(false))
+        .select(col(idCol), col(labelCol).as("actual"),
+          col("pred_lang"), col("score_micro"))
+    }
+    filled.withColumn("correct", col("pred_lang") === col("actual"))
+  }
+
+  /** The SPARSE core of [[nbLangId]]: predictions for token-bearing docs
+    * only, plus the constant a zero-token doc would get. Composed
+    * pipelines that already carry a full-doc-universe frame (x144 joins
+    * against the rule classifier's surface) attach these with one
+    * left-join + coalesce instead of paying nbLangId's own docs
+    * attach-back join.
+    *
+    * Returns (best, default): `best` = (idCol, pred_lang, score_micro)
+    * for every doc with ≥1 token; `default` = Some((pred, score)) — the
+    * argmax over bare priors (max prior, tie to smallest label — the
+    * same order Spark's min-struct gives) — or None when no label
+    * trained. */
+  def nbLangIdSparse(docs: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, trainPred: Column)
+      : (DataFrame, Option[(Any, Long)]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    // token rows pinned hash(id)-partitioned: id ⊆ every downstream
+    // grouping key ((id,tok), (id,cand), (id)), so hash(id) satisfies all
+    // their clustered-distribution requirements and the ENTIRE score
+    // chain below runs on this ONE exchange — dtc, the per-(doc,cand)
+    // sum, and the argmax are exchange-free map-side stages (r12
+    // directive #1: one linear plan)
+    val tr = pinnedTokens(docs, idCol, textCol)
     val trTok = tr.filter(trainPred)
       .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
-    val cwl = trTok.groupBy(col(labelCol), col("tok"))
-      .agg(count(lit(1)).as("c_wl"))
-    // model-sized stats registry-cached: cl and vocabN sit under SEVERAL
-    // broadcast sites (labels ×2, lw), and every broadcast job otherwise
-    // re-runs its full groupBy pass over the training tokens — the x131
-    // job census read 41 jobs for one query before these pins
-    val cl = graft.ops.InternalCaches.register(
-      trTok.groupBy(col(labelCol)).agg(count(lit(1)).as("c_l")))
-    val vocabN = broadcast(graft.ops.InternalCaches.register(
-      trTok.agg(countDistinct(col("tok")).as("v_n"))))
+    // the ONE model frame the train side builds: per-(label, tok)
+    // occurrence counts, registry-cached. Every other training statistic
+    // — per-label token totals c_l, the distinct-vocab size v_n — FOLDS
+    // from this frame with cheap scans of the cache, so the expensive
+    // tokenize+join+groupBy chain over the corpus executes exactly once
+    // (r12 directive #1: the old shape pinned cl/vocabN/labels as three
+    // more registry caches under FIVE broadcast sites, and each broadcast
+    // job re-planned its subtree — 29-job census for x131 alone)
+    val cwl = graft.ops.InternalCaches.register(
+      trTok.groupBy(col(labelCol), col("tok")).agg(count(lit(1)).as("c_wl")))
+    // model-sized scalars collected to the driver, SEQUENTIALLY — the
+    // first collect materializes the cwl (and transitively tr) cache, so
+    // no later broadcast can race an unpopulated pin (the x144/x171
+    // lesson). Label dimension is bounded; these are bounded collects.
+    // ONE action collects every training statistic: a cube over the
+    // cached cwl folds the per-label token totals (g=0 rows) AND the
+    // global distinct-vocab size (the g=1 rollup row), unioned with the
+    // per-label training DOC counts (g=2 rows, from the docs frame — a
+    // zero-token training doc still moves the prior). One collect, one
+    // job, instead of a groupBy collect + a distinct count + a doc-count
+    // collect
+    val statCollect = cwl.cube(col(labelCol))
+      .agg(sum(col("c_wl")).as("v"), countDistinct(col("tok")).as("vd"),
+        grouping(col(labelCol)).cast("int").as("g"))
+      .select(col(labelCol).as("l"), col("v"), col("vd"), col("g"))
+      .unionByName(docs.filter(trainPred).groupBy(col(labelCol))
+        .agg(count(lit(1)).as("v"))
+        .select(col(labelCol).as("l"), col("v"), lit(0L).as("vd"),
+          lit(2).as("g")))
+      .collect()
+    val clRows = statCollect.filter(_.getInt(3) == 0)
+    val vN = statCollect.find(_.getInt(3) == 1).map(_.getLong(2)).getOrElse(0L)
+    val docRows = statCollect.filter(_.getInt(3) == 2)
+    val nTot = docRows.map(_.getLong(1)).sum
+    // driver-assembled label-stats LOCAL relation: downstream broadcasts
+    // are LocalTableScans, never jobs. Only labels with ≥1 training token
+    // participate (the inner join with cl, preserved as a map lookup).
+    // prior_m/def_m stay CATALYST expressions over the local rows — the
+    // floor(ln(·)·1e6) micro-unit floor must replay bit-for-bit in the
+    // oracle, so the ln evaluation engine cannot change (x120 discipline)
+    // null labels excluded on both sides — the old shape's inner equi-join
+    // on labelCol never matched SQL nulls, and a Scala Map would
+    val clMap = clRows.filter(!_.isNullAt(0)).map(r => r.get(0) -> r.getLong(1)).toMap
+    val statRows: Seq[Row] = docRows.toSeq.filter(!_.isNullAt(0)).flatMap { r =>
+      clMap.get(r.get(0)).map(cl => Row(r.get(0), cl, r.getLong(1), nTot, vN))
+    }
+    val stats = docs.sparkSession.createDataFrame(
+      statRows.asJava,
+      StructType(Seq(
+        StructField("cand", docs.schema(labelCol).dataType),
+        StructField("c_l", LongType), StructField("n_docs", LongType),
+        StructField("n_tot", LongType), StructField("v_n", LongType))))
     val micro = (e: String) =>
       s"CAST(floor(ln($e) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
-    // label priors/defaults cached as well: broadcast at two sites
-    // (contrib's def_m, scored's prior_m), each otherwise re-scanning
-    // documents for the per-label counts
-    val labels = graft.ops.InternalCaches.register(
-      docs.filter(trainPred).groupBy(col(labelCol))
-        .agg(count(lit(1)).as("n_docs"))
-        .crossJoin(broadcast(docs.filter(trainPred).agg(count(lit(1)).as("n_tot"))))
-        .join(cl, Seq(labelCol)).crossJoin(vocabN)
-        .select(col(labelCol).as("cand"),
-          expr(micro("CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)"))
-            .as("prior_m"),
-          expr(micro("CAST(1.0 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE)"))
-            .as("def_m")))
-    val lw = cwl.join(cl, Seq(labelCol)).crossJoin(vocabN)
-      .select(col(labelCol).as("cand"), col("tok"),
+    val labels = stats.select(col("cand"),
+      expr(micro("CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)"))
+        .as("prior_m"),
+      expr(micro("CAST(1.0 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE)"))
+        .as("def_m"))
+    // lw is the trained MODEL (vocab × labels) — broadcast it when the
+    // optimizer's estimate fits the threshold so the token join puts no
+    // exchange on the hash(id)-partitioned probe. A web-scale vocab can
+    // outgrow the broadcast bound; the ungated fallback is the planner's
+    // shuffle join — correct, at the cost of re-partitioning the chain
+    // (the x106 gate pattern)
+    val lwRaw = cwl.withColumnRenamed(labelCol, "cand")
+      .join(broadcast(stats.select(col("cand"), col("c_l"), col("v_n"))),
+        Seq("cand"))
+      .select(col("cand"), col("tok"),
         expr(micro("CAST(c_wl + 1 AS DOUBLE) / CAST(c_l + v_n AS DOUBLE)"))
           .as("lw_m"))
+    val bcThreshold =
+      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val lw =
+      if (bcThreshold > 0 && lwRaw.queryExecution.optimizedPlan.stats
+            .sizeInBytes <= BigInt(bcThreshold)) broadcast(lwRaw)
+      else lwRaw
+    // the whole score chain rides tr's hash(id) partitioning: per-(doc,
+    // tok) counts, the ×|labels| grid, the per-(doc,cand) sum (prior
+    // folded into the agg — constant within the group), and the argmax
+    // are ONE exchange-free span over the cached tokens
     val dtc = tr.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n_w"))
     val contrib = dtc
-      .crossJoin(broadcast(labels.select(col("cand"), col("def_m"))))
+      .crossJoin(broadcast(labels))
       .join(lw, Seq("cand", "tok"), "left")
       .groupBy(col(idCol), col("cand"))
-      .agg(sum(col("n_w") * coalesce(col("lw_m"), col("def_m"))).as("tok_m"))
-    val scored = docs.select(col(idCol), col(labelCol))
-      .crossJoin(broadcast(labels.select(col("cand"), col("prior_m"))))
-      .join(contrib, Seq(idCol, "cand"), "left")
-      .select(col(idCol), col(labelCol), col("cand"),
-        (col("prior_m") + coalesce(col("tok_m"), lit(0L))).as("score_micro"))
-    scored.groupBy(col(idCol), col(labelCol))
+      .agg((min(col("prior_m"))
+        + sum(col("n_w") * coalesce(col("lw_m"), col("def_m"))))
+        .as("score_micro"))
+    val best = contrib.groupBy(col(idCol))
       .agg(min(struct((-col("score_micro")).as("ns"), col("cand").as("c")))
         .as("m"))
-      .select(col(idCol), col(labelCol).as("actual"),
-        col("m.c").as("pred_lang"), (-col("m.ns")).as("score_micro"))
-      .withColumn("correct", col("pred_lang") === col("actual"))
+      .select(col(idCol), col("m.c").as("pred_lang"),
+        (-col("m.ns")).as("score_micro"))
+    // zero-token docs never reach contrib; their score over every cand is
+    // the bare prior, so their argmax is a CONSTANT — max prior, tie to
+    // the smallest cand. Computed at the driver from statRows with the
+    // prior_m values read back off the labels local frame (same Catalyst
+    // ln floor — LocalRelation projection folds driver-side, no job);
+    // strings compare as UTF-8 bytes = Spark's UTF8String struct-min order
+    val labelRows = labels.collect()
+    def candLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+        val n = math.min(xb.length, yb.length)
+        var i = 0
+        while (i < n && xb(i) == yb(i)) i += 1
+        if (i < n) (xb(i) & 0xff) < (yb(i) & 0xff) else xb.length < yb.length
+      case (x: Number, y: Number) => x.doubleValue < y.doubleValue
+      case _ => a.toString < b.toString
+    }
+    val bestDefault = labelRows.sortWith { (a, b) =>
+      if (a.getLong(1) != b.getLong(1)) a.getLong(1) > b.getLong(1)
+      else candLt(a.get(0), b.get(0))
+    }.headOption.map(r => (r.get(0), r.getLong(1)))
+    (best, bestDefault)
   }
 
   /** Iterated BPE training at word granularity (Sennrich '16 §3.2's loop,

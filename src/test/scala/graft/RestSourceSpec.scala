@@ -82,7 +82,7 @@ class RestSourceSpec extends SparkSpec {
       val got = spark.read.parquet(target).select("id", "v")
         .as[(String, String)].collect().toSet
       assert(got == Set(("s1", "a"), ("s2", "b2"), ("s3", "c")))
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("maxTsAdvancePerBatch bounds each micro-batch's window") {
@@ -103,7 +103,7 @@ class RestSourceSpec extends SparkSpec {
       // 9 ts units / ≤3 per window ⇒ at least 3 non-empty micro-batches
       val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
       assert(nonEmpty >= 3, s"expected ≥3 bounded batches, saw $nonEmpty")
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("checkpoint restart resumes the cursor — no re-delivery of committed pages") {
@@ -119,12 +119,12 @@ class RestSourceSpec extends SparkSpec {
           .collect().toSeq)
       }.outputMode("append").start()
     val q1 = start()
-    try q1.processAllAvailable() finally q1.stop()
+    try q1.processAllAvailable() finally stopQuietly(q1)
     // records arrive while the stream is DOWN; restart must deliver only
     // these, never re-page the committed window
     writeJsonl(dir, "b.jsonl", Seq(("r3", 5L, "c")))
     val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
+    try q2.processAllAvailable() finally stopQuietly(q2)
     val seen = RowLog.all()
     assert(seen.sorted == Seq("r1", "r2", "r3"),
       s"duplicate or missing delivery: $seen")

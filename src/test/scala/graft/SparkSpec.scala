@@ -22,6 +22,44 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterEach {
     super.afterEach()
   }
 
+  /** Stop a streaming test query without shutdown noise (shared by every
+    * streaming suite — r12 verdict #1: RestSourceSpec's bare q.stop()
+    * was the one remaining suite whose stop window sat outside this
+    * discipline and aborted a mid-batch DSv2 write commit at teardown).
+    * stop() interrupts the stream-execution thread; landing mid-batch
+    * cancels the write inside its sink/state-store commit — benign
+    * (committed batches stay exactly-once) but it logs
+    * DataWritingSparkTask abort-path ERROR lines in a green suite. Wait
+    * for a batch boundary when one arrives within the deadline, silence
+    * the abort-path loggers for exactly the stop window, and drain the
+    * listener bus so executor-thread abort logging finishes before
+    * levels are restored. */
+  def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val deadline = System.currentTimeMillis + 5000
+    while (q.status.isTriggerActive && System.currentTimeMillis < deadline)
+      Thread.sleep(20)
+    quietLoggers(Seq(
+      "org.apache.spark.sql.execution.streaming",
+      "org.apache.spark.sql.execution.datasources.v2",
+      "org.apache.spark.util.Utils",
+      "org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager")) {
+      q.stop()
+      q.awaitTermination(30000)
+      // the cancelled batch's tasks log their abort on executor threads
+      // AFTER awaitTermination returns; their task-end events postdate
+      // that logging, so an empty listener bus means the abort path has
+      // finished talking — only then restore logger levels.
+      // (listenerBus is private[spark] in source, public in bytecode.)
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(bus, java.lang.Long.valueOf(5000L)): Unit
+      } catch { case _: Exception => Thread.sleep(300) }
+    }
+  }
+
   /** Run `body` with the given loggers silenced (levels restored after).
     * For DELIBERATE failure paths only — a test that provokes an
     * exception Spark's listener bus also logs at ERROR would otherwise

@@ -10,48 +10,8 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: Long) = new Timestamp(s * 1000)
 
-  /** Stop a test query without shutdown noise: stop() interrupts the
-    * stream-execution thread, which can race a RocksDB state-store commit
-    * mid-batch and log CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT errors on a
-    * PASSING test (r9 verdict #6) — masking what a real state-store
-    * failure would look like in the log. Errors emitted while stop() is
-    * in flight are by definition shutdown noise, so the streaming loggers
-    * are silenced for exactly that window (and restored after), and
-    * termination is awaited so afterEach's cache drain never overlaps a
-    * dying query. */
-  private def stopQuietly(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    // processing-time queries schedule micro-batches continuously (TTL
-    // eviction), so a bare stop() lands mid-batch and cancels the write
-    // inside its RocksDB checkpoint commit — benign (the epoch aborts,
-    // committed batches stay exactly-once) but ~15 ERROR lines of
-    // abort-path noise in a green suite (r11 verdict #7). Stop at a
-    // batch boundary when one arrives within the deadline, and quiet
-    // the write-abort loggers for the stop itself — the inter-batch gap
-    // is not a guarantee, just the overwhelmingly common case.
-    val deadline = System.currentTimeMillis + 5000
-    while (q.status.isTriggerActive && System.currentTimeMillis < deadline)
-      Thread.sleep(20)
-    quietLoggers(Seq(
-      "org.apache.spark.sql.execution.streaming",
-      "org.apache.spark.sql.execution.datasources.v2",
-      "org.apache.spark.util.Utils",
-      "org.apache.spark.executor.Executor",
-      "org.apache.spark.scheduler.TaskSetManager")) {
-      q.stop()
-      q.awaitTermination(30000)
-      // the cancelled batch's tasks log their abort on executor threads
-      // AFTER awaitTermination returns; their task-end events postdate
-      // that logging, so an empty listener bus means the abort path has
-      // finished talking — only then restore logger levels.
-      // (listenerBus is private[spark] in source, public in bytecode.)
-      try {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
-          .invoke(bus, java.lang.Long.valueOf(5000L)): Unit
-      } catch { case _: Exception => Thread.sleep(300) }
-    }
-  }
+  // stopQuietly now lives in SparkSpec (r12 verdict #1) — shared with
+  // every streaming suite so no teardown window is outside the discipline.
 
   test("file-source stream: checkpoint restart resumes offsets, exactly-once output") {
     // the crash-recovery posture: a file drop is ingested by one query

@@ -89,10 +89,16 @@ def spark_anchor():
     subset runs in a fresh JVM, so its walls carry cold-JIT overhead the
     in-bench walls don't — the ratio is an indicator with a stable
     protocol across rounds, not an identity."""
-    r = subprocess.run(
-        ["sbt", "-batch", "runMain graft.BenchSubset " + " ".join(ANCHORS)],
-        cwd=repo_root, env=dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir),
-        capture_output=True, text=True, timeout=1800)
+    # Guarded (r12 advice): a hung sbt here would otherwise raise after
+    # BOTH full sweeps completed and lose the round's artifact — degrade
+    # to an empty map so spark_drift reads n/a instead.
+    try:
+        r = subprocess.run(
+            ["sbt", "-batch", "runMain graft.BenchSubset " + " ".join(ANCHORS)],
+            cwd=repo_root, env=dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir),
+            capture_output=True, text=True, timeout=1800)
+    except (subprocess.TimeoutExpired, OSError):
+        return {}
     out = {}
     for line in r.stdout.splitlines():
         parts = line.replace("[info]", "").split()
