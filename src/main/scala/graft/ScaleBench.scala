@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The committed 10×-scale evidence (r12 verdict #7): time the gated
+  * heavy chains at sf0.1 AND at the sf1-equivalent synthetic fixture
+  * ([[ScaleFixture]] — the same fixture [[ScaleGateSpec]] trips on) in
+  * one local[32] session, min-of-2 warm through the noop sink (Bench's
+  * methodology), and print ONE JSON line for tools/bench_local.py to
+  * embed as BENCH_LOCAL_r{N}.json's `scale10x` section — so the
+  * scale-design grade rests on a tracked artifact rather than a spec
+  * log. `vs_linear` = t(10×) / (10 · t(1×)); ≤ ~1 means the chain
+  * scales at-or-below linear (sub-1 is normal: fixed per-job scheduling
+  * amortizes as data grows — exactly the 100 TB argument).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleBench [names...]
+  */
+object ScaleBench {
+
+  /** Default = the r12-verdict chain set: the heaviest representative of
+    * each gated family (IVFADC ANN, exact prefix-filter join, maintained
+    * ANN index, secondary-sort packing recurrence, per-doc n-gram
+    * coverage). ScaleGateSpec trips the full 11-chain list every `sbt
+    * test`; the artifact tracks the five the verdict names. */
+  private val defaultChains = Seq(
+    "x123_ivf_pq_residual_ann",
+    "x135_prefix_filter_join",
+    "x151_ann_index_upsert",
+    "x158_bestfit_packing",
+    "x163_gopher_repetition")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fixture = sys.env.getOrElse("SPARK_GRAFT_SF10X_DIR",
+      ScaleFixture.defaultDir)
+    ScaleFixture.ensure(spark, sf01, fixture)
+    val names = if (args.nonEmpty) args.toSeq else defaultChains
+
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        graft.ops.InternalCaches.drainAll(spark)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm: codegen + file listing
+      math.min(once(), once())
+    }
+
+    val rows = names.map { n =>
+      val t01 = time(n, sf01)
+      val t10 = time(n, fixture)
+      (n, t01, t10, t10 / (10 * t01))
+    }
+    val json = rows.map { case (n, t01, t10, r) =>
+      f""""$n": {"sf01_sec": $t01%.3f, "sf10x_sec": $t10%.3f, "vs_linear": $r%.3f}"""
+    }.mkString("{", ", ", "}")
+    println(json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The sf1-equivalent synthetic fixture (the tools/make_sf1synth.py
+  * recipe, in Spark): ten shards of the sf0.1 documents/embeddings
+  * tables — shard 0 verbatim; documents shard k>0 offsets doc_id by
+  * k·10⁶ and suffixes EVERY space-separated word with a letter-only tag
+  * 'x'+letter (letters only, so TextOps.normalize cannot split the tag
+  * off and resurrect the original token), preserving intra-shard
+  * duplicate structure exactly while zeroing cross-shard token overlap;
+  * embeddings shard k>0 offsets vec_id by k·10⁶ and keeps the vector
+  * verbatim, so a frozen shard-0 codebook sees each IVF cell grow
+  * exactly 10× — the honest 10× shape for both the dedup and the ANN
+  * chains.
+  *
+  * Shared by [[ScaleGateSpec]] (the build-failing ≤~linear tripwire in
+  * `sbt test`) and [[ScaleBench]] (the committed per-round artifact —
+  * r12 verdict #7) so the two can never drift apart on what "10×" means.
+  * Row-count-stamped: a dir holding exactly 10× the source rows is
+  * reused, anything else is rebuilt. */
+object ScaleFixture {
+
+  def defaultDir: String =
+    s"/tmp/graft_sf1synth_spark_${sys.props.getOrElse("user.name", "anon")}"
+
+  def ensure(spark: SparkSession, sf01: String, fixtureDir: String): Unit = {
+    val docs = Tables.load(spark, sf01, "documents")
+    val nDocs = docs.count()
+    val docsTarget = new java.io.File(s"$fixtureDir/documents.parquet")
+    val docsFresh = docsTarget.exists() &&
+      (try spark.read.parquet(docsTarget.toString).count() == 10 * nDocs
+      catch { case _: Throwable => false })
+    if (!docsFresh) {
+      val shards = (0 until 10).map { k =>
+        if (k == 0)
+          docs.select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+        else {
+          val tag = ('a' + k).toChar
+          val tagged = array_join(
+            transform(split(col("text"), " "), w => concat(w, lit(s"x$tag"))),
+            " ")
+          docs.select((col("doc_id") + k * 1000000L).as("doc_id"),
+            tagged.as("text"), col("lang"), col("source"),
+            length(tagged).cast("long").as("n_chars"))
+        }
+      }
+      shards.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(docsTarget.toString)
+    }
+    val emb = Tables.load(spark, sf01, "embeddings")
+    val nEmb = emb.count()
+    val embTarget = new java.io.File(s"$fixtureDir/embeddings.parquet")
+    val embFresh = embTarget.exists() &&
+      (try spark.read.parquet(embTarget.toString).count() == 10 * nEmb
+      catch { case _: Throwable => false })
+    if (!embFresh) {
+      val shards = (0 until 10).map { k =>
+        emb.select((col("vec_id") + k * 1000000L).as("vec_id"),
+          col("embedding"), col("label"))
+      }
+      shards.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(embTarget.toString)
+    }
+  }
+}

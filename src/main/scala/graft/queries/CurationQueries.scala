@@ -281,28 +281,41 @@ object CurationQueries {
     // engines (probed), and only ≤4096 lw rows broadcast — token rows
     // shuffle once, by doc_id, post-projection at 16 bytes each
     "x120_dsir_weights" -> ((s, d) => {
+      // the bucket space is ≤4096 by construction, so BOTH sides'
+      // (side, bucket) counts collect in ONE partial-combined pass
+      // (≤8192 rows — model-sized) and the per-bucket inputs fold into
+      // the scoring expression as literal maps: the r1–r12 11-job chain
+      // (two per-side aggs + two global aggs + a three-way lw join + a
+      // broadcast probe) is now one counts collect + one final shuffle
+      // by doc_id, with the SAME Spark arithmetic (log/round evaluate in
+      // the expression tree, not on the driver)
       val docs = t(s, d, "documents")
-      def toks(side: DataFrame) =
-        TextOps.tokenRows(side, "doc_id", "text")
-          .filter(col("tok") =!= "")
-          .withColumn("bucket",
-            conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long"))
-      val bt = toks(docs.filter(col("doc_id") < 20)).select(col("bucket"))
-      val ctz = bt.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-      val ntz = bt.agg(count(lit(1)).as("nt"))
-      val st = toks(docs.filter(col("doc_id") >= 20))
-        .select(col("doc_id"), col("bucket"))
-      val ccz = st.groupBy(col("bucket")).agg(count(lit(1)).as("cc"))
-      val ncz = st.agg(count(lit(1)).as("nc"))
-      val lw = ccz.join(ctz, Seq("bucket"), "left")
-        .crossJoin(broadcast(ntz)).crossJoin(broadcast(ncz))
-        .select(col("bucket"),
-          round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
-                     (col("nt") + lit(4096.0))) -
-                 log((col("cc") + lit(1.0)) /
-                     (col("nc") + lit(4096.0)))) * lit(1000000.0))
-            .cast("long").as("lwm"))
-      st.join(broadcast(lw), Seq("bucket"))
+      val toks = TextOps.tokenRows(
+          docs.filter(col("doc_id").isNotNull), "doc_id", "text")
+        .filter(col("tok") =!= "")
+        .withColumn("bucket",
+          conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long"))
+        .withColumn("__target", col("doc_id") < 20)
+      val counts = toks.groupBy(col("__target"), col("bucket"))
+        .agg(count(lit(1)).as("c")).collect()
+      val ctM = counts.filter(_.getBoolean(0))
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val ccM = counts.filterNot(_.getBoolean(0))
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val nt = ctM.values.sum
+      val nc = ccM.values.sum
+      // try_element_at: a bucket unseen on the target side is the old
+      // left-join null (→ add-1 smoothing via coalesce), where ANSI
+      // element_at would throw; the corpus-side lookup can't miss (the
+      // map is built from the same rows), so it stays loud
+      val lwm = round((log((coalesce(
+            try_element_at(typedLit(ctM), col("bucket")), lit(0L)) + lit(1.0)) /
+            (lit(nt) + lit(4096.0))) -
+          log((element_at(typedLit(ccM), col("bucket")) + lit(1.0)) /
+            (lit(nc) + lit(4096.0)))) * lit(1000000.0))
+        .cast("long")
+      toks.filter(!col("__target"))
+        .select(col("doc_id"), lwm.as("lwm"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_feats"),
           sum(col("lwm")).as("dsir_score_micro"))

@@ -1064,13 +1064,22 @@ object ExtensionQueries {
     // trained k-means partition drives the within-cell duplicate scan —
     // the composition x36 approximates with data-pick centroids. Same
     // dup rule (lower-id cell-mate at cos ≥ τ, exact cosine on the raw
-    // floats); pairs never leave their cell
+    // floats); pairs never leave their cell. The cell label is computed
+    // MAP-SIDE over the scan (microArgmin over the trained literal grid
+    // — the identical expression the model's assignments frame carries),
+    // so no corpus⋈assignments shuffle join ever plans (r12 verdict #2)
     "x130_semdedup_kmeans" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val model = Similarity.kmeansMicro(emb, "vec_id", "embedding",
         k = 8, iters = 2)
-      Similarity.semanticDedupAssigned(emb, "vec_id", "embedding",
-          model.assignments, "vec_id", "cluster", tau = 0.4)
+      val grid = model.centroids.map(_._2).toIndexedSeq
+      val labeled = emb.select(col("vec_id"), col("embedding"))
+        .withColumn("cell",
+          Similarity.microArgmin(
+            Similarity.quantizeMicro(col("embedding"), 1000000L), grid)
+            .getField("c"))
+      Similarity.semanticDedupLabeled(labeled, "vec_id", "embedding",
+          tau = 0.4)
         .select(col("vec_id"), col("cell"), col("is_dup"))
     }),
 

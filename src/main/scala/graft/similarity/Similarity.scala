@@ -180,19 +180,82 @@ object Similarity {
     * cosine (ties to the lowest centroid id). One broadcast pass; also the
     * assignment half of a Lloyd's/k-means iteration. */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
-                  centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+                  centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame =
+    assignCellsWithNorm(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+
+  /** Centroid rows IF the frame folds to a driver-local relation (a
+    * pinLocal output, a collected model, a frozen-index handle) within
+    * the literal-fold bound — the seam that turns cell assignment into a
+    * pure map-side expression. The collect is driver-only for a
+    * LocalRelation (no job). A distributed or oversized centroid frame
+    * returns None and keeps the broadcast-join path. */
+  private def localCentroidRows(cent: DataFrame,
+                                maxRows: Int = 256): Option[Array[org.apache.spark.sql.Row]] =
+    cent.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.data.length <= maxRows && l.data.nonEmpty =>
+        Some(cent.collect())
+      case _ => None
+    }
+
+  /** [[assignCells]] keeping the corpus norm column `__n` — shared by
+    * [[ivfTopK]]'s corpus side. When the centroid frame is DRIVER-LOCAL
+    * (a trained/pinned model — x134's k-means grid, the frozen ANN-index
+    * handle of x151, x152/x153's pinLocal codebooks) the assignment is a
+    * map-side literal fold: argmin via struct-min over (−cos, cid) with
+    * each centroid's vector and norm folded into the expression tree —
+    * no crossJoin, no window exchange, identical arithmetic (same
+    * graft_vec_dot/sqrt ops the join form evaluates) and the identical
+    * desc-cos/asc-cid rule (−cos ascending ≡ cos descending; exact-equal
+    * ties fall to the lowest cid in both forms). Degenerate-row caveat:
+    * a NaN cosine (zero-norm vector) ranks FIRST under the window's
+    * NULLS/NaN-greatest descending sort but LAST under struct-min — only
+    * all-NaN rows could differ, and a zero-norm vector or centroid is
+    * outside every caller's contract. */
+  private def assignCellsWithNorm(corpus: DataFrame, idCol: String, vecCol: String,
+                                  centroids: DataFrame, cidCol: String,
+                                  cvecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
-    val cent = broadcast(centroids.select(col(cidCol), col(cvecCol))
-      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
-    val c = withNorm(corpus, idCol, vecCol, parts)
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__ccos").desc, col(cidCol).asc)
-    c.crossJoin(cent)
-      .withColumn("__ccos", dot(col(vecCol), col(cvecCol)) / (col("__n") * col("__cn")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col(cidCol).as("cell"))
+    val centPlan = centroids.select(col(cidCol), col(cvecCol))
+    val vecLit: Option[org.apache.spark.sql.Row => Column] =
+      centPlan.schema(cvecCol).dataType match {
+        case ArrayType(FloatType, _) => Some(r => typedLit(r.getSeq[Float](1)))
+        case ArrayType(DoubleType, _) => Some(r => typedLit(r.getSeq[Double](1)))
+        case _ => None
+      }
+    (localCentroidRows(centPlan), vecLit) match {
+      case (Some(rows), Some(mkLit)) =>
+        // no repartition on this path: the fold is a pure projection
+        // with no downstream co-partitioning demand, and an unforced
+        // 32-way exchange would also inflate e.g. x151's per-batch
+        // append (32 files per micro-batch instead of the scan's)
+        val best = array_min(array(rows.map { r =>
+          val cv = mkLit(r)
+          struct(
+            (dot(col(vecCol), cv) / (col("__n") * sqrt(dot(cv, cv)))
+              * lit(-1.0d)).as("nc"),
+            lit(r.get(0)).as("c"))
+        }: _*))
+        corpus.select(col(idCol), col(vecCol))
+          .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
+          .withColumn("cell", best.getField("c"))
+          .select(col(idCol), col(vecCol), col("__n"), col("cell"))
+      case _ =>
+        val c = withNorm(corpus, idCol, vecCol, parts)
+        val cent = broadcast(centPlan
+          .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("__ccos").desc, col(cidCol).asc)
+        c.crossJoin(cent)
+          .withColumn("__ccos",
+            dot(col(vecCol), col(cvecCol)) / (col("__n") * col("__cn")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col(idCol), col(vecCol), col("__n"), col(cidCol).as("cell"))
+    }
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -262,7 +325,10 @@ object Similarity {
         .filter(col("__rn") <= keep)
         .select(col(id), col(vec), col(n), col(cidCol).as("cell"))
     }
-    val cells = assign(withNorm(corpus, idCol, vecCol, parts), idCol, vecCol, "__n", 1)
+    // corpus side = the keep-1 assignment — route through the shared
+    // seam so a driver-local centroid model assigns map-side (x134)
+    val cells = assignCellsWithNorm(corpus, idCol, vecCol,
+      centroids, cidCol, cvecCol)
     val qn = queries.select(col(qidCol), col(qvecCol))
       .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
     val qcells = assign(qn, qidCol, qvecCol, "__qn", probes)
@@ -526,7 +592,6 @@ object Similarity {
     val subDim = dim / m
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val ev = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .repartition(parts)
     val cent = centroids
       .select(col(cidCol), col(cvecCol).cast("array<double>").as("__cv"))
     val codes = pqCodes(ev, idCol, cent, cidCol, m, subDim)
@@ -622,7 +687,6 @@ object Similarity {
       col("cell") === col("qcell") && col("__qid") =!= col(idCol))
       .select(col("__qid"), col(idCol), col("__cellRank"))
     val ev = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .repartition(parts)
     val cent = centroids
       .select(col(cidCol), col(cvecCol).cast("array<double>").as("__cv"))
     val codes = pqCodes(ev, idCol, cent, cidCol, m, subDim)
@@ -673,7 +737,6 @@ object Similarity {
       .select(col("__qid"), col(idCol))
     // PQ scoring restricted to the candidates
     val ev = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .repartition(parts)
     val cent = centroids
       .select(col(cidCol), col(cvecCol).cast("array<double>").as("__cv"))
     val codes = pqCodes(ev, idCol, cent, cidCol, m, subDim)
@@ -735,7 +798,7 @@ object Similarity {
     val fineD = fine.select(col(fcidCol), col(fvecCol).cast("array<double>").as("__cv"))
 
     // corpus side: residual-encode each vector against its own cell
-    val resid = residuals(corpus.select(col(idCol), col(vecCol)).repartition(parts),
+    val resid = residuals(corpus.select(col(idCol), col(vecCol)),
       idCol, vecCol, centroids, cidCol, cvecCol)
     val cells = resid.select(col(idCol), col("cell"))
     val codes = pqCodes(resid.select(col(idCol), col("resid").as("__v")),
@@ -798,7 +861,7 @@ object Similarity {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val fineD = fine.select(col(fcidCol), col(fvecCol).cast("array<double>").as("__cv"))
-    val resid = residuals(corpus.select(col(idCol), col(vecCol)).repartition(parts),
+    val resid = residuals(corpus.select(col(idCol), col(vecCol)),
       idCol, vecCol, centroids, cidCol, cvecCol, cellsOpt)
     val cells = cellsOpt.map(_.select(col(idCol), col("cell")))
       .getOrElse(resid.select(col(idCol), col("cell")))
@@ -888,8 +951,7 @@ object Similarity {
     // (SimilaritySpec pins both equivalences); what changes is the stage
     // count — one shuffle per pipeline step instead of two.
     val ev = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .repartition(parts)
-    val resid = residuals(corpus.select(col(idCol), col(vecCol)).repartition(parts),
+    val resid = residuals(corpus.select(col(idCol), col(vecCol)),
       idCol, vecCol, centroids, cidCol, cvecCol, Some(cells))
     val encodeIn = ev.withColumn("__scheme", lit("abs"))
       .unionByName(resid.select(col(idCol), col("resid").as("__v"))
@@ -1008,7 +1070,7 @@ object Similarity {
       .select(col("__qid"), col("qcell"), col(idCol), col("__cellRank"))
     val encodeIn = variants.map { case (tag, c, _, _) =>
       c.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-        .repartition(parts).withColumn("__scheme", lit(tag))
+        .withColumn("__scheme", lit(tag))
     }.reduce(_ unionByName _)
     val books = variants.map { case (tag, _, ct, _) =>
       ct.select(col(cidCol).as("__code"),
@@ -1029,6 +1091,28 @@ object Similarity {
     * centroids on the micro-integer grid (cluster id → micro coords). */
   final case class KmeansModel(assignments: DataFrame,
                                centroids: Seq[(Int, Array[Long])])
+
+  /** Quantize a float/double vector column onto the micro-integer grid —
+    * THE quantization [[kmeansMicro]] trains on (`floor(double(v)·scale)`;
+    * float→double exact, product+floor single IEEE ops, engine-portable). */
+  def quantizeMicro(vec: Column, scale: Long): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Argmin over a LITERAL micro-grid centroid set: (dist2, cluster)
+    * struct, exact integer L2 on quantized vectors, lowest-cluster-id
+    * ties via lexicographic struct ordering. This is [[kmeansMicro]]'s
+    * assignment expression hoisted so CONSUMERS of a trained model (x130's
+    * SemDeDup cells, any learned partition) can label rows MAP-SIDE — no
+    * join against the assignments frame, no exchange, the centroid grid
+    * folds into the expression tree as literals. */
+  def microArgmin(q: Column, cents: Seq[Array[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, j) =>
+      struct(
+        aggregate(
+          zip_with(q, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d"),
+        lit(j).as("c"))
+    }: _*))
 
   /** Lloyd's k-means over an embedding column, engine-replayable — the
     * missing TRAINING stage behind every centroid table in this module
@@ -1065,9 +1149,7 @@ object Similarity {
     require(k > 0 && iters >= 0, "k-means needs k > 0, iters >= 0")
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val q = corpus
-      .select(col(idCol),
-        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
-          .as("__q"))
+      .select(col(idCol), quantizeMicro(col(vecCol), scale).as("__q"))
       .repartition(parts)
       .transform(InternalCaches.register _)
 
@@ -1079,15 +1161,9 @@ object Similarity {
 
     // argmin over the literal centroid grid: array_min of (dist, cid)
     // structs — lexicographic struct ordering IS the lowest-id tie rule
+    // (hoisted as [[microArgmin]] so trained-model consumers share it)
     def assignExpr(cs: IndexedSeq[Array[Long]]): Column =
-      array_min(array(cs.zipWithIndex.map { case (c, j) =>
-        struct(
-          aggregate(
-            zip_with(col("__q"), typedLit(c.toSeq),
-              (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, v) => acc + v).as("d"),
-          lit(j).as("c"))
-      }: _*))
+      microArgmin(col("__q"), cs)
 
     for (_ <- 0 until iters) {
       val sums = q.select(col("__q"),
@@ -1118,19 +1194,26 @@ object Similarity {
     * Contract (all integer, overflow-loud under ANSI):
     *  1. quantize once to a MILLI grid (`floor(double(v_i)·1000)`);
     *  2. center on the floor-mean per dim (integer grid, k-means' rule);
-    *  3. scatter S = Σ_rows c·cᵀ — computed as a double-posexplode
-    *     pipeline (no self-join: each row streams its dim² outer product
-    *     into a partial-combine aggregation, so at most parts·dim² rows
-    *     shuffle), collected at dim² rows — model-sized, not data-sized;
+    *  3. scatter S = Σ_rows c·cᵀ — derived from ONE fused statistics
+    *     pass: the quantized vector augmented with a constant 1 streams
+    *     its (dim+1)² outer product through a double-posexplode
+    *     partial-combine aggregation (no self-join), so Σqqᵀ, Σq and n
+    *     arrive in a single model-sized collect and the centered scatter
+    *     follows exactly on the driver (Σ(q−μ)(q−μ)ᵀ = Σqqᵀ − μᵢΣqⱼ −
+    *     μⱼΣqᵢ + n·μᵢμⱼ — integer algebra, bit-identical to the r1–r12
+    *     two-pass form);
     *  4. power iteration on the driver in exact BigInt: w1 = S·1,
     *     renormalized ONTO THE INTEGER GRID as floor(w1/2^10) (power
     *     iteration renormalizes every step anyway — flooring keeps it
     *     engine-exact), then w2 = S·w1′;
-    *  5. per-row projection p = Σ c_i·w2_i, carried internally as
-    *     DECIMAL(38,0) — exact — then emitted as a LOSSLESS 2⁶² split
-    *     into two BIGINT halves: `p = pc1_hi·2⁶² + pc1_lo`,
-    *     `pc1_lo ∈ [0, 2⁶²)`. Broadcast w2 (dim rows), one
-    *     partial-combined group-by on the row id.
+    *  5. per-row projection p = Σ c_i·w2_i with μ and w2 folded into the
+    *     expression tree as literals — a pure map-side pass over the
+    *     scan (no posexplode, no broadcast join, no groupBy shuffle) —
+    *     carried as DECIMAL(38,0) — exact — then emitted as a LOSSLESS
+    *     2⁶² split into two BIGINT halves: `p = pc1_hi·2⁶² + pc1_lo`,
+    *     `pc1_lo ∈ [0, 2⁶²)`. Vectors are fixed-dim non-null by
+    *     contract (the augmented-statistics fold and the literal
+    *     projection both assume a dense rectangle).
     *
     * Output: (idCol, pc1_hi bigint, pc1_lo bigint). The halves replaced
     * the r1–r7 DECIMAL(38,0) `pc1_proj` output after the round-7 driver
@@ -1144,60 +1227,61 @@ object Similarity {
     * replays steps 1-5 plus the split verbatim. */
   def pcaPowerProjection(corpus: DataFrame, idCol: String, vecCol: String,
                          scale: Long = 1000L): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, StructField, StructType, IntegerType}
+    import org.apache.spark.sql.types.DecimalType
     val spark = corpus.sparkSession
     val parts = spark.sparkContext.defaultParallelism
+    // ONE distributed pass for ALL training statistics (r12 verdict: the
+    // r1–r12 shape ran mean-collect → scatter-collect → projection-join
+    // as separate jobs). Augment the quantized vector with a constant 1:
+    // Σ q'q'ᵀ over q' = q ++ [1] carries the raw scatter Σ qqᵀ (top-left
+    // dim×dim), the per-dim sums Σ q (last column), and the row count n
+    // (corner) in a single double-posexplode partial-combine aggregation
+    // — (dim+1)² rows collected, model-sized. The CENTERED scatter then
+    // derives exactly on the driver: Σ(q−μ)(q−μ)ᵀ = Σqqᵀ − μᵢΣqⱼ − μⱼΣqᵢ
+    // + n·μᵢμⱼ with μ the same floor-mean as before (all integer, so the
+    // algebraic rearrangement is EXACT — bit-identical S, w2, output).
     val q = corpus
-      .select(col(idCol),
-        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
-          .as("__q"))
-      .repartition(parts)
-      .transform(InternalCaches.register _)      // + eager unpersist below
-    // floor-mean per dim: one partial-combined pass, dim rows collected
-    val mu0 = q.select(posexplode(col("__q")).as(Seq("__i", "__v")))
-      .groupBy(col("__i"))
-      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
-      .collect()
-      .map(r => r.getInt(0) ->
-        math.floor(r.getLong(1).toDouble / r.getLong(2).toDouble).toLong)
-      .toMap
-    val dim = mu0.size
-    val mu = (0 until dim).map(mu0)
-    val cent = q.select(col(idCol),
-      zip_with(col("__q"), typedLit(mu), (a, b) => a - b).as("__c"))
-    // scatter: posexplode twice carrying the array — a generate pipeline,
-    // partial-combined to ≤ parts·dim² rows before the one shuffle
-    val s = cent
-      .select(posexplode(col("__c")).as(Seq("__i", "__ci")), col("__c"))
-      .select(col("__i"), col("__ci"), posexplode(col("__c")).as(Seq("__j", "__cj")))
+      .filter(col(vecCol).isNotNull)             // fixed-dim, non-null rows
+      .select(col(idCol), quantizeMicro(col(vecCol), scale).as("__q"))
+    val aug = q.select(col(idCol),
+      concat(col("__q"), array(lit(1L))).as("__a"))
+    val s0 = aug.repartition(parts)
+      .select(posexplode(col("__a")).as(Seq("__i", "__ai")), col("__a"))
+      .select(col("__i"), col("__ai"),
+        posexplode(col("__a")).as(Seq("__j", "__aj")))
       .groupBy(col("__i"), col("__j"))
-      .agg(sum(col("__ci") * col("__cj")).as("__s"))
-      .collect()                                 // dim² rows — model-sized
-      .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2)))
+      .agg(sum(col("__ai") * col("__aj")).as("__s"))
+      .collect()                                 // (dim+1)² — model-sized
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
       .toMap
+    val dim = math.sqrt(s0.size.toDouble).toInt - 1
+    require(dim >= 1, "pcaPowerProjection needs a non-empty vector column")
+    val n = s0((dim, dim))
+    val colSum = (0 until dim).map(i => s0((i, dim)))
+    val mu = colSum.map(sv => math.floor(sv.toDouble / n.toDouble).toLong)
+    val s = (for (i <- 0 until dim; j <- 0 until dim) yield {
+      (i, j) -> (BigInt(s0((i, j))) - BigInt(mu(i)) * colSum(j)
+        - BigInt(mu(j)) * colSum(i) + BigInt(n) * mu(i) * mu(j))
+    }).toMap
     // exact BigInt power iteration with integer-grid renormalization
     val w1 = (0 until dim).map(i => (0 until dim).map(j => s((i, j))).sum)
     val w1n = w1.map(w =>
       BigInt(math.floor(w.toDouble / 1024.0).toLong))
     val w2 = (0 until dim).map(i =>
       (0 until dim).map(j => s((i, j)) * w1n(j)).sum)
-    import scala.jdk.CollectionConverters._
-    val w2df = broadcast(spark.createDataFrame(
-      (0 until dim).map(i => org.apache.spark.sql.Row(
-        i, new java.math.BigDecimal(w2(i).bigInteger))).asJava,
-      StructType(Seq(StructField("__i", IntegerType, nullable = false),
-        StructField("__w", DecimalType(38, 0), nullable = false)))))
-    // model extraction is complete (mu, S, w2 all collected above) — drop
-    // the pin now so repeated catalog invocations can't accumulate
-    // executor memory (r7 ADVICE). The final projection pass re-derives
-    // __q/__c from the scan — one cheap map-side transform, no shuffle.
-    q.unpersist()
+    // projection is now a PURE MAP-SIDE expression: p = Σᵢ (qᵢ−μᵢ)·w2ᵢ
+    // with μ and w2 folded in as literals — no centered-array rebuild, no
+    // posexplode, no broadcast join, no groupBy(id) shuffle; the old
+    // join+agg form summed the same ≤dim exact DECIMAL(38,0) terms, so
+    // any association order is value-identical. No cache either: each of
+    // the two passes reads the scan once.
+    val dec38 = DecimalType(38, 0)
+    val proj = (0 until dim)
+      .map(i => (col("__q").getItem(i) - lit(mu(i))).cast(dec38) *
+        lit(new java.math.BigDecimal(w2(i).bigInteger)).cast(dec38))
+      .reduce(_ + _)
     val twoPow62 = s"CAST(4611686018427387904 AS DECIMAL(38,0))" // 2^62
-    cent.select(col(idCol), posexplode(col("__c")).as(Seq("__i", "__ci")))
-      .join(w2df, Seq("__i"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__ci").cast(DecimalType(38, 0)) * col("__w"))
-        .cast(DecimalType(38, 0)).as("__p"))
+    q.select(col(idCol), proj.cast(dec38).as("__p"))
       // lossless split: lo = pmod(p, 2^62) ∈ [0, 2^62) exactly as BIGINT;
       // hi via `div` (IntegralDivide → LONG) on the exactly-divisible
       // numerator, so no decimal-division rounding can ever intrude.
@@ -1226,12 +1310,27 @@ object Similarity {
     * pairs confined to cells, one equi-join on the cell key. */
   def semanticDedupAssigned(corpus: DataFrame, idCol: String, vecCol: String,
                             cells: DataFrame, cellIdCol: String, cellCol: String,
-                            tau: Double): DataFrame = {
-    GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val labeled = corpus.select(col(idCol), col(vecCol))
-      .join(cells.select(col(cellIdCol).as("__lid"), col(cellCol).as("cell")),
-        col(idCol) === col("__lid"))
-      .drop("__lid")
+                            tau: Double): DataFrame =
+    semanticDedupLabeled(
+      corpus.select(col(idCol), col(vecCol))
+        .join(cells.select(col(cellIdCol).as("__lid"), col(cellCol).as("cell")),
+          col(idCol) === col("__lid"))
+        .drop("__lid"),
+      idCol, vecCol, tau)
+
+  /** [[semanticDedupAssigned]]'s within-cell pair scan over a corpus that
+    * ALREADY CARRIES its `cell` column — the join-free seam for cells
+    * computable map-side (x130: [[microArgmin]] over [[kmeansMicro]]'s
+    * literal centroid grid labels the scan directly, so the whole label
+    * stage is exchange-free; the r1–r12 form joined the corpus against
+    * the model's assignments frame — one avoidable shuffle join per
+    * consumer). Contract unchanged: duplicate iff some lower-id cell-mate
+    * sits at cosine ≥ tau; output `(idCol, cell, is_dup)`. */
+  def semanticDedupLabeled(labeledIn: DataFrame, idCol: String,
+                           vecCol: String, tau: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(labeledIn.sparkSession)
+    val labeled = labeledIn
+      .select(col(idCol), col(vecCol), col("cell"))
       .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
       .transform(InternalCaches.register)        // drained via InternalCaches
     val a = labeled.select(col("cell"), col(idCol).as("id_a"),

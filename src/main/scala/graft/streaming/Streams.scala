@@ -640,6 +640,51 @@ object Streams {
   // At 100 TB the cells frame is the only data-sized state and it is
   // append-only + partitionable by cell; the model is k·dim floats.
 
+  /** Driver-side handle cache for standing ANN indexes: the FROZEN model
+    * rows (re-training means re-seeding, so caching is sound by the
+    * index contract) plus both parquet schemas. A populated handle turns
+    * each [[incrementalAnnStep]]'s model access into a LocalRelation (no
+    * re-read job, broadcast without a build subplan) and makes the cells
+    * read schema-supplied (no footer-inference job) — the r12 x151
+    * census read 49 sequential jobs for 4 micro-batches, most of them
+    * model re-reads/broadcast builds and schema inference. A fresh JVM
+    * (no handle) falls back to reading everything from `indexDir`;
+    * models beyond the pinLocal bound are never cached (fallback path
+    * stays fully general). */
+  private val annIndexMeta = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType,
+      org.apache.spark.sql.types.StructType)]()
+
+  private def annModelOf(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    annIndexMeta.get(indexDir) match {
+      case (rows, schema, _) => spark.createDataFrame(rows.asJava, schema)
+      case null =>
+        val onDisk = spark.read.parquet(s"$indexDir/model")
+        val rows = onDisk.limit(4097).collect()
+        if (rows.length <= 4096) {
+          // cells schema = id + vec (from the model's vec type is NOT
+          // derivable) — leave it for the first cells read to fill
+          val m = onDisk.schema
+          annIndexMeta.putIfAbsent(indexDir, (rows.toSeq, m, null)): Unit
+          spark.createDataFrame(rows.toSeq.asJava, m)
+        } else onDisk
+    }
+  }
+
+  private def annCellsOf(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String): DataFrame =
+    annIndexMeta.get(indexDir) match {
+      case (_, _, cellsSchema) if cellsSchema != null =>
+        spark.read.schema(cellsSchema).parquet(s"$indexDir/cells")
+      case _ =>
+        val df = spark.read.parquet(s"$indexDir/cells")
+        annIndexMeta.computeIfPresent(indexDir,
+          (_, v) => (v._1, v._2, df.schema)): Unit
+        df
+    }
+
   /** Seed the standing ANN index at `indexDir`: persists the coarse
     * centroid model (frozen for the index's lifetime — re-training means
     * re-seeding, exactly like a FAISS IVF index) and the seed corpus's
@@ -651,12 +696,17 @@ object Streams {
     val spark = corpus.sparkSession
     centroids.select(col(cidCol).as("cid"), col(cvecCol).as("cvec"))
       .write.mode("overwrite").parquet(s"$indexDir/model")
-    val model = spark.read.parquet(s"$indexDir/model")
-    graft.similarity.Similarity.assignCells(
-        corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-          .dropDuplicates(idCol),
-        idCol, vecCol, model, "cid", "cvec")
-      .write.mode("overwrite").parquet(s"$indexDir/cells")
+    annIndexMeta.remove(indexDir): Unit          // re-seed = new handle
+    // read-back (not the input frame) so assignment — now and in every
+    // later step — runs against exactly the persisted float round-trip
+    val model = annModelOf(spark, indexDir)
+    val assigned = graft.similarity.Similarity.assignCells(
+      corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .dropDuplicates(idCol),
+      idCol, vecCol, model, "cid", "cvec")
+    assigned.write.mode("overwrite").parquet(s"$indexDir/cells")
+    annIndexMeta.computeIfPresent(indexDir,
+      (_, v) => (v._1, v._2, assigned.schema)): Unit
   }
 
   /** One incremental ANN-index step: assign the batch's UNSEEN vectors to
@@ -665,12 +715,15 @@ object Streams {
     * (idCol, cell).
     *
     * Redelivery / replay safety (the incrementalDedupStep discipline):
-    * ids already in the index are anti-joined away BEFORE anything else,
-    * then the surviving batch is localCheckpoint(true)-materialized —
+    * ids already in the index are anti-joined away, then the assigned
+    * batch is localCheckpoint(true)-materialized in ONE eager action —
     * its plan reads the very cells parquet the append below mutates, so
     * any lazy re-evaluation after the append would anti-join the batch
-    * against itself and silently drop rows. A redelivered vector appends
-    * nothing, so the index is exactly-once by construction. */
+    * against itself and silently drop rows. (r1–r12 checkpointed the
+    * anti-join AND the assignment as two sequential eager jobs; the
+    * second checkpoint severs the whole chain, so the first was pure
+    * job-count overhead.) A redelivered vector appends nothing, so the
+    * index is exactly-once by construction. */
   def incrementalAnnStep(batch: DataFrame, idCol: String, vecCol: String,
                          indexDir: String): DataFrame = {
     val spark = batch.sparkSession
@@ -678,13 +731,12 @@ object Streams {
       s"no ANN index at $indexDir — seedAnnIndex first (the model is " +
         "frozen at seed time; an un-seeded index has no quantizer to " +
         "assign against)")
-    val model = spark.read.parquet(s"$indexDir/model")
-    val seen = spark.read.parquet(s"$indexDir/cells").select(col(idCol))
+    val model = annModelOf(spark, indexDir)
+    val seen = annCellsOf(spark, indexDir).select(col(idCol))
     val unseen = batch
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol)).dropDuplicates(idCol)
       .join(seen, Seq(idCol), "left_anti")
-      .localCheckpoint(true)
     val out = graft.similarity.Similarity.assignCells(
         unseen, idCol, vecCol, model, "cid", "cvec")
       .localCheckpoint(true)                 // materialize BEFORE the append
@@ -702,9 +754,9 @@ object Streams {
                    queries: DataFrame, qidCol: String, qvecCol: String,
                    k: Int, probes: Int): DataFrame =
     graft.similarity.Similarity.ivfTopKAssigned(
-      spark.read.parquet(s"$indexDir/cells"), idCol, vecCol,
+      annCellsOf(spark, indexDir), idCol, vecCol,
       queries, qidCol, qvecCol,
-      spark.read.parquet(s"$indexDir/model"), "cid", "cvec", k, probes)
+      annModelOf(spark, indexDir), "cid", "cvec", k, probes)
 
   /** The streaming face: each micro-batch upserts into the standing ANN
     * index and appends its accepted assignment rows to `outPath` — the

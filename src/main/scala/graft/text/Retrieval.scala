@@ -32,26 +32,44 @@ object Retrieval {
   def bm25TopK(corpus: DataFrame, queries: DataFrame,
                idCol: String, textCol: String, qidCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val ct = TextOps.tokenRows(corpus, idCol, textCol)
-      .filter(col("tok") =!= "")
-    val tf = ct.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val dl = ct.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    // avgdl as an explicit sum/count division (not avg()) so the double
-    // is one reproducible operation on two exact longs
-    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("tot_dl")))
+    val spark = corpus.sparkSession
+    // postings (id, tok, tf, dl) from ONE tokenize + ONE exchange: tf
+    // and dl are both windows over the hash(id)-partitioned token rows
+    // (hash(id) satisfies the (id, tok) clustering, so the second window
+    // and the per-(id, tok) dedup ride the same exchange). The r1–r12
+    // form re-tokenized the corpus in three independent aggregation
+    // subplans (tf, dl, df) — concurrent broadcast builds hid some of
+    // that on the wall, but the work was 3×. The pin makes every
+    // downstream consumer (stats, df, scoring) read the cache; no
+    // driver-side collects anywhere, so independent broadcast builds
+    // still overlap. The corpus repartitions BEFORE tokenizing — the
+    // x106 CPU-dense rebalance: one row group at bench SF would
+    // otherwise tokenize on one core. avgdl stays an explicit sum/count
+    // division of exact longs.
+    val wTok = Window.partitionBy(col(idCol), col("tok"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val parts = spark.sparkContext.defaultParallelism
+    val postings = graft.ops.InternalCaches.register(
+      TextOps.tokenRows(corpus, idCol, textCol)
+        .filter(col("tok") =!= "")
+        .withColumn("tf", count(lit(1)).over(wTok))
+        .withColumn("dl", count(lit(1)).over(wDoc))
+        .select(col(idCol), col("tok"), col("tf"), col("dl"))
+        .dropDuplicates(idCol, "tok"))
+    val stats = broadcast(postings
+      .groupBy(col(idCol)).agg(min(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl")))
     val qt = TextOps.tokenRows(queries, qidCol, textCol)
       .filter(col("tok") =!= "")
       .select(col(qidCol).as("__qid"), col("tok")).distinct()
     // postings pruned to query terms BEFORE df: df is only needed for
-    // matched terms, and the semi-join keeps the heavy tf frame narrow
-    val tfQ = tf.join(broadcast(qt.select(col("tok")).distinct()),
+    // matched terms, and the semi-join keeps the frame narrow
+    val tfQ = postings.join(broadcast(qt.select(col("tok")).distinct()),
       Seq("tok"), "left_semi")
     val dfreq = tfQ.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val contrib = broadcast(qt)
       .join(tfQ, Seq("tok"))
       .join(broadcast(dfreq), Seq("tok"))
-      .join(dl, Seq(idCol))
       .crossJoin(stats)
       .withColumn("__c", expr(
         // idf * tf-component, floored to micro-units: every double op is

@@ -209,7 +209,8 @@ class PlanAssertSpec extends SparkSpec {
         "x160_quality_auc", "x161_quality_pr_sweep",
         "x164_loader_manifest", "x168_epoch_consumption",
         "x169_mixture_drift", "x170_multiepoch_order",
-        "x171_elastic_rescale", "x172_curriculum_mixture")
+        "x171_elastic_rescale", "x172_curriculum_mixture",
+        "x174_loader_rehearsal")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =

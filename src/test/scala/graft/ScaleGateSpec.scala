@@ -43,8 +43,7 @@ import org.apache.spark.sql.functions._
 class ScaleGateSpec extends SparkSpec {
 
   private val sf01 = "/root/testdata/sf0.1"
-  private val fixtureDir =
-    s"/tmp/graft_sf1synth_spark_${sys.props.getOrElse("user.name", "anon")}"
+  private val fixtureDir = ScaleFixture.defaultDir
   private val Band = 1.35
   private val AbsSlackSec = 3.0
 
@@ -80,46 +79,10 @@ class ScaleGateSpec extends SparkSpec {
     "x163_gopher_repetition",
     "x165_epoch_order")
 
-  private def ensureFixture(): Unit = {
-    val docs = Tables.load(spark, sf01, "documents")
-    val nDocs = docs.count()
-    val docsTarget = new java.io.File(s"$fixtureDir/documents.parquet")
-    val docsFresh = docsTarget.exists() &&
-      (try spark.read.parquet(docsTarget.toString).count() == 10 * nDocs
-      catch { case _: Throwable => false })
-    if (!docsFresh) {
-      val shards = (0 until 10).map { k =>
-        if (k == 0)
-          docs.select(col("doc_id"), col("text"), col("lang"),
-            col("source"), col("n_chars"))
-        else {
-          val tag = ('a' + k).toChar
-          val tagged = array_join(
-            transform(split(col("text"), " "), w => concat(w, lit(s"x$tag"))),
-            " ")
-          docs.select((col("doc_id") + k * 1000000L).as("doc_id"),
-            tagged.as("text"), col("lang"), col("source"),
-            length(tagged).cast("long").as("n_chars"))
-        }
-      }
-      shards.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(docsTarget.toString)
-    }
-    val emb = Tables.load(spark, sf01, "embeddings")
-    val nEmb = emb.count()
-    val embTarget = new java.io.File(s"$fixtureDir/embeddings.parquet")
-    val embFresh = embTarget.exists() &&
-      (try spark.read.parquet(embTarget.toString).count() == 10 * nEmb
-      catch { case _: Throwable => false })
-    if (!embFresh) {
-      val shards = (0 until 10).map { k =>
-        emb.select((col("vec_id") + k * 1000000L).as("vec_id"),
-          col("embedding"), col("label"))
-      }
-      shards.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(embTarget.toString)
-    }
-  }
+  // fixture recipe hoisted to graft.ScaleFixture (r12 verdict #7): the
+  // committed ScaleBench artifact and this gate must measure the SAME 10×
+  private def ensureFixture(): Unit =
+    ScaleFixture.ensure(spark, sf01, fixtureDir)
 
   /** Min-of-2 warm through the noop sink (Bench's methodology), caches
     * drained between runs so each timing pays full computation. */

@@ -643,6 +643,43 @@ class TrainingSpec extends SparkSpec {
     assert(run().sorted == cs.sorted, "checksums are not replayable")
   }
 
+  test("x174 dress rehearsal: conservation laws hold on real data; roll-ups cross-lock the standalone stages") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.TrainingQueries.defs("x174_loader_rehearsal")(
+      spark, sf)
+      .select($"source", $"n_docs_kept", $"stream_len", $"bins_per_epoch",
+        $"n_steps", $"lineage_positions", $"alloc_tokens",
+        $"consumed_tokens", $"order_ok", $"pack_ok", $"consume_ok")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long,
+        Boolean, Boolean, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    // THE conservation laws: on real data every interface reconciles —
+    // order serves exactly the priced bins, the lineage tiles the
+    // stream position-for-position, consumption spends exactly the
+    // UniMax allocation. A false here means two loader stages disagree
+    // about the same stream.
+    rows.foreach { case (src, _, sl, bins, steps, linPos, alloc, cons,
+        oOk, pOk, cOk) =>
+      assert(oOk && pOk && cOk, s"$src: conservation law broken " +
+        s"(order=$oOk pack=$pOk consume=$cOk)")
+      assert(steps == bins && linPos == sl && cons == alloc)
+    }
+    // cross-lock against the STANDALONE stages (same sf, independent
+    // plans): x165's per-source step counts and x168's consumed sums
+    val stepCounts = graft.queries.TrainingQueries.defs("x165_epoch_order")(
+        spark, sf).select($"source").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val consSums = graft.queries.TrainingQueries.defs("x168_epoch_consumption")(
+        spark, sf).select($"source", $"tokens_consumed")
+      .as[(String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    rows.foreach { case (src, _, _, _, steps, _, _, cons, _, _, _) =>
+      assert(stepCounts(src) == steps, s"$src: x165 step count drifted")
+      assert(consSums.getOrElse(src, 0L) == cons,
+        s"$src: x168 consumption drifted")
+    }
+  }
+
   test("x159 attention boundaries: per-bin segments tile [0, fill) contiguously; straddlers split exactly") {
     val segs = graft.queries.TrainingQueries.defs("x159_attention_boundaries")(
       spark, "/root/testdata/sf0.001")

@@ -110,7 +110,31 @@ def spark_anchor():
     return out
 
 
+def scale10x():
+    """Committed 10x-scale evidence (r12 verdict #7): graft.ScaleBench
+    times the gated heavy chains at sf0.1 and at the sf1-equivalent
+    synthetic fixture in one session and prints one JSON line. Guarded
+    like spark_anchor: a failure degrades to {} rather than losing the
+    round's artifact."""
+    try:
+        r = subprocess.run(
+            ["sbt", "-batch", "runMain graft.ScaleBench"],
+            cwd=repo_root, env=dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir),
+            capture_output=True, text=True, timeout=3600)
+    except (subprocess.TimeoutExpired, OSError):
+        return {}
+    for line in r.stdout.splitlines():
+        s = line.replace("[info]", "").strip()
+        if s.startswith("{") and "vs_linear" in s:
+            try:
+                return json.loads(s)
+            except ValueError:
+                pass
+    return {}
+
+
 spark_after = spark_anchor()
+scale = scale10x()
 spark_in_bench = {a: spark.get("queries", {}).get(a) for a in ANCHORS}
 spark_drift = None
 if (len(spark_after) == len(ANCHORS)
@@ -129,6 +153,7 @@ merged = {
     "duckdb_queries": duck.get("queries"),
     "skew": spark.get("skew"),
     "failed": spark.get("failed"),
+    "scale10x": scale,
     "session_anchor": {
         "queries": ANCHORS,
         "duckdb_before_sec": anchor_before,
