@@ -700,7 +700,13 @@ object CorpusQueries {
           expr("CAST(conv(substring(hx, CAST(i * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)")
             .as("byte"))
       val sums = bytes.groupBy(col("asset_id")).agg(sum(col("byte")).as("s"))
-      val wide = bytes.join(sums, Seq("asset_id"))
+      // gate-broadcast the per-asset sums (one narrow row per asset) so
+      // the 64×-wider bytes frame never shuffles for this join — it
+      // flows map-side from the scan straight into the band fold's one
+      // exchange (r13; estimate-gated fallback at asset counts beyond
+      // the threshold, where the planner's shuffle join is the shape)
+      val wide = bytes.join(
+          graft.ops.Relational.gatedBroadcast(sums), Seq("asset_id"))
         .select(col("asset_id"), expr("i div 16").as("j"),
           expr("shiftleft(CAST(CASE WHEN byte * 64 >= s THEN 1 ELSE 0 END AS BIGINT), " +
             "CAST(i % 16 AS INT))").as("term"))

@@ -530,7 +530,12 @@ object CurationQueries {
       // the global scalar (caller-managed lifecycle, as elsewhere)
       val pairs = adjacentPairRows(docs).cacheRegistered
       val cnt = pairs.groupBy(col("pr")).agg(count(lit(1)).as("n"))
-      val supported = pairs.join(cnt, Seq("pr"))
+      // the count table is bigram-vocabulary-sized — gate-broadcast it so
+      // the occurrence-sized pair frame keeps its doc partitioning and
+      // the per-doc aggregate below adds no exchange (r13; estimate-gated
+      // fallback to the shuffle join at vocabulary scale)
+      val supported = pairs.join(
+        graft.ops.Relational.gatedBroadcast(cnt), Seq("pr"))
       // the global mean DERIVES from the per-doc aggregate (gsum = Σ
       // support, gcnt = Σ n_bigrams), so aggregate the pair join ONCE
       // and materialize it eagerly before the plan fans out into the
@@ -761,11 +766,20 @@ object CurationQueries {
       val bc = bg.filter(train).groupBy(col("prev"), col("cur"))
         .agg(count(lit(1)).as("c_bi"))
       val nTok = broadcast(tr.filter(train).agg(count(lit(1)).as("n_toks")))
+      // count frames are vocabulary-sized (unigram/bigram types, not
+      // token occurrences) — gate-broadcast them so the per-token bg
+      // side keeps its doc_id partitioning through all three joins and
+      // the final per-doc groupBy adds NO exchange (size-estimate gated:
+      // a corpus whose bigram vocabulary outgrows the threshold falls
+      // back to the shuffle join the planner picks)
+      import graft.ops.Relational.gatedBroadcast
       val contrib = bg
-        .join(bc, Seq("prev", "cur"), "left")
-        .join(uc.select(col("tok").as("prev"), col("c_uni").as("c_prev")),
+        .join(gatedBroadcast(bc), Seq("prev", "cur"), "left")
+        .join(gatedBroadcast(
+          uc.select(col("tok").as("prev"), col("c_uni").as("c_prev"))),
           Seq("prev"), "left")
-        .join(uc.select(col("tok").as("cur"), col("c_uni").as("c_cur")),
+        .join(gatedBroadcast(
+          uc.select(col("tok").as("cur"), col("c_uni").as("c_cur"))),
           Seq("cur"), "left")
         .crossJoin(nTok)
         .withColumn("__c", expr(

@@ -691,7 +691,8 @@ object Similarity {
       .select(col(cidCol), col(cvecCol).cast("array<double>").as("__cv"))
     val codes = pqCodes(ev, idCol, cent, cidCol, m, subDim)
     val lut = broadcast(pqLut(queries, qidCol, qvecCol, cent, cidCol, m, subDim))
-    sweepRank(cand.join(codes, idCol).join(lut, Seq("__qid", "s", "code")),
+    sweepRank(graft.ops.Relational.gatedBroadcast(cand)
+      .join(codes, idCol).join(lut, Seq("__qid", "s", "code")),
       idCol, k, probes)
   }
 
@@ -742,7 +743,8 @@ object Similarity {
     val codes = pqCodes(ev, idCol, cent, cidCol, m, subDim)
     val lut = broadcast(pqLut(queries, qidCol, qvecCol, cent, cidCol, m, subDim))
     pqRank(
-      cand.join(codes, idCol).join(lut, Seq("__qid", "s", "code")),
+      graft.ops.Relational.gatedBroadcast(cand)
+        .join(codes, idCol).join(lut, Seq("__qid", "s", "code")),
       idCol, k)
   }
 
@@ -837,7 +839,8 @@ object Similarity {
       col("cell") === col("qcell") && col("__qid") =!= col(idCol))
       .select(col("__qid"), col("qcell"), col(idCol))
     pqRank(
-      cand.join(codes, idCol).join(lut, Seq("__qid", "qcell", "s", "code")),
+      graft.ops.Relational.gatedBroadcast(cand)
+        .join(codes, idCol).join(lut, Seq("__qid", "qcell", "s", "code")),
       idCol, k)
   }
 
@@ -894,7 +897,8 @@ object Similarity {
       col("cell") === col("qcell") && col("__qid") =!= col(idCol))
       .select(col("__qid"), col("qcell"), col(idCol), col("__cellRank"))
     sweepRank(
-      cand.join(codes, idCol).join(lut, Seq("__qid", "qcell", "s", "code")),
+      graft.ops.Relational.gatedBroadcast(cand)
+        .join(codes, idCol).join(lut, Seq("__qid", "qcell", "s", "code")),
       idCol, k, probes)
   }
 
@@ -1009,7 +1013,12 @@ object Similarity {
         books, "__code", "__cv", m, subDim, joinKeys = Seq("__scheme"))
       .withColumnRenamed("__code", "code")
       .withColumnRenamed("qcell", "__lutcell"))
-    val joined = cand.join(codes, idCol)
+    // cand is query-bounded (|queries| x probed-cell occupancy) where
+    // codes is corpus-sized: gate-broadcast the candidate list so the
+    // codes frame rides its own aggregation partitioning through the
+    // scoring join (estimate-gated — a corpus whose cells outgrow the
+    // threshold falls back to the planner's shuffle join)
+    val joined = graft.ops.Relational.gatedBroadcast(cand).join(codes, idCol)
       .withColumn("__lutcell", lutCellFor)
       .join(lut, Seq("__scheme", "__qid", "__lutcell", "s", "code"))
       .select(col("__scheme").as("scheme"), col("__qid"), col(idCol),

@@ -454,6 +454,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("assignCells: the map-side literal fold over a driver-local centroid frame ≡ the broadcast-join path") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    def rows(c: org.apache.spark.sql.DataFrame) =
+      Similarity.assignCells(emb, "vec_id", "embedding", c, "cid", "cvec")
+        .select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+    // distributed centroid frame → crossJoin×window path; pinLocal'd
+    // frame → the literal argmax projection. Same cells, row for row —
+    // including every cosine near-tie this corpus has
+    val viaJoin = rows(cent)
+    val viaFold = rows(Similarity.pinLocal(cent))
+    assert(viaFold == viaJoin, "map-side cell fold drifted from the join path")
+    // and the fold really is the plan in play: no exchange above the scan
+    val foldPlan = Similarity.assignCells(emb, "vec_id", "embedding",
+      Similarity.pinLocal(cent), "cid", "cvec")
+      .queryExecution.executedPlan.toString
+    assert(!foldPlan.contains("Window") && !foldPlan.contains("BroadcastNestedLoop"),
+      s"local-centroid assignment still plans the join form:\n$foldPlan")
+  }
+
   test("dual sweep: per-scheme slices ≡ the standalone sweeps, and pinLocal/cellsOpt change nothing") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cent = emb.filter($"vec_id" < 16)
