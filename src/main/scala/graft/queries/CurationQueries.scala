@@ -100,6 +100,51 @@ object CurationQueries {
                i -> qc[i] * codes[i])) AS BIGINT) AS idot
            FROM qs q, codes c WHERE c.vec_id <> q.qid)"""
 
+  /** The DSIR per-document importance scores over the corpus split
+    * (doc_id ≥ 20, benchmark target = doc_id < 20) — (doc_id, n_feats,
+    * dsir_score_micro). Shared by the x120 catalog entry and x175's
+    * funnel so the selector the funnel applies IS x120's.
+    *
+    * Fused single-pass shape (r13): the bucket space is ≤4096 by
+    * construction, so BOTH sides' (side, bucket) counts collect in ONE
+    * partial-combined pass (≤8192 rows — model-sized) and the
+    * per-bucket inputs fold into the scoring expression as literal
+    * maps — one counts collect + one final shuffle by doc_id, with the
+    * SAME Spark arithmetic the r1–r12 join chain ran (log/round
+    * evaluate in the expression tree, not on the driver). */
+  private def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val toks = TextOps.tokenRows(
+        docs.filter(col("doc_id").isNotNull), "doc_id", "text")
+      .filter(col("tok") =!= "")
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long"))
+      .withColumn("__target", col("doc_id") < 20)
+    val counts = toks.groupBy(col("__target"), col("bucket"))
+      .agg(count(lit(1)).as("c")).collect()
+    val ctM = counts.filter(_.getBoolean(0))
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val ccM = counts.filterNot(_.getBoolean(0))
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val nt = ctM.values.sum
+    val nc = ccM.values.sum
+    // try_element_at: a bucket unseen on the target side is the old
+    // left-join null (→ add-1 smoothing via coalesce), where ANSI
+    // element_at would throw; the corpus-side lookup can't miss (the
+    // map is built from the same rows), so it stays loud
+    val lwm = round((log((coalesce(
+          try_element_at(typedLit(ctM), col("bucket")), lit(0L)) + lit(1.0)) /
+          (lit(nt) + lit(4096.0))) -
+        log((element_at(typedLit(ccM), col("bucket")) + lit(1.0)) /
+          (lit(nc) + lit(4096.0)))) * lit(1000000.0))
+      .cast("long")
+    toks.filter(!col("__target"))
+      .select(col("doc_id"), lwm.as("lwm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("lwm")).as("dsir_score_micro"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ───── SemDeDup: nearest-centroid cells (centroids = vec_id < 16, the
@@ -280,47 +325,65 @@ object CurationQueries {
     // and order-free; ln of identical doubles is bit-equal across
     // engines (probed), and only ≤4096 lw rows broadcast — token rows
     // shuffle once, by doc_id, post-projection at 16 bytes each
-    "x120_dsir_weights" -> ((s, d) => {
-      // the bucket space is ≤4096 by construction, so BOTH sides'
-      // (side, bucket) counts collect in ONE partial-combined pass
-      // (≤8192 rows — model-sized) and the per-bucket inputs fold into
-      // the scoring expression as literal maps: the r1–r12 11-job chain
-      // (two per-side aggs + two global aggs + a three-way lw join + a
-      // broadcast probe) is now one counts collect + one final shuffle
-      // by doc_id, with the SAME Spark arithmetic (log/round evaluate in
-      // the expression tree, not on the driver)
+    "x120_dsir_weights" -> ((s, d) =>
+      dsirScores(s, d).select(col("doc_id"), col("n_feats"),
+        col("dsir_score_micro"), (col("dsir_score_micro") > 0L).as("selected"))),
+
+    // ───── the curation FUNNEL — x174's dress-rehearsal pattern applied
+    // to the curation side: quality (x09's score at a strict 0.8 bar) →
+    // near-dup (x27's LSH clusters, survivor = cluster min) →
+    // decontamination (x33's exact benchmark 4-gram overlap) → DSIR
+    // selection (x120's scores at the corpus-mean bar, compared by
+    // integer cross-multiply — no division) composed over ONE pool
+    // (doc_id ≥ 20, non-null text), each stage the standalone operator's
+    // exact rule via the shared builders. Every pool doc gets ONE
+    // disposition = the FIRST stage it fails (the funnel attribution a
+    // curation team reports); the per-doc row carries all four stage
+    // verdicts so the oracle cross-locks every interface independently.
+    // Scale shape: the stages keep their own shapes (banded LSH
+    // candidates, broadcast gram semi-join, bucket-count literal fold);
+    // the funnel itself adds only doc-keyed left joins and one broadcast
+    // scalar
+    "x175_curation_funnel" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val toks = TextOps.tokenRows(
-          docs.filter(col("doc_id").isNotNull), "doc_id", "text")
-        .filter(col("tok") =!= "")
-        .withColumn("bucket",
-          conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long"))
-        .withColumn("__target", col("doc_id") < 20)
-      val counts = toks.groupBy(col("__target"), col("bucket"))
-        .agg(count(lit(1)).as("c")).collect()
-      val ctM = counts.filter(_.getBoolean(0))
-        .map(r => r.getLong(1) -> r.getLong(2)).toMap
-      val ccM = counts.filterNot(_.getBoolean(0))
-        .map(r => r.getLong(1) -> r.getLong(2)).toMap
-      val nt = ctM.values.sum
-      val nc = ccM.values.sum
-      // try_element_at: a bucket unseen on the target side is the old
-      // left-join null (→ add-1 smoothing via coalesce), where ANSI
-      // element_at would throw; the corpus-side lookup can't miss (the
-      // map is built from the same rows), so it stays loud
-      val lwm = round((log((coalesce(
-            try_element_at(typedLit(ctM), col("bucket")), lit(0L)) + lit(1.0)) /
-            (lit(nt) + lit(4096.0))) -
-          log((element_at(typedLit(ccM), col("bucket")) + lit(1.0)) /
-            (lit(nc) + lit(4096.0)))) * lit(1000000.0))
-        .cast("long")
-      toks.filter(!col("__target"))
-        .select(col("doc_id"), lwm.as("lwm"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_feats"),
-          sum(col("lwm")).as("dsir_score_micro"))
-        .select(col("doc_id"), col("n_feats"), col("dsir_score_micro"),
-          (col("dsir_score_micro") > 0L).as("selected"))
+      val pool = docs.filter(col("doc_id").isNotNull
+        && col("text").isNotNull && col("doc_id") >= 20)
+      // near-dup over the FULL corpus (x27's exact frame): a pool doc
+      // that duplicates a benchmark doc is attributed to 'near_dup'
+      // (dedup runs before decontamination in this funnel's order)
+      val dup = Dedup.lshDedupClusters(docs, "doc_id", "text",
+          shingleK = 2, numHashes = 12, rowsPerBand = 3,
+          candTau = 0.25, jaccardTau = 0.2)
+        .filter(col("cluster") =!= col("id"))
+        .select(col("id").as("doc_id")).withColumn("__dup", lit(true))
+      val bench = TextOps.shingleRows(docs.filter(col("doc_id") < 20),
+        "doc_id", "text", 4).select(col("g")).distinct()
+      val contam = TextOps.shingleRows(pool, "doc_id", "text", 4)
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("__ct", lit(true))
+      val scores = dsirScores(s, d)
+        .select(col("doc_id"), col("dsir_score_micro"))
+      val tot = scores.agg(sum(col("dsir_score_micro")).as("__s"),
+        count(lit(1)).as("__n"))
+      val qm = floor(TextOps.qualityScore(col("text"))
+        * expr("CAST(1000000.0 AS DOUBLE)"))
+      pool.select(col("doc_id"), col("source"), qm.as("qm"))
+        .join(dup, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(scores, Seq("doc_id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"), col("qm"),
+          (col("qm") >= 800000L).as("q_keep"),
+          coalesce(col("__dup"), lit(false)).as("is_dup"),
+          coalesce(col("__ct"), lit(false)).as("contaminated"),
+          coalesce(col("dsir_score_micro") * col("__n") >= col("__s"),
+            lit(false)).as("selected"))
+        .withColumn("disposition",
+          when(!col("q_keep"), "low_quality")
+            .when(col("is_dup"), "near_dup")
+            .when(col("contaminated"), "contaminated")
+            .when(!col("selected"), "not_selected")
+            .otherwise("kept"))
     }),
 
     // ───── exact substring dedup with REMOVAL (Lee et al. 2022,
@@ -1375,6 +1438,66 @@ object CurationQueries {
            CAST(SUM(l.lwm) AS BIGINT) > 0 AS selected
          FROM st s JOIN lw l USING (bucket)
          GROUP BY s.doc_id""",
+    // x175: every stage recomputed independently — the x27 LSH cluster
+    // chain, x09's quality expression, x33's 4-gram overlap, x120's
+    // bucket log-weights — then the first-failing-stage CASE
+    "x175_curation_funnel" ->
+      s"""WITH RECURSIVE ${ExtensionQueries.lshClusterCtes},
+         pool AS (SELECT doc_id, source, text FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id >= 20),
+         qv AS (SELECT doc_id, source,
+             CAST(floor((${TrainingQueries.qualitySql})
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS qm
+           FROM pool),
+         dupids AS (SELECT id AS doc_id FROM labels WHERE cluster <> id),
+         ctk AS (SELECT doc_id, string_split($normSql, ' ') AS tk
+           FROM documents),
+         csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(tk) - 4, 0) + 2),
+             i -> array_to_string(list_slice(tk, i, least(i + 3, len(tk))), '_'))))
+             AS g
+           FROM ctk),
+         flag AS (SELECT DISTINCT doc_id FROM csh
+           WHERE doc_id >= 20
+             AND g IN (SELECT DISTINCT g FROM csh WHERE doc_id < 20)),
+         btk AS (SELECT unnest(string_split($normSql, ' ')) AS tok
+           FROM documents WHERE doc_id < 20),
+         bt AS (SELECT CAST(('0x' || substr(md5(tok), 1, 3)) AS BIGINT) AS bucket
+           FROM btk WHERE tok <> ''),
+         ct AS (SELECT bucket, COUNT(*) AS c FROM bt GROUP BY bucket),
+         ntt AS (SELECT COUNT(*) AS n FROM bt),
+         stk AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+           FROM documents WHERE doc_id >= 20),
+         st AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 3)) AS BIGINT) AS bucket
+           FROM stk WHERE tok <> ''),
+         ccb AS (SELECT bucket, COUNT(*) AS c FROM st GROUP BY bucket),
+         ncc AS (SELECT COUNT(*) AS n FROM st),
+         lw AS (SELECT ccb.bucket,
+             CAST(round((ln((COALESCE(ct.c, 0) + 1.0) / (ntt.n + 4096.0))
+                       - ln((ccb.c + 1.0) / (ncc.n + 4096.0))) * 1000000)
+               AS BIGINT) AS lwm
+           FROM ccb LEFT JOIN ct USING (bucket), ntt, ncc),
+         sc AS (SELECT s.doc_id, CAST(SUM(l.lwm) AS BIGINT) AS score
+           FROM st s JOIN lw l USING (bucket) GROUP BY s.doc_id),
+         tots AS (SELECT CAST(SUM(score) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n FROM sc)
+         SELECT q.doc_id, q.source, q.qm,
+           q.qm >= 800000 AS q_keep,
+           du.doc_id IS NOT NULL AS is_dup,
+           fl.doc_id IS NOT NULL AS contaminated,
+           COALESCE(sc.score * tots.n >= tots.s, FALSE) AS selected,
+           CASE WHEN q.qm < 800000 THEN 'low_quality'
+                WHEN du.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN fl.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN NOT COALESCE(sc.score * tots.n >= tots.s, FALSE)
+                  THEN 'not_selected'
+                ELSE 'kept' END AS disposition
+         FROM qv q
+         LEFT JOIN dupids du ON du.doc_id = q.doc_id
+         LEFT JOIN flag fl ON fl.doc_id = q.doc_id
+         LEFT JOIN sc ON sc.doc_id = q.doc_id
+         CROSS JOIN tots""",
     "x43_bloom_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -31,7 +31,7 @@ object TrainingQueries {
     s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** DuckDB fragment mirroring TextOps.qualityScore (x142's oracle copy). */
-  private val qualitySql = {
+  private[queries] val qualitySql = {
     val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END"
     val digit = "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END"
     s"""least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4

@@ -939,4 +939,31 @@ class CorpusQueriesSpec extends SparkSpec {
     }
     assert(out == expect && out.nonEmpty)
   }
+
+  test("x175 curation funnel: dispositions are the first failing stage; every stage exercised; pool conserved") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("x175_curation_funnel")(spark, sf)
+      .select($"doc_id", $"q_keep", $"is_dup", $"contaminated",
+        $"selected", $"disposition")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, String)]
+      .collect().toSeq
+    // exactly one row per pool doc (the funnel partitions the pool)
+    val pool = Tables.load(spark, sf, "documents")
+      .filter($"doc_id".isNotNull && $"text".isNotNull && $"doc_id" >= 20)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == pool && rows.length == pool.size)
+    // disposition = FIRST failing stage, recomputed from the flags
+    rows.foreach { case (id, q, dup, ct, sel, disp) =>
+      val want =
+        if (!q) "low_quality"
+        else if (dup) "near_dup"
+        else if (ct) "contaminated"
+        else if (!sel) "not_selected"
+        else "kept"
+      assert(disp == want, s"doc $id: disposition $disp, flags say $want")
+    }
+    // the corpus exercises every branch (threshold-overfitting guard)
+    assert(rows.map(_._6).toSet == Set("low_quality", "near_dup",
+      "contaminated", "not_selected", "kept"))
+  }
 }

@@ -210,7 +210,7 @@ class PlanAssertSpec extends SparkSpec {
         "x164_loader_manifest", "x168_epoch_consumption",
         "x169_mixture_drift", "x170_multiepoch_order",
         "x171_elastic_rescale", "x172_curriculum_mixture",
-        "x174_loader_rehearsal")
+        "x174_loader_rehearsal", "x175_curation_funnel")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p =
