@@ -386,6 +386,62 @@ object CurationQueries {
             .otherwise("kept"))
     }),
 
+    // ───── margin-based bitext mining (Artetxe & Schwenk '19 §3.2, the
+    // CCMatrix/NLLB parallel-corpus miner): for every source-language
+    // document, the best target-language neighbor by cosine, scored by
+    // the DISTANCE margin — cos(x,y) − (mean of x's k-NN cosines into
+    // the target side + mean of y's k-NN cosines from the source side)/2
+    // — which calibrates away hubness (a pair is mined only if it beats
+    // BOTH endpoints' neighborhoods, not an absolute threshold). The
+    // difference form (×2 to stay integer) is the variant that stays
+    // exact and sign-safe where the ratio margin divides by a possibly
+    // non-positive mean. Cosines quantize to micro-units ONCE (x120's
+    // discipline) so k-NN means and margins are integer arithmetic;
+    // k-NN means use floor-of-double division (exact-int doubles — the
+    // engine-portable floor bridge). This is the quadratic per-language-
+    // pair BASELINE (one broadcast of the smaller side, the x05
+    // convention); the scale path composes the same margin over
+    // ivfTopK/bucketedTopK candidate lists exactly as x52 reranks
+    "x176_bitext_margin" -> ((s, d) => {
+      graft.expressions.GraftFunctions.ensureRegistered(s)
+      val e = t(s, d, "embeddings")
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("lang"), col("embedding").as("v"))
+      val src = e.filter(col("lang") === "en")
+        .select(col("vec_id").as("sid"), col("v").as("sv"))
+        .withColumn("__sn", sqrt(Similarity.dot(col("sv"), col("sv"))))
+      val tgt = e.filter(col("lang") === "de")
+        .select(col("vec_id").as("tid"), col("v").as("tv"))
+        .withColumn("__tn", sqrt(Similarity.dot(col("tv"), col("tv"))))
+      // pair frame computed once: three consumers (two k-NN means, best)
+      val pairs = src.join(broadcast(tgt), col("sid") =!= col("tid"))
+        .select(col("sid"), col("tid"),
+          floor(Similarity.dot(col("sv"), col("tv"))
+            / (col("__sn") * col("__tn")) * lit(1000000.0)).as("cm"))
+        .cacheRegistered
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sid")).orderBy(col("cm").desc, col("tid").asc)
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tid")).orderBy(col("cm").desc, col("sid").asc)
+      val mx = pairs.withColumn("r", row_number().over(wS))
+        .filter(col("r") <= 4).groupBy(col("sid"))
+        .agg(floor(sum(col("cm")).cast("double") / count(lit(1)))
+          .cast("long").as("mx"))
+      val my = pairs.withColumn("r", row_number().over(wT))
+        .filter(col("r") <= 4).groupBy(col("tid"))
+        .agg(floor(sum(col("cm")).cast("double") / count(lit(1)))
+          .cast("long").as("my"))
+      pairs.withColumn("r", row_number().over(wS)).filter(col("r") === 1)
+        .join(mx, Seq("sid")).join(my, Seq("tid"))
+        .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+          col("cm").as("cos_micro"),
+          col("mx").as("src_knn_mean_micro"),
+          col("my").as("tgt_knn_mean_micro"),
+          (col("cm") * 2L - (col("mx") + col("my"))).as("margin_micro"),
+          (col("cm") * 2L - (col("mx") + col("my")) > 0L).as("mined"))
+    }),
+
     // ───── exact substring dedup with REMOVAL (Lee et al. 2022,
     // arXiv:2107.06499 §4, re-expressed at chunk granularity): the global
     // first occurrence of every 4-token chunk survives (first = lowest
@@ -1438,6 +1494,33 @@ object CurationQueries {
            CAST(SUM(l.lwm) AS BIGINT) > 0 AS selected
          FROM st s JOIN lw l USING (bucket)
          GROUP BY s.doc_id""",
+    // x176: the pair matrix, both ranked k-NN means and the best-match
+    // margin replayed with the same micro-quantized arithmetic
+    "x176_bitext_margin" ->
+      s"""WITH e AS (SELECT d.doc_id AS id, d.lang,
+             CAST(em.embedding AS DOUBLE[]) AS v
+           FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id),
+         p AS (SELECT s.id AS sid, t.id AS tid,
+             CAST(floor((${cosSql("s.v", "t.v")}) * 1000000.0) AS BIGINT)
+               AS cm
+           FROM e s, e t
+           WHERE s.lang = 'en' AND t.lang = 'de' AND s.id <> t.id),
+         rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sid
+             ORDER BY cm DESC, tid) AS r FROM p),
+         mx AS (SELECT sid,
+             CAST(floor(CAST(SUM(cm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mx
+           FROM rs WHERE r <= 4 GROUP BY sid),
+         rt AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tid
+             ORDER BY cm DESC, sid) AS r FROM p),
+         my AS (SELECT tid,
+             CAST(floor(CAST(SUM(cm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS my
+           FROM rt WHERE r <= 4 GROUP BY tid),
+         best AS (SELECT sid, tid, cm FROM rs WHERE r = 1)
+         SELECT b.sid AS src_id, b.tid AS tgt_id, b.cm AS cos_micro,
+           mx.mx AS src_knn_mean_micro, my.my AS tgt_knn_mean_micro,
+           b.cm * 2 - (mx.mx + my.my) AS margin_micro,
+           b.cm * 2 - (mx.mx + my.my) > 0 AS mined
+         FROM best b JOIN mx USING (sid) JOIN my USING (tid)""",
     // x175: every stage recomputed independently — the x27 LSH cluster
     // chain, x09's quality expression, x33's 4-gram overlap, x120's
     // bucket log-weights — then the first-failing-stage CASE
