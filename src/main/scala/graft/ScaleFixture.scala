@@ -28,6 +28,11 @@ object ScaleFixture {
   def ensure(spark: SparkSession, sf01: String, fixtureDir: String): Unit = {
     val docs = Tables.load(spark, sf01, "documents")
     val nDocs = docs.count()
+    // The k·10⁶ shard offset assumes ids fit under one million per shard;
+    // a bigger source would silently collide ids while still passing the
+    // 10×-row-count freshness stamp, so fail loudly instead (r13 advice).
+    require(nDocs < 1000000L,
+      s"ScaleFixture shard offset requires <1e6 docs, got $nDocs")
     val docsTarget = new java.io.File(s"$fixtureDir/documents.parquet")
     val docsFresh = docsTarget.exists() &&
       (try spark.read.parquet(docsTarget.toString).count() == 10 * nDocs
@@ -52,6 +57,8 @@ object ScaleFixture {
     }
     val emb = Tables.load(spark, sf01, "embeddings")
     val nEmb = emb.count()
+    require(nEmb < 1000000L,
+      s"ScaleFixture shard offset requires <1e6 embeddings, got $nEmb")
     val embTarget = new java.io.File(s"$fixtureDir/embeddings.parquet")
     val embFresh = embTarget.exists() &&
       (try spark.read.parquet(embTarget.toString).count() == 10 * nEmb

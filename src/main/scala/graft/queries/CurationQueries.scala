@@ -442,6 +442,64 @@ object CurationQueries {
           (col("cm") * 2L - (col("mx") + col("my")) > 0L).as("mined"))
     }),
 
+    // ───── margin-based bitext mining, SCALE path (the x52-style
+    // composition x176's comment promises): the margin is computed over
+    // IVF candidate lists (Similarity.ivfTopKLarge — per-side coarse
+    // models of K = max(8, ⌊√N⌋) lowest-id vectors, 2 probes, k = 4)
+    // instead of the full language-pair cross product, and the k-NN
+    // means come from the candidate lists themselves — LASER/CCMatrix
+    // practice (Artetxe & Schwenk '19 §3.2: "k nearest neighbours in
+    // both directions"). Candidates cost Θ(N^1.5) against x176's N²;
+    // recall < 1 by IVF construction (a true best pair outside every
+    // probed cell is missed) — the declared trade, exactly x06-vs-x05.
+    // Scores are the candidates' 4-dp cosines floored to micro units
+    // (ivfTopK's output contract), margins all-integer; a best pair
+    // emits only with backward coverage of its target (inner join —
+    // deterministic, oracle-replayable)
+    "x177_bitext_margin_ivf" -> ((s, d) => {
+      graft.expressions.GraftFunctions.ensureRegistered(s)
+      val e = t(s, d, "embeddings")
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("lang"), col("embedding"))
+      val src = e.filter(col("lang") === "en")
+        .select(col("vec_id").as("sid"), col("embedding").as("sv"))
+      val tgt = e.filter(col("lang") === "de")
+        .select(col("vec_id").as("tid"), col("embedding").as("tv"))
+      // per-side coarse models: the K lowest-id vectors of that side,
+      // K = max(8, ⌊√N⌋) so cells keep ~√N occupancy as the corpus
+      // grows (count() is a bounded scalar action; pinLocal bounds K)
+      def centOf(side: DataFrame, id: String, v: String) = {
+        val kC = math.max(8L, math.sqrt(side.count().toDouble).toLong).toInt
+        Similarity.pinLocal(side.orderBy(col(id)).limit(kC)
+          .select(col(id).as("cid"), col(v).as("cvec")))
+      }
+      val micro = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(1000000.0)).cast("long")
+      val fwd = Similarity.ivfTopKLarge(tgt, "tid", "tv", src, "sid", "sv",
+          centOf(tgt, "tid", "tv"), "cid", "cvec", k = 4, probes = 2)
+        .select(col("query_id").as("sid"), col("rank"),
+          col("neighbor_id").as("tid"), micro(col("cos_sim")).as("cm"))
+        .cacheRegistered
+      val bwd = Similarity.ivfTopKLarge(src, "sid", "sv", tgt, "tid", "tv",
+          centOf(src, "sid", "sv"), "cid", "cvec", k = 4, probes = 2)
+      val mx = fwd.groupBy(col("sid"))
+        .agg(floor(sum(col("cm")).cast("double") / count(lit(1)))
+          .cast("long").as("mx"))
+      val my = bwd.groupBy(col("query_id"))
+        .agg(floor(sum(micro(col("cos_sim"))).cast("double") / count(lit(1)))
+          .cast("long").as("my"))
+        .select(col("query_id").as("tid"), col("my"))
+      fwd.filter(col("rank") === 1)
+        .join(mx, Seq("sid")).join(my, Seq("tid"))
+        .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+          col("cm").as("cos_micro"),
+          col("mx").as("src_knn_mean_micro"),
+          col("my").as("tgt_knn_mean_micro"),
+          (col("cm") * 2L - (col("mx") + col("my"))).as("margin_micro"),
+          (col("cm") * 2L - (col("mx") + col("my")) > 0L).as("mined"))
+    }),
+
     // ───── exact substring dedup with REMOVAL (Lee et al. 2022,
     // arXiv:2107.06499 §4, re-expressed at chunk granularity): the global
     // first occurrence of every 4-token chunk survives (first = lowest
@@ -1516,6 +1574,71 @@ object CurationQueries {
              CAST(floor(CAST(SUM(cm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS my
            FROM rt WHERE r <= 4 GROUP BY tid),
          best AS (SELECT sid, tid, cm FROM rs WHERE r = 1)
+         SELECT b.sid AS src_id, b.tid AS tgt_id, b.cm AS cos_micro,
+           mx.mx AS src_knn_mean_micro, my.my AS tgt_knn_mean_micro,
+           b.cm * 2 - (mx.mx + my.my) AS margin_micro,
+           b.cm * 2 - (mx.mx + my.my) > 0 AS mined
+         FROM best b JOIN mx USING (sid) JOIN my USING (tid)""",
+    // x177: both directions' IVF candidate lists (x15's assignment/probe
+    // replay, per-side √N-sized lowest-id coarse models), then the same
+    // margin algebra as x176 over the list cosines
+    "x177_bitext_margin_ivf" ->
+      s"""WITH e AS (SELECT d.doc_id AS id, d.lang,
+             CAST(em.embedding AS DOUBLE[]) AS v
+           FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id),
+         s AS (SELECT id, v FROM e WHERE lang = 'en'),
+         tg AS (SELECT id, v FROM e WHERE lang = 'de'),
+         cent_t AS (SELECT id AS cid, v AS cv FROM
+             (SELECT *, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM tg)
+           WHERE rn <= (SELECT greatest(8,
+             CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM tg)),
+         cent_s AS (SELECT id AS cid, v AS cv FROM
+             (SELECT *, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM s)
+           WHERE rn <= (SELECT greatest(8,
+             CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM s)),
+         a_t AS (SELECT x.id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.id
+             ORDER BY ${cosSql("x.v", "c.cv")} DESC, c.cid) AS rn
+           FROM tg x, cent_t c),
+         cl_t AS (SELECT id, cid AS cell FROM a_t WHERE rn = 1),
+         a_s AS (SELECT x.id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.id
+             ORDER BY ${cosSql("x.v", "c.cv")} DESC, c.cid) AS rn
+           FROM s x, cent_s c),
+         cl_s AS (SELECT id, cid AS cell FROM a_s WHERE rn = 1),
+         pq_f AS (SELECT x.id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.id
+             ORDER BY ${cosSql("x.v", "c.cv")} DESC, c.cid) AS rn
+           FROM s x, cent_t c),
+         pq_b AS (SELECT x.id, c.cid, ROW_NUMBER() OVER (PARTITION BY x.id
+             ORDER BY ${cosSql("x.v", "c.cv")} DESC, c.cid) AS rn
+           FROM tg x, cent_s c),
+         fw AS (SELECT sid, tid, cm, rank FROM
+             (SELECT q.id AS sid, ce.id AS tid,
+               CAST(floor(round(${cosSql("q.v", "c.v")}, 4) * 1000000.0)
+                 AS BIGINT) AS cm,
+               ROW_NUMBER() OVER (PARTITION BY q.id
+                 ORDER BY ${cosSql("q.v", "c.v")} DESC, ce.id) AS rank
+             FROM (SELECT id, cid FROM pq_f WHERE rn <= 2) pr
+             JOIN s q ON q.id = pr.id
+             JOIN cl_t ce ON ce.cell = pr.cid AND ce.id <> pr.id
+             JOIN tg c ON c.id = ce.id)
+           WHERE rank <= 4),
+         bw AS (SELECT tid, cm, rank FROM
+             (SELECT q.id AS tid,
+               CAST(floor(round(${cosSql("q.v", "c.v")}, 4) * 1000000.0)
+                 AS BIGINT) AS cm,
+               ROW_NUMBER() OVER (PARTITION BY q.id
+                 ORDER BY ${cosSql("q.v", "c.v")} DESC, ce.id) AS rank
+             FROM (SELECT id, cid FROM pq_b WHERE rn <= 2) pr
+             JOIN tg q ON q.id = pr.id
+             JOIN cl_s ce ON ce.cell = pr.cid AND ce.id <> pr.id
+             JOIN s c ON c.id = ce.id)
+           WHERE rank <= 4),
+         mx AS (SELECT sid,
+             CAST(floor(CAST(SUM(cm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mx
+           FROM fw GROUP BY sid),
+         my AS (SELECT tid,
+             CAST(floor(CAST(SUM(cm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS my
+           FROM bw GROUP BY tid),
+         best AS (SELECT sid, tid, cm FROM fw WHERE rank = 1)
          SELECT b.sid AS src_id, b.tid AS tgt_id, b.cm AS cos_micro,
            mx.mx AS src_knn_mean_micro, my.my AS tgt_knn_mean_micro,
            b.cm * 2 - (mx.mx + my.my) AS margin_micro,

@@ -909,8 +909,12 @@ object ExtensionQueries {
     // x15/x20 convention
     "x122_ivf_pq_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cent = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // codebook DRIVER-LOCAL (pinLocal, the x152 pattern): the coarse
+      // assignment becomes a map-side literal fold (no crossJoin×window
+      // exchange) and every codebook broadcast is a job-free
+      // LocalTableScan (r13 verdict #5)
+      val cent = Similarity.pinLocal(emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
       Similarity.ivfPqTopK(emb, "vec_id", "embedding", cent, "cid", "cvec",
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           m = 8, dim = 64, k = 5, probes = 2)
@@ -927,12 +931,17 @@ object ExtensionQueries {
     // probes as x122 so x123-vs-x122 isolates the encoding change
     "x123_ivf_pq_residual_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cent = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val fine = Similarity.residuals(
+      // coarse + fine books DRIVER-LOCAL (pinLocal, the x152 pattern —
+      // r13 verdict #5): the corpus and fine-book assignments become
+      // map-side literal folds instead of rebuilding the crossJoin×window
+      // coarse assignment per consumer, and the codebook/LUT broadcasts
+      // are job-free LocalTableScans
+      val cent = Similarity.pinLocal(emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      val fine = Similarity.pinLocal(Similarity.residuals(
           emb.filter(col("vec_id") >= 16 && col("vec_id") < 32),
           "vec_id", "embedding", cent, "cid", "cvec")
-        .select(col("vec_id").as("fcid"), col("resid").as("fvec"))
+        .select(col("vec_id").as("fcid"), col("resid").as("fvec")))
       Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
           cent, "cid", "cvec", fine, "fcid", "fvec",
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
@@ -1070,14 +1079,11 @@ object ExtensionQueries {
     // so no corpus⋈assignments shuffle join ever plans (r12 verdict #2)
     "x130_semdedup_kmeans" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val model = Similarity.kmeansMicro(emb, "vec_id", "embedding",
-        k = 8, iters = 2)
-      val grid = model.centroids.map(_._2).toIndexedSeq
-      val labeled = emb.select(col("vec_id"), col("embedding"))
-        .withColumn("cell",
-          Similarity.microArgmin(
-            Similarity.quantizeMicro(col("embedding"), 1000000L), grid)
-            .getField("c"))
+      // train AND label off ONE cached quantized frame (r13 verdict #3):
+      // the label stage is microArgmin over the trained grid projected
+      // from the training cache — no second parquet scan, no re-quantize
+      val (_, labeled) = Similarity.kmeansMicroLabeled(emb,
+        "vec_id", "embedding", k = 8, iters = 2)
       Similarity.semanticDedupLabeled(labeled, "vec_id", "embedding",
           tau = 0.4)
         .select(col("vec_id"), col("cell"), col("is_dup"))
@@ -1193,17 +1199,21 @@ object ExtensionQueries {
       import scala.jdk.CollectionConverters._
       import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
       val emb = t(s, d, "embeddings")
-      val model = Similarity.kmeansMicro(emb, "vec_id", "embedding",
-        k = 8, iters = 2)
+      // train keeps the raw vectors in its cache (kmeansMicroLabeled) so
+      // the index/query sides below read the CACHE, not a second parquet
+      // scan (r13 verdict #3's shared-training-subtree treatment)
+      val (model, labeled) = Similarity.kmeansMicroLabeled(emb,
+        "vec_id", "embedding", k = 8, iters = 2)
+      val corpus = labeled.select(col("vec_id"), col("embedding"))
       val cent = s.createDataFrame(
         model.centroids.map { case (j, c) =>
           org.apache.spark.sql.Row(j, c.map(_.toFloat).toSeq)
         }.asJava,
         StructType(Seq(StructField("cid", IntegerType, nullable = false),
           StructField("cvec", ArrayType(FloatType), nullable = false))))
-      val q = emb.filter(col("vec_id") < 8)
+      val q = corpus.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+      Similarity.ivfTopK(corpus, "vec_id", "embedding", q, "qid", "qvec",
           cent, "cid", "cvec", k = 5, probes = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos_sim"))

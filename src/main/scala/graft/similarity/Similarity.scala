@@ -226,13 +226,42 @@ object Similarity {
         case ArrayType(DoubleType, _) => Some(r => typedLit(r.getSeq[Double](1)))
         case _ => None
       }
-    (localCentroidRows(centPlan), vecLit) match {
-      case (Some(rows), Some(mkLit)) =>
-        // no repartition on this path: the fold is a pure projection
-        // with no downstream co-partitioning demand, and an unforced
-        // 32-way exchange would also inflate e.g. x151's per-batch
-        // append (32 files per micro-batch instead of the scan's)
-        val best = array_min(array(rows.map { r =>
+    val allNumericCids = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.forall(_.get(0).isInstanceOf[java.lang.Number])
+    (localCentroidRows(centPlan), vecLit,
+      centPlan.schema(cvecCol).dataType) match {
+      // no repartition on either local path: the assignment is a pure
+      // projection with no downstream co-partitioning demand, and an
+      // unforced 32-way exchange would also inflate e.g. x151's
+      // per-batch append (32 files per micro-batch instead of the scan's)
+      case (Some(rows), Some(_), ArrayType(FloatType, _))
+          if allNumericCids(rows) =>
+        // NATIVE argmin (graft_cell_argmin) instead of the K-struct
+        // array_min fold: the fold inlined K dot loops into whole-stage
+        // codegen, blowing the JIT method ceiling when the projection
+        // shared a stage with a join — the stage then ran interpreted
+        // bytecode at ~3 ms/row (r14 StageCensus). Rows sort by cid so
+        // the expression's first-win tie IS the fold's lowest-cid rule;
+        // per-centroid norms precompute driver-side with the identical
+        // index-ordered accumulation. Arithmetic/ordering bit-identical.
+        val sorted = rows.sortBy(_.get(0).asInstanceOf[java.lang.Number].longValue)
+        val mats: Seq[Seq[Float]] = sorted.map(_.getSeq[Float](1)).toSeq
+        val norms: Seq[Double] = mats.map { c =>
+          var acc = 0.0
+          c.foreach(f => acc += f.toDouble * f.toDouble)
+          math.sqrt(acc)
+        }
+        val pos = call_function("graft_cell_argmin", col(vecCol),
+          typedLit(mats), typedLit(norms))
+        val cidArr = array(sorted.map(r => lit(r.get(0))).toIndexedSeq: _*)
+        corpus.select(col(idCol), col(vecCol))
+          .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
+          .withColumn("cell", element_at(cidArr, pos + 1))
+          .select(col(idCol), col(vecCol), col("__n"), col("cell"))
+      case (Some(rows), Some(mkLit), _) =>
+        // non-float or non-numeric-cid local models: the original
+        // struct-min literal fold (same contract; rare shape)
+        val best = array_min(array(rows.toIndexedSeq.map { r =>
           val cv = mkLit(r)
           struct(
             (dot(col(vecCol), cv) / (col("__n") * sqrt(dot(cv, cv)))
@@ -334,6 +363,54 @@ object Similarity {
     val qcells = assign(qn, qidCol, qvecCol, "__qn", probes)
     val scored = cells
       .join(broadcast(qcells.withColumnRenamed("cell", "qcell")),
+        col("cell") === col("qcell") && col(qidCol) =!= col(idCol))
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        (dot(col(qvecCol), col(vecCol)) / (col("__qn") * col("__n"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** [[ivfTopK]] for the regime where the QUERY side is itself
+    * corpus-sized — bitext mining (x177), all-to-all related-item search —
+    * so the query probe-cell frame must NOT be unconditionally broadcast.
+    * Cells, scoring, ranking and rounding are ivfTopK's verbatim
+    * (spec-pinned row-identical); the one plan change is the candidate
+    * join: the probe frame attaches via [[graft.ops.Relational
+    * .gatedBroadcast]] — at bench SF the gate reproduces ivfTopK's
+    * broadcast plan, at scale both sides shuffle ONCE on the cell key.
+    * Asymptotics note (the honest CCMatrix arithmetic): with K ≈ √N
+    * centroids an all-to-all probe costs Θ(N^1.5) candidate pairs — far
+    * below the N² cross product but inherently super-linear; callers
+    * scale K with the corpus (x177 picks K = max(8, ⌊√N⌋) per side).
+    * Requires distinct id column names on the two sides. */
+  def ivfTopKLarge(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      k: Int, probes: Int): DataFrame = {
+    require(qidCol != idCol,
+      s"ivfTopKLarge needs distinct id names, got '$idCol' on both sides")
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cent = broadcast(centroids.select(col(cidCol), col(cvecCol))
+      .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
+    val cells = assignCellsWithNorm(corpus, idCol, vecCol,
+      centroids, cidCol, cvecCol)
+    val wq = Window.partitionBy(col(qidCol))
+      .orderBy(col("__ccos").desc, col(cidCol).asc)
+    val qcells = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
+      .crossJoin(cent)
+      .withColumn("__ccos",
+        dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= probes)
+      .select(col(qidCol), col(qvecCol), col("__qn"), col(cidCol).as("qcell"))
+    val scored = cells
+      .join(graft.ops.Relational.gatedBroadcast(qcells),
         col("cell") === col("qcell") && col(qidCol) =!= col(idCol))
       .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
         (dot(col(qvecCol), col(vecCol)) / (col("__qn") * col("__n"))).as("cos"))
@@ -548,7 +625,13 @@ object Similarity {
   private def pqCodes(ev: DataFrame, idCol: String,
                       cent: DataFrame, cidCol: String,
                       m: Int, subDim: Int): DataFrame =
-    pqSubDists(ev, Seq(idCol), "__v", cent, cidCol, "__cv", m, subDim)
+    // rebalance BEFORE the encode: per-row work is m×|book| interpreted
+    // sub-distance folds — the CPU-dense regime where the x106 rule says
+    // an explicit spread pays (a one-row-group corpus would otherwise
+    // encode on a single core; at cluster scale the scan's splits make
+    // this a near-no-op local shuffle)
+    pqSubDists(ev.repartition(ev.sparkSession.sparkContext.defaultParallelism),
+        Seq(idCol), "__v", cent, cidCol, "__cv", m, subDim)
       .groupBy(col(idCol), col("s"))
       .agg(min(struct(col("d"), col(cidCol))).as("__m"))
       .select(col(idCol), col("s"), col("__m").getField(cidCol).as("code"))
@@ -569,7 +652,14 @@ object Similarity {
     * execution order), rank by distance ascending with neighbor-id
     * tiebreak. Input rows: `(__qid, idCol, s, d)`. */
   private def pqRank(joined: DataFrame, idCol: String, k: Int): DataFrame = {
+    // ONE exchange for agg + window: hash(__qid) satisfies the agg's
+    // ClusteredDistribution(__qid, id) (subset rule) AND the window's
+    // (__qid), where the planner's default — hash(__qid, id) for the agg,
+    // then hash(__qid) for the window — pays two sequential exchanges on
+    // the same candidate-sized rows (the wall driver in the sub-second
+    // band is exchange COUNT, not bytes)
     val scored = joined
+      .repartition(col("__qid"))
       .groupBy(col("__qid"), col(idCol))
       .agg(expr("aggregate(transform(sort_array(collect_list(struct(s, d))), " +
         "x -> x.d), cast(0.0 as double), (a, b) -> a + b)").as("dist"))
@@ -616,7 +706,11 @@ object Similarity {
                         probes: Seq[Int],
                         extraKeys: Seq[String] = Nil): DataFrame = {
     val keys = extraKeys.map(col) :+ col("__qid")
+    // one exchange on the WINDOW keys serves the per-candidate agg too
+    // (subset rule — see pqRank); the sweep's running-count window then
+    // adds no second exchange over the scored rows
     val scored = joined
+      .repartition(keys: _*)
       .groupBy(keys :+ col(idCol) :+ col("__cellRank"): _*)
       .agg(expr("aggregate(transform(sort_array(collect_list(struct(s, d))), " +
         "x -> x.d), cast(0.0 as double), (a, b) -> a + b)").as("dist"))
@@ -756,13 +850,24 @@ object Similarity {
   def residuals(vecs: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, cidCol: String, cvecCol: String,
                 cellsOpt: Option[DataFrame] = None): DataFrame = {
-    val cells = cellsOpt.getOrElse(
-        assignCells(vecs, idCol, vecCol, centroids, cidCol, cvecCol))
-      .select(col(idCol), col("cell"))
     val centD = broadcast(centroids.select(col(cidCol).as("cell"),
       col(cvecCol).cast("array<double>").as("__cellv")))
-    vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__vd"))
-      .join(cells, Seq(idCol))
+    // when WE assign, the assignment frame already carries the vector —
+    // re-joining `vecs` on id would plan a scan⋈scan SMJ (two exchanges)
+    // for data the projection has in hand (r13 verdict #5: x123 rebuilt
+    // its coarse assignment through exactly this join). Only a CALLER-
+    // SUPPLIED cell frame (a standing index, a shared cache) needs the
+    // id join.
+    val withCell = cellsOpt match {
+      case Some(c) =>
+        vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__vd"))
+          .join(c.select(col(idCol), col("cell")), Seq(idCol))
+      case None =>
+        assignCells(vecs, idCol, vecCol, centroids, cidCol, cvecCol)
+          .select(col(idCol), col("cell"),
+            col(vecCol).cast("array<double>").as("__vd"))
+    }
+    withCell
       .join(centD, Seq("cell"))
       .select(col(idCol), col("cell"),
         expr("zip_with(__vd, __cellv, (x, y) -> x - y)").as("resid"))
@@ -1002,7 +1107,10 @@ object Similarity {
                          lutCellFor: Column, idCol: String,
                          m: Int, subDim: Int, k: Int,
                          probes: Seq[Int]): DataFrame = {
-    val codes = pqSubDists(encodeIn, Seq("__scheme", idCol), "__v",
+    val codes = pqSubDists(
+        encodeIn.repartition(
+          encodeIn.sparkSession.sparkContext.defaultParallelism),
+        Seq("__scheme", idCol), "__v",
         books, "__code", "__cv", m, subDim, joinKeys = Seq("__scheme"))
       .groupBy(col("__scheme"), col(idCol), col("s"))
       .agg(min(struct(col("d"), col("__code"))).as("__m"))
@@ -1115,13 +1223,14 @@ object Similarity {
     * join against the assignments frame, no exchange, the centroid grid
     * folds into the expression tree as literals. */
   def microArgmin(q: Column, cents: Seq[Array[Long]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, j) =>
-      struct(
-        aggregate(
-          zip_with(q, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("d"),
-        lit(j).as("c"))
-    }: _*))
+    // native (graft_micro_argmin): one compiled K×dim loop returning the
+    // same struct<d, c> the r1–r13 array_min-over-structs fold produced —
+    // the interpreted zip_with/aggregate lambdas were the dominant CPU of
+    // every k-means training pass (r14 census), and K inlined HOF trees
+    // also bloat whole-stage codegen past the JIT ceiling (see
+    // CellArgmin). Identical values and lowest-cluster tie rule on
+    // in-contract (fixed-dim, non-null, non-overflowing) data.
+    call_function("graft_micro_argmin", q, typedLit(cents.map(_.toSeq)))
 
   /** Lloyd's k-means over an embedding column, engine-replayable — the
     * missing TRAINING stage behind every centroid table in this module
@@ -1154,18 +1263,39 @@ object Similarity {
     * corpus is cached for the `iters+1` passes (caller-managed lifecycle,
     * as with the pair generators). */
   def kmeansMicro(corpus: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int, scale: Long = 1000000L): KmeansModel = {
+                  k: Int, iters: Int, scale: Long = 1000000L): KmeansModel =
+    kmeansMicroCore(corpus, idCol, vecCol, k, iters, scale, keepVec = false)._1
+
+  /** [[kmeansMicro]] PLUS the corpus labeled with its trained cluster as
+    * `cell` — `(idCol, vecCol, cell)` — projected off the SAME cached
+    * quantized frame the training passes read, so a trained-partition
+    * consumer (x130's SemDeDup scan) pays no second parquet scan and no
+    * re-quantize for its label stage (r13 verdict #3: train-then-label
+    * chains duplicated the upstream subtree). `cell` is exactly
+    * [[microArgmin]] over the learned grid — identical to labeling the
+    * raw scan by hand. */
+  def kmeansMicroLabeled(corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int,
+                         scale: Long = 1000000L): (KmeansModel, DataFrame) =
+    kmeansMicroCore(corpus, idCol, vecCol, k, iters, scale, keepVec = true)
+
+  private def kmeansMicroCore(corpus: DataFrame, idCol: String, vecCol: String,
+                              k: Int, iters: Int, scale: Long,
+                              keepVec: Boolean): (KmeansModel, DataFrame) = {
     require(k > 0 && iters >= 0, "k-means needs k > 0, iters >= 0")
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val baseCols =
+      if (keepVec) Seq(col(idCol), col(vecCol)) else Seq(col(idCol))
     val q = corpus
-      .select(col(idCol), quantizeMicro(col(vecCol), scale).as("__q"))
+      .select(baseCols :+ quantizeMicro(col(vecCol), scale).as("__q"): _*)
       .repartition(parts)
       .transform(InternalCaches.register _)
 
     // init: the k lowest-id vectors (bounded k-row collect, documented)
     var cents: IndexedSeq[Array[Long]] =
-      q.orderBy(col(idCol)).limit(k).collect()
-        .map(_.getSeq[Long](1).toArray).toIndexedSeq
+      q.orderBy(col(idCol)).limit(k).select(col("__q")).collect()
+        .map(_.getSeq[Long](0).toArray).toIndexedSeq
     require(cents.length == k, s"corpus has fewer than k=$k vectors")
 
     // argmin over the literal centroid grid: array_min of (dist, cid)
@@ -1192,7 +1322,13 @@ object Similarity {
     val assigned = q.select(col(idCol), assignExpr(cents).as("__a"))
       .select(col(idCol), col("__a").getField("c").as("cluster"),
         col("__a").getField("d").as("dist2"))
-    KmeansModel(assigned, cents.zipWithIndex.map { case (c, j) => (j, c) })
+    val labeled =
+      if (keepVec)
+        q.select(col(idCol), col(vecCol),
+          assignExpr(cents).getField("c").as("cell"))
+      else null
+    (KmeansModel(assigned, cents.zipWithIndex.map { case (c, j) => (j, c) }),
+      labeled)
   }
 
   /** Principal-component projection via a distributed integer scatter
@@ -1249,19 +1385,26 @@ object Similarity {
     // derives exactly on the driver: Σ(q−μ)(q−μ)ᵀ = Σqqᵀ − μᵢΣqⱼ − μⱼΣqᵢ
     // + n·μᵢμⱼ with μ the same floor-mean as before (all integer, so the
     // algebraic rearrangement is EXACT — bit-identical S, w2, output).
+    val dec38 = DecimalType(38, 0)
     val q = corpus
       .filter(col(vecCol).isNotNull)             // fixed-dim, non-null rows
       .select(col(idCol), quantizeMicro(col(vecCol), scale).as("__q"))
     val aug = q.select(col(idCol),
       concat(col("__q"), array(lit(1L))).as("__a"))
+    // the per-element product fits LONG (milli-grid components), but the
+    // SUM grows with n·scale² — unlike the r1–r12 centered two-pass form,
+    // the raw second moments also carry n·μᵢμⱼ, so accumulate in
+    // DECIMAL(38,0) to keep the old form's headroom (r13 advice); the
+    // driver-side algebra below is BigInt either way
     val s0 = aug.repartition(parts)
       .select(posexplode(col("__a")).as(Seq("__i", "__ai")), col("__a"))
       .select(col("__i"), col("__ai"),
         posexplode(col("__a")).as(Seq("__j", "__aj")))
       .groupBy(col("__i"), col("__j"))
-      .agg(sum(col("__ai") * col("__aj")).as("__s"))
+      .agg(sum((col("__ai") * col("__aj")).cast(dec38)).as("__s"))
       .collect()                                 // (dim+1)² — model-sized
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        BigInt(r.getDecimal(2).toBigInteger))
       .toMap
     val dim = math.sqrt(s0.size.toDouble).toInt - 1
     require(dim >= 1, "pcaPowerProjection needs a non-empty vector column")
@@ -1269,8 +1412,8 @@ object Similarity {
     val colSum = (0 until dim).map(i => s0((i, dim)))
     val mu = colSum.map(sv => math.floor(sv.toDouble / n.toDouble).toLong)
     val s = (for (i <- 0 until dim; j <- 0 until dim) yield {
-      (i, j) -> (BigInt(s0((i, j))) - BigInt(mu(i)) * colSum(j)
-        - BigInt(mu(j)) * colSum(i) + BigInt(n) * mu(i) * mu(j))
+      (i, j) -> (s0((i, j)) - BigInt(mu(i)) * colSum(j)
+        - BigInt(mu(j)) * colSum(i) + n * mu(i) * mu(j))
     }).toMap
     // exact BigInt power iteration with integer-grid renormalization
     val w1 = (0 until dim).map(i => (0 until dim).map(j => s((i, j))).sum)
@@ -1284,7 +1427,6 @@ object Similarity {
     // join+agg form summed the same ≤dim exact DECIMAL(38,0) terms, so
     // any association order is value-identical. No cache either: each of
     // the two passes reads the scan once.
-    val dec38 = DecimalType(38, 0)
     val proj = (0 until dim)
       .map(i => (col("__q").getItem(i) - lit(mu(i))).cast(dec38) *
         lit(new java.math.BigDecimal(w2(i).bigInteger)).cast(dec38))
@@ -1350,7 +1492,12 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= tau)
       .select(col("id_b").as(idCol)).distinct()
-    labeled.join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
+    // gate-broadcast the dup-id list (duplicate-count-sized) so the final
+    // attach-back rides the labeled cache's partitioning instead of
+    // shuffling the corpus a second time (estimate-gated — a corpus whose
+    // dup set outgrows the threshold falls back to the planner's join)
+    labeled.join(graft.ops.Relational.gatedBroadcast(
+        dups.withColumn("__dup", lit(true))), Seq(idCol), "left")
       .select(col(idCol), col("cell"),
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }

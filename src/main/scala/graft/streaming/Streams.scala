@@ -652,38 +652,60 @@ object Streams {
     * models beyond the pinLocal bound are never cached (fallback path
     * stays fully general). */
   private val annIndexMeta = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType,
+    String, (String, Seq[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType,
       org.apache.spark.sql.types.StructType)]()
+
+  /** Validity token for a handle: the model directory's file listing
+    * (name, length, mtime). Cells are append-only under a frozen model,
+    * so the MODEL listing is the one thing that changes iff the index was
+    * re-seeded/rewritten — including by another JVM or an external test
+    * cleanup (r13 advice: a same-JVM-only invalidation went stale there).
+    * One driver-side listStatus per access — noise next to the re-read
+    * job the cache saves. */
+  private def annModelToken(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/model")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+  }
 
   private def annModelOf(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
+    val tok = annModelToken(spark, indexDir)
     annIndexMeta.get(indexDir) match {
-      case (rows, schema, _) => spark.createDataFrame(rows.asJava, schema)
-      case null =>
+      case (t, rows, schema, _) if t == tok =>
+        spark.createDataFrame(rows.asJava, schema)
+      case _ =>
+        annIndexMeta.remove(indexDir): Unit
         val onDisk = spark.read.parquet(s"$indexDir/model")
         val rows = onDisk.limit(4097).collect()
         if (rows.length <= 4096) {
           // cells schema = id + vec (from the model's vec type is NOT
           // derivable) — leave it for the first cells read to fill
           val m = onDisk.schema
-          annIndexMeta.putIfAbsent(indexDir, (rows.toSeq, m, null)): Unit
+          annIndexMeta.putIfAbsent(indexDir, (tok, rows.toSeq, m, null)): Unit
           spark.createDataFrame(rows.toSeq.asJava, m)
         } else onDisk
     }
   }
 
   private def annCellsOf(spark: org.apache.spark.sql.SparkSession,
-                         indexDir: String): DataFrame =
+                         indexDir: String): DataFrame = {
+    val tok = annModelToken(spark, indexDir)
     annIndexMeta.get(indexDir) match {
-      case (_, _, cellsSchema) if cellsSchema != null =>
+      case (t, _, _, cellsSchema) if t == tok && cellsSchema != null =>
         spark.read.schema(cellsSchema).parquet(s"$indexDir/cells")
       case _ =>
         val df = spark.read.parquet(s"$indexDir/cells")
         annIndexMeta.computeIfPresent(indexDir,
-          (_, v) => (v._1, v._2, df.schema)): Unit
+          (_, v) => if (v._1 == tok) (v._1, v._2, v._3, df.schema) else v): Unit
         df
     }
+  }
 
   /** Seed the standing ANN index at `indexDir`: persists the coarse
     * centroid model (frozen for the index's lifetime — re-training means
@@ -706,7 +728,7 @@ object Streams {
       idCol, vecCol, model, "cid", "cvec")
     assigned.write.mode("overwrite").parquet(s"$indexDir/cells")
     annIndexMeta.computeIfPresent(indexDir,
-      (_, v) => (v._1, v._2, assigned.schema)): Unit
+      (_, v) => (v._1, v._2, v._3, assigned.schema)): Unit
   }
 
   /** One incremental ANN-index step: assign the batch's UNSEEN vectors to

@@ -32,7 +32,6 @@ object Retrieval {
   def bm25TopK(corpus: DataFrame, queries: DataFrame,
                idCol: String, textCol: String, qidCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = corpus.sparkSession
     // postings (id, tok, tf, dl) from ONE tokenize + ONE exchange: tf
     // and dl are both windows over the hash(id)-partitioned token rows
     // (hash(id) satisfies the (id, tok) clustering, so the second window
@@ -42,16 +41,22 @@ object Retrieval {
     // that on the wall, but the work was 3×. The pin makes every
     // downstream consumer (stats, df, scoring) read the cache; no
     // driver-side collects anywhere, so independent broadcast builds
-    // still overlap. The corpus repartitions BEFORE tokenizing — the
-    // x106 CPU-dense rebalance: one row group at bench SF would
-    // otherwise tokenize on one core. avgdl stays an explicit sum/count
-    // division of exact longs.
+    // still overlap. No repartition before tokenize: for linear per-row
+    // work the scan splits provide the parallelism, and the extra
+    // exchange measured slower (the r13 lesson — rebalance only pays
+    // for CPU-dense kernels like x106's pair scoring). avgdl stays an
+    // explicit sum/count division of exact longs.
     val wTok = Window.partitionBy(col(idCol), col("tok"))
     val wDoc = Window.partitionBy(col(idCol))
-    val parts = spark.sparkContext.defaultParallelism
+    // explicit hash(id) BEFORE the windows: it satisfies wTok's (id, tok)
+    // clustering by the subset rule, wDoc's (id), AND the (id, tok)
+    // dedup — ONE exchange where the planner's defaults (hash(id, tok)
+    // for wTok, then hash(id) for wDoc) pay two over the widest frame in
+    // the query
     val postings = graft.ops.InternalCaches.register(
       TextOps.tokenRows(corpus, idCol, textCol)
         .filter(col("tok") =!= "")
+        .repartition(col(idCol))
         .withColumn("tf", count(lit(1)).over(wTok))
         .withColumn("dl", count(lit(1)).over(wDoc))
         .select(col(idCol), col("tok"), col("tf"), col("dl"))
