@@ -17,17 +17,30 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleBench {
 
-  /** Default = the r12-verdict chain set: the heaviest representative of
-    * each gated family (IVFADC ANN, exact prefix-filter join, maintained
-    * ANN index, secondary-sort packing recurrence, per-doc n-gram
-    * coverage). ScaleGateSpec trips the full 11-chain list every `sbt
-    * test`; the artifact tracks the five the verdict names. */
+  /** Default = the r12-verdict gated-family set (IVFADC ANN, exact
+    * prefix-filter join, maintained ANN index, secondary-sort packing,
+    * per-doc n-gram coverage) PLUS the whole r13 >2×-of-twin band —
+    * the rows whose "fixed overhead amortizes at scale" defense the r13
+    * verdict asked to convert from census argument into measured
+    * `vs_linear` evidence (r13 directive #1) — plus x177, the new
+    * bitext scale path (directive #2). */
   private val defaultChains = Seq(
     "x123_ivf_pq_residual_ann",
     "x135_prefix_filter_join",
     "x151_ann_index_upsert",
     "x158_bestfit_packing",
-    "x163_gopher_repetition")
+    "x163_gopher_repetition",
+    // r13 >2× band (directive #1)
+    "x125_bm25_topk",
+    "x126_rrf_fusion",
+    "x130_semdedup_kmeans",
+    "x132_pca_power",
+    "x134_kmeans_ivf",
+    "x143_nb_confusion",
+    "x144_langid_agreement",
+    "x153_opq_perm_recall",
+    // bitext scale path (directive #2)
+    "x177_bitext_margin_ivf")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -303,7 +303,13 @@ object CorpusQueries {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
       val deg = edges.groupBy(col("c")).agg(count(lit(1)).as("d"))
-      edges.join(deg, Seq("c"))
+      // gate-broadcast the per-customer degree table (one narrow row per
+      // customer) so the edge frame keeps the distinct's partitioning
+      // instead of re-exchanging on c for this join (r14 census: the
+      // join exchange was one of four sequential wide stages; estimate-
+      // gated fallback to the planner's shuffle join at degree-table
+      // sizes beyond the threshold)
+      edges.join(graft.ops.Relational.gatedBroadcast(deg), Seq("c"))
         .select(col("s"), expr("CAST(1000000 AS BIGINT) div d").as("contrib"))
         .groupBy(col("s"))
         .agg(count(lit(1)).as("n_in"), sum(col("contrib")).as("in_sum"))
@@ -1031,7 +1037,13 @@ object CorpusQueries {
     // quadratic in the hottest key. Both windows are entity-keyed
     // (cardinality ≫ cores); the final top-3 ranks ≤ cap² candidates
     "x92_related_items" -> ((s, d) => {
-      val w = t(s, d, "orders")
+      // gate-broadcast the two-column orders side: the lineitem side then
+      // flows from its scan straight into the (cust, supp) aggregation's
+      // one exchange instead of paying the SMJ's two sort-exchanges
+      // (r14 census; estimate-gated — at orders sizes beyond the
+      // threshold the planner's shuffle join returns)
+      val w = graft.ops.Relational.gatedBroadcast(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")))
         .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
         .groupBy(col("o_custkey"), col("l_suppkey"))
@@ -1044,8 +1056,13 @@ object CorpusQueries {
         .filter(col("rn") <= 20).drop("rn")
       val perCust = Window.partitionBy(col("c"))
         .orderBy(col("cnt").desc, col("sp"))
+      // cache: the capped neighborhood frame feeds BOTH sides of the
+      // co-purchase self-join — without the pin each side re-evaluates
+      // the whole join+agg+two-window chain (r14 census: the duplicated
+      // window subtree was the redundant half of the plan). Bounded by
+      // construction: ≤ 10 rows per kept customer
       val s2 = s1.withColumn("rn", row_number().over(perCust))
-        .filter(col("rn") <= 10).drop("rn", "cnt")
+        .filter(col("rn") <= 10).drop("rn", "cnt").cacheRegistered
       val pairs = s2.select(col("c"), col("sp").as("sp_a"))
         .join(s2.select(col("c"), col("sp").as("sp_b")), Seq("c"))
         .filter(col("sp_a") =!= col("sp_b"))

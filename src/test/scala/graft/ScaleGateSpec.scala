@@ -77,7 +77,12 @@ class ScaleGateSpec extends SparkSpec {
     "x123_ivf_pq_residual_ann",
     "x158_bestfit_packing",
     "x163_gopher_repetition",
-    "x165_epoch_order")
+    "x165_epoch_order",
+    // r14: the all-to-all IVF probe (bitext margin) — the one chain whose
+    // scale posture depends on the per-side √N coarse-model sizing and
+    // the gated (non-broadcast) candidate join; a regression to x176's
+    // cross product or an unconditional query-cells broadcast lands here
+    "x177_bitext_margin_ivf")
 
   // fixture recipe hoisted to graft.ScaleFixture (r12 verdict #7): the
   // committed ScaleBench artifact and this gate must measure the SAME 10×

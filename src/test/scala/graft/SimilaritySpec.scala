@@ -475,6 +475,22 @@ class SimilaritySpec extends SparkSpec {
       s"local-centroid assignment still plans the join form:\n$foldPlan")
   }
 
+  test("ivfTopKLarge ≡ ivfTopK row for row (x15's shape)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank".cast("long"), $"neighbor_id", $"cos_sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val small = rows(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      q, "qid", "qvec", cent, "cid", "cvec", k = 5, probes = 2))
+    val large = rows(Similarity.ivfTopKLarge(emb, "vec_id", "embedding",
+      q, "qid", "qvec", cent, "cid", "cvec", k = 5, probes = 2))
+    assert(large == small, "ivfTopKLarge drifted from ivfTopK")
+  }
+
   test("dual sweep: per-scheme slices ≡ the standalone sweeps, and pinLocal/cellsOpt change nothing") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cent = emb.filter($"vec_id" < 16)

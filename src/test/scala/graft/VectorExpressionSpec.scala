@@ -18,6 +18,57 @@ class VectorExpressionSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("graft_cell_argmin is value-identical to the struct array_min fold (incl. near-ties)") {
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents: Seq[(Long, Seq[Float])] = emb.filter($"vec_id" < 16)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val v = col("embedding")
+    val n = sqrt(Similarity.dot(v, v))
+    // the r1–r13 fold form, verbatim
+    val fold = array_min(array(cents.map { case (cid, c) =>
+      val cv = typedLit(c)
+      struct((Similarity.dot(v, cv) / (n * sqrt(Similarity.dot(cv, cv)))
+        * lit(-1.0d)).as("nc"), lit(cid).as("c"))
+    }: _*)).getField("c")
+    // the native form as assignCellsWithNorm builds it: cid-sorted matrix,
+    // driver-precomputed norms, element_at over the position
+    val norms = cents.map { case (_, c) =>
+      var acc = 0.0; c.foreach(f => acc += f.toDouble * f.toDouble)
+      math.sqrt(acc)
+    }
+    val native = element_at(
+      array(cents.map(c => lit(c._1)): _*),
+      call_function("graft_cell_argmin", v,
+        typedLit(cents.map(_._2)), typedLit(norms)) + 1)
+    val bad = emb.select($"vec_id", fold.as("f"), native.as("g"))
+      .filter($"f" =!= $"g").count()
+    assert(bad == 0, "graft_cell_argmin drifted from the struct fold")
+  }
+
+  test("graft_micro_argmin is value-identical to the zip_with/aggregate struct fold") {
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Similarity.quantizeMicro(col("embedding"), 1000000L)
+    val qd = emb.select($"vec_id", q.as("__q"))
+    val cents: Seq[Array[Long]] = qd.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"__q").collect().map(_.getSeq[Long](0).toArray).toSeq
+    // the r1–r13 fold, verbatim
+    val fold = array_min(array(cents.zipWithIndex.map { case (c, j) =>
+      struct(
+        aggregate(zip_with($"__q", typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(j).as("c"))
+    }: _*))
+    val native = Similarity.microArgmin($"__q", cents)
+    val bad = qd.select(
+        fold.getField("d").as("fd"), fold.getField("c").as("fc"),
+        native.getField("d").as("gd"), native.getField("c").as("gc"))
+      .filter($"fd" =!= $"gd" || $"fc" =!= $"gc").count()
+    assert(bad == 0, "graft_micro_argmin drifted from the HOF fold")
+  }
+
   test("graft_vec_dot null semantics: length mismatch and null element -> null") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
