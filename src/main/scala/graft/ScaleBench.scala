@@ -30,7 +30,7 @@ object ScaleBench {
     "x151_ann_index_upsert",
     "x158_bestfit_packing",
     "x163_gopher_repetition",
-    // r13 >2× band (directive #1)
+    // r13 >2× band (directive #1) — ALL 17 rows, not just the named nine
     "x125_bm25_topk",
     "x126_rrf_fusion",
     "x130_semdedup_kmeans",
@@ -39,6 +39,15 @@ object ScaleBench {
     "x143_nb_confusion",
     "x144_langid_agreement",
     "x153_opq_perm_recall",
+    "x38_chunk_dedup",
+    "x42_curation_v2",
+    "x45_chunk_scrub",
+    "x54_bigram_familiarity",
+    "x75_filter_cascade",
+    "x103_tfidf_keywords",
+    "x120_dsir_weights",
+    "x124_span_scrub",
+    "x138_lang_mix",
     // bitext scale path (directive #2)
     "x177_bitext_margin_ivf")
 
