@@ -273,6 +273,90 @@ case class MicroArgmin(q: Expression, cents: Expression)
     copy(q = newLeft, cents = newRight)
 }
 
+/** Product-quantization encoder over a LITERAL codebook — the native
+  * form of the pqSubDists→argmin-codes pipeline (explode m subspaces ×
+  * broadcast-join |book| centroids × SortAggregate min-struct): per
+  * subspace s ∈ [0, m), the 0-based POSITION of the codebook row whose
+  * subvector slice minimizes the squared L2 sub-distance, ties to the
+  * FIRST row — callers sort the book by centroid id so first-win IS the
+  * relational form's lowest-cid struct-min, and map position → cid with
+  * `element_at` on a literal id array. Sub-distances are the identical
+  * index-ordered double accumulation of (x−y)² the zip_with/aggregate
+  * fold computes (both sides already cast to double), compared with
+  * Java `Double.compare` (= Spark struct ordering for the d field).
+  * Returns array<int> of length m = dim / subDim; null vector or a
+  * dimension mismatch (vs the book or subDim divisibility) → null —
+  * outside the fixed-dim contract every PQ caller declares. Exists
+  * because the relational encode paid an explode, a broadcast join and
+  * a SortAggregate (two sorts) per corpus pass; this is one map-side
+  * loop. */
+case class PqEncode(vec: Expression, books: Expression, subDim: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def first: Expression = vec
+  override def second: Expression = books
+  override def third: Expression = subDim
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (vec.dataType, books.dataType, subDim.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _),
+            org.apache.spark.sql.types.IntegerType) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_pq_codes expects (array<double>, array<array<double>>, int), " +
+        s"got (${vec.dataType.simpleString}, ${books.dataType.simpleString}, " +
+        s"${subDim.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(v: Any, bs: Any, sd: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mat = bs.asInstanceOf[ArrayData]
+    val sub = sd.asInstanceOf[Int]
+    val dim = x.numElements()
+    if (sub <= 0 || dim % sub != 0) return null
+    val m = dim / sub
+    val k = mat.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = 0.0
+      var firstRow = true
+      var j = 0
+      while (j < k) {
+        val cv = mat.getArray(j)
+        if (cv.numElements() != dim) return null
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val t = x.getDouble(s * sub + i) - cv.getDouble(s * sub + i)
+          d += t * t; i += 1
+        }
+        if (firstRow || java.lang.Double.compare(d, bestD) < 0) {
+          best = j; bestD = d; firstRow = false
+        }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqEncode =
+    copy(vec = newFirst, books = newSecond, subDim = newThird)
+}
+
 /** SparkSessionExtensions hook — the supported way to install graft's
   * native expressions cluster-wide:
   *   spark.sql.extensions=graft.expressions.GraftExtensions
@@ -308,6 +392,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_micro_argmin"),
       new ExpressionInfo(classOf[MicroArgmin].getName, "graft_micro_argmin"),
       (children: Seq[Expression]) => MicroArgmin(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_codes"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_codes"),
+      (children: Seq[Expression]) =>
+        PqEncode(children(0), children(1), children(2))))
   }
 }
 
@@ -349,6 +438,11 @@ object GraftFunctions {
         FunctionIdentifier("graft_micro_argmin"),
         new ExpressionInfo(classOf[MicroArgmin].getName, "graft_micro_argmin"),
         (children: Seq[Expression]) => MicroArgmin(children(0), children(1)))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_pq_codes"),
+        new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_codes"),
+        (children: Seq[Expression]) =>
+          PqEncode(children(0), children(1), children(2)))
       registered += key
     }
   }

@@ -892,8 +892,11 @@ object ExtensionQueries {
     // the per-pair ADC sum is x20's index-ordered sorted fold
     "x121_pq_adc_ann" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cent = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // codebook driver-local (pinLocal): the PQ encode then runs as the
+      // native map-side graft_pq_codes projection (r14) and the LUT
+      // broadcast is a job-free LocalTableScan
+      val cent = Similarity.pinLocal(emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
       Similarity.pqAdcTopK(emb, "vec_id", "embedding", cent, "cid", "cvec",
           emb.filter(col("vec_id") < 8), "vec_id", "embedding",
           m = 8, dim = 64, k = 5)

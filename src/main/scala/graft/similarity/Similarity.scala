@@ -624,17 +624,47 @@ object Similarity {
     * (partial-aggregated; no sort, no window). `(idCol, s, code)`. */
   private def pqCodes(ev: DataFrame, idCol: String,
                       cent: DataFrame, cidCol: String,
-                      m: Int, subDim: Int): DataFrame =
-    // rebalance BEFORE the encode: per-row work is m×|book| interpreted
-    // sub-distance folds — the CPU-dense regime where the x106 rule says
-    // an explicit spread pays (a one-row-group corpus would otherwise
-    // encode on a single core; at cluster scale the scan's splits make
-    // this a near-no-op local shuffle)
-    pqSubDists(ev.repartition(ev.sparkSession.sparkContext.defaultParallelism),
-        Seq(idCol), "__v", cent, cidCol, "__cv", m, subDim)
-      .groupBy(col(idCol), col("s"))
-      .agg(min(struct(col("d"), col(cidCol))).as("__m"))
-      .select(col(idCol), col("s"), col("__m").getField(cidCol).as("code"))
+                      m: Int, subDim: Int): DataFrame = {
+    val centPlan = cent.select(col(cidCol), col("__cv"))
+    val localRows = centPlan.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.data.nonEmpty && l.data.length <= 256 =>
+        Some(centPlan.collect())
+          .filter(_.forall(_.get(0).isInstanceOf[java.lang.Number]))
+      case _ => None
+    }
+    localRows match {
+      case Some(rows) =>
+        // NATIVE encode (graft_pq_codes) over a driver-local codebook:
+        // the relational pipeline below paid an explode, a broadcast
+        // join and a SortAggregate (min over a struct can't hash-agg —
+        // two sorts) per corpus pass; this is one map-side loop with the
+        // identical index-ordered double sub-distances and lowest-cid
+        // ties (book sorted by cid, first-win = struct-min). No
+        // rebalance: per-row cost is m×|book|×subDim native flops —
+        // light — and the scan's splits parallelize at real scale.
+        GraftFunctions.ensureRegistered(ev.sparkSession)
+        val sorted = rows.sortBy(_.get(0).asInstanceOf[java.lang.Number].longValue)
+        val mats: Seq[Seq[Double]] = sorted.map(_.getSeq[Double](1)).toSeq
+        val cidArr = array(sorted.map(r => lit(r.get(0))).toIndexedSeq: _*)
+        ev.select(col(idCol), posexplode(call_function("graft_pq_codes",
+            col("__v"), typedLit(mats), lit(subDim))).as(Seq("s", "__pos")))
+          .select(col(idCol), col("s"),
+            element_at(cidArr, col("__pos") + 1).as("code"))
+      case None =>
+        // distributed codebook: the relational form, rebalanced BEFORE
+        // the encode — per-row work is m×|book| interpreted sub-distance
+        // folds, the CPU-dense regime where the x106 rule says an
+        // explicit spread pays (a one-row-group corpus would otherwise
+        // encode on a single core)
+        pqSubDists(
+            ev.repartition(ev.sparkSession.sparkContext.defaultParallelism),
+            Seq(idCol), "__v", cent, cidCol, "__cv", m, subDim)
+          .groupBy(col(idCol), col("s"))
+          .agg(min(struct(col("d"), col(cidCol))).as("__m"))
+          .select(col(idCol), col("s"), col("__m").getField(cidCol).as("code"))
+    }
+  }
 
   /** Per-query ADC lookup tables: `(__qid, s, code, d)` — the query-side
     * sub-distance frame, tiny (|queries| × m × |codebook| rows). */

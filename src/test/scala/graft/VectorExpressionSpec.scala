@@ -69,6 +69,41 @@ class VectorExpressionSpec extends SparkSpec {
     assert(bad == 0, "graft_micro_argmin drifted from the HOF fold")
   }
 
+  test("graft_pq_codes is value-identical to the explode/join/min-struct encode") {
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (m, subDim) = (8, 8)
+    val cents: Seq[(Long, Seq[Double])] = emb.filter($"vec_id" < 16)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toSeq
+    val ev = emb.select($"vec_id", $"embedding".cast("array<double>").as("__v"))
+    // the r1–r13 relational encode, verbatim shape
+    val centDf = spark.createDataset(cents).toDF("cid", "__cv")
+    val centSub = broadcast(centDf
+      .select($"cid", explode(sequence(lit(0), lit(m - 1))).as("s"), $"__cv")
+      .select($"cid", $"s",
+        slice($"__cv", $"s" * subDim + 1, lit(subDim)).as("__csub")))
+    val rel = ev
+      .select($"vec_id", explode(sequence(lit(0), lit(m - 1))).as("s"), $"__v")
+      .select($"vec_id", $"s",
+        slice($"__v", $"s" * subDim + 1, lit(subDim)).as("__vsub"))
+      .join(centSub, Seq("s"))
+      .select($"vec_id", $"s", $"cid", expr(
+        "aggregate(zip_with(__vsub, __csub, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0.0 as double), (a, b) -> a + b)").as("d"))
+      .groupBy($"vec_id", $"s")
+      .agg(min(struct($"d", $"cid")).as("__m"))
+      .select($"vec_id", $"s", $"__m".getField("cid").as("code"))
+      .as[(Long, Int, Long)].collect().toSet
+    val nat = ev.select($"vec_id",
+        posexplode(call_function("graft_pq_codes", $"__v",
+          typedLit(cents.map(_._2)), lit(subDim))).as(Seq("s", "p")))
+      .select($"vec_id", $"s",
+        element_at(array(cents.map(c => lit(c._1)): _*), $"p" + 1).as("code"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(nat == rel, "graft_pq_codes drifted from the relational encode")
+  }
+
   test("graft_vec_dot null semantics: length mismatch and null element -> null") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
