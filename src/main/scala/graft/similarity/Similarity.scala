@@ -1092,8 +1092,18 @@ object Similarity {
     val ev = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val resid = residuals(corpus.select(col(idCol), col(vecCol)),
       idCol, vecCol, centroids, cidCol, cvecCol, Some(cells))
-    val encodeIn = ev.withColumn("__scheme", lit("abs"))
-      .unionByName(resid.select(col(idCol), col("resid").as("__v"))
+    // per-scheme NATIVE encodes (graft_pq_codes under a driver-local
+    // book — the r14 path; relational fallback otherwise): the fused
+    // scheme-tagged pqSubDists encode was the dominant CPU of the whole
+    // sweep (17 CPU-s at sf0.1 — interpreted folds × schemes × m × |book|)
+    val codes = pqCodes(ev, idCol,
+        centroids.select(col(cidCol), col(cvecCol).cast("array<double>").as("__cv")),
+        cidCol, m, subDim)
+      .withColumn("__scheme", lit("abs"))
+      .unionByName(pqCodes(resid.select(col(idCol), col("resid").as("__v")),
+          idCol,
+          fine.select(col(fcidCol), col(fvecCol).cast("array<double>").as("__cv")),
+          fcidCol, m, subDim)
         .withColumn("__scheme", lit("residual")))
     val books = centroids
       .select(col(cidCol).as("__code"), col(cvecCol).cast("array<double>").as("__cv"))
@@ -1119,33 +1129,25 @@ object Similarity {
     val qin = qAbs.select(col("__scheme"), col("__qid"), col("qcell"), col("__qv"))
       .unionByName(qRes.select(col("__scheme"), col("__qid"),
         col("qcell"), col("__qv")))
-    fusedSweep(encodeIn, books, qin, cand,
+    fusedSweep(codes, books, qin, cand,
       lutCellFor = when(col("__scheme") === "abs", lit(-1L))
         .otherwise(col("qcell").cast("long")),
       idCol, m, subDim, k, probes)
   }
 
-  /** Shared tail of the fused multi-scheme sweeps: one scheme-tagged
-    * sub-distance → argmin-codes pass over `encodeIn` (__scheme, idCol,
-    * __v) against `books` (__scheme, __code, __cv), one broadcast LUT
-    * from `qin` (__scheme, __qid, qcell, __qv), one candidate join chain
-    * from `cand` (__qid, qcell, idCol, __cellRank), one rank pass.
-    * `lutCellFor` maps a candidate row to the LUT cell key its scheme
-    * uses (−1 sentinel for probe-cell-independent schemes). */
-  private def fusedSweep(encodeIn: DataFrame, books: DataFrame,
+  /** Shared tail of the fused multi-scheme sweeps: scheme-tagged CODES
+    * (__scheme, idCol, s, code — built per scheme by [[pqCodes]], which
+    * encodes natively under a driver-local book), one broadcast LUT
+    * from `qin` (__scheme, __qid, qcell, __qv) against `books`
+    * (__scheme, __code, __cv), one candidate join chain from `cand`
+    * (__qid, qcell, idCol, __cellRank), one rank pass. `lutCellFor`
+    * maps a candidate row to the LUT cell key its scheme uses (−1
+    * sentinel for probe-cell-independent schemes). */
+  private def fusedSweep(codes: DataFrame, books: DataFrame,
                          qin: DataFrame, cand: DataFrame,
                          lutCellFor: Column, idCol: String,
                          m: Int, subDim: Int, k: Int,
                          probes: Seq[Int]): DataFrame = {
-    val codes = pqSubDists(
-        encodeIn.repartition(
-          encodeIn.sparkSession.sparkContext.defaultParallelism),
-        Seq("__scheme", idCol), "__v",
-        books, "__code", "__cv", m, subDim, joinKeys = Seq("__scheme"))
-      .groupBy(col("__scheme"), col(idCol), col("s"))
-      .agg(min(struct(col("d"), col("__code"))).as("__m"))
-      .select(col("__scheme"), col(idCol), col("s"),
-        col("__m").getField("__code").as("code"))
     val lut = broadcast(pqSubDists(qin,
         Seq("__scheme", "__qid", "qcell"), "__qv",
         books, "__code", "__cv", m, subDim, joinKeys = Seq("__scheme"))
@@ -1215,8 +1217,12 @@ object Similarity {
     val cand = cellsP.join(broadcast(qcells),
       col("cell") === col("qcell") && col("__qid") =!= col(idCol))
       .select(col("__qid"), col("qcell"), col(idCol), col("__cellRank"))
-    val encodeIn = variants.map { case (tag, c, _, _) =>
-      c.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    // per-variant NATIVE encodes (graft_pq_codes — see ivfPqDualSweepTopK)
+    val codes = variants.map { case (tag, c, ct, _) =>
+      pqCodes(c.select(col(idCol), col(vecCol).cast("array<double>").as("__v")),
+          idCol,
+          ct.select(col(cidCol), col(cvecCol).cast("array<double>").as("__cv")),
+          cidCol, m, subDim)
         .withColumn("__scheme", lit(tag))
     }.reduce(_ unionByName _)
     val books = variants.map { case (tag, _, ct, _) =>
@@ -1230,7 +1236,7 @@ object Similarity {
         .withColumn("qcell", lit(-1L)).withColumn("__scheme", lit(tag))
         .select(col("__scheme"), col("__qid"), col("qcell"), col("__qv"))
     }.reduce(_ unionByName _)
-    fusedSweep(encodeIn, books, qin, cand, lutCellFor = lit(-1L),
+    fusedSweep(codes, books, qin, cand, lutCellFor = lit(-1L),
       idCol, m, subDim, k, probes)
   }
 
