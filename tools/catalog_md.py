@@ -51,6 +51,12 @@ BASELINE_NOTES = {
     "x113_lsh_recall":
         "**eval harness** — probe-restricted exact truth grades the x03 "
         "band stage; run before committing banding parameters to a corpus",
+    "x176_bitext_margin":
+        "**exact baseline** (per-language-pair cross product) — production: "
+        "x177 margin over IVF candidate lists (Θ(N^1.5) vs N²)",
+    "x177_bitext_margin_ivf":
+        "scale path of x176 (`Similarity.ivfTopKLarge`, per-side ⌊√N⌋ "
+        "coarse models, gated candidate join); 10× gate sublinear",
 }
 
 groups = [
