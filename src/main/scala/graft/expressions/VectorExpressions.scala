@@ -357,6 +357,65 @@ case class PqEncode(vec: Expression, books: Expression, subDim: Expression)
     copy(vec = newFirst, books = newSecond, subDim = newThird)
 }
 
+/** Scalar (int8-range) quantization codes over LITERAL per-dim (lo, hi)
+  * calibration — the native form of the 64-expression unrolled
+  * `quantizeCodes` projection: code_i = floor((v_i − lo_i) / (hi_i −
+  * lo_i) · 255 + 0.5) with each step the identical IEEE double op the
+  * unrolled form ran (element cast to double, subtract, divide,
+  * multiply, add, floor, truncating long cast). The unroll existed
+  * because a `transform` lambda leaves whole-stage codegen (r3 lesson);
+  * at dim = 64 the unroll itself blows the JIT method ceiling once the
+  * projection shares a stage with a join (the r14 codegen-size cliff —
+  * x52's stage-1 read 0.87 CPU-s on 2 000 rows). Null vector or a
+  * length mismatch vs the calibration arrays → null (outside the
+  * fixed-dim contract). */
+case class Sq8Codes(vec: Expression, lows: Expression, highs: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def first: Expression = vec
+  override def second: Expression = lows
+  override def third: Expression = highs
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sq8_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (vec.dataType, lows.dataType, highs.dataType) match {
+      case (ArrayType(FloatType, _),
+            ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_sq8_codes expects (array<float>, array<double>, array<double>), " +
+        s"got (${vec.dataType.simpleString}, ${lows.dataType.simpleString}, " +
+        s"${highs.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(v: Any, lo: Any, hi: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val l = lo.asInstanceOf[ArrayData]
+    val h = hi.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    if (l.numElements() != dim || h.numElements() != dim) return null
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = math.floor((x.getFloat(i).toDouble - l.getDouble(i)) /
+        (h.getDouble(i) - l.getDouble(i)) * 255.0 + 0.5).toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Sq8Codes =
+    copy(vec = newFirst, lows = newSecond, highs = newThird)
+}
+
 /** SparkSessionExtensions hook — the supported way to install graft's
   * native expressions cluster-wide:
   *   spark.sql.extensions=graft.expressions.GraftExtensions
@@ -397,6 +456,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_codes"),
       (children: Seq[Expression]) =>
         PqEncode(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8_codes"),
+      new ExpressionInfo(classOf[Sq8Codes].getName, "graft_sq8_codes"),
+      (children: Seq[Expression]) =>
+        Sq8Codes(children(0), children(1), children(2))))
   }
 }
 
@@ -443,6 +507,11 @@ object GraftFunctions {
         new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_codes"),
         (children: Seq[Expression]) =>
           PqEncode(children(0), children(1), children(2)))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_sq8_codes"),
+        new ExpressionInfo(classOf[Sq8Codes].getName, "graft_sq8_codes"),
+        (children: Seq[Expression]) =>
+          Sq8Codes(children(0), children(1), children(2)))
       registered += key
     }
   }

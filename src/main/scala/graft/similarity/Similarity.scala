@@ -494,10 +494,13 @@ object Similarity {
     require(lows.length == highs.length && lows.nonEmpty)
     lows.indices.foreach(i => require(highs(i) > lows(i),
       s"degenerate dim $i: lo=${lows(i)} hi=${highs(i)}"))
-    array(lows.indices.map { i =>
-      floor((element_at(vec, i + 1).cast("double") - lows(i)) /
-        (highs(i) - lows(i)) * 255 + 0.5).cast("long")
-    }: _*)
+    // native (graft_sq8_codes): the r3 unrolled-expression form avoided
+    // the interpreted `transform` lambda, but at dim=64 the unroll
+    // itself blows the JIT method ceiling when the projection shares a
+    // codegen stage with a join (the r14 cliff — identical per-dim IEEE
+    // arithmetic, see Sq8Codes). Callers register via
+    // GraftFunctions.ensureRegistered (quantizedDots does; specs do).
+    call_function("graft_sq8_codes", vec, typedLit(lows), typedLit(highs))
   }
 
   /** Embedding near-duplicate pairs, ALL-PAIRS baseline: exact recall,
