@@ -97,10 +97,14 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * minimum (NaN greatest, −0.0 < 0.0 — Spark's struct ordering), first
   * win kept on exact ties. `norms` carries the PRE-COMPUTED per-centroid
   * sqrt(dot(c,c)) (same index-ordered accumulation, driver-side).
-  * Contract divergence from the fold, both outside every caller's
+  * Contract divergence from the fold, all outside every caller's
   * fixed-dim non-null data contract: a null vector or a length-mismatched
   * centroid yields null here (the fold's struct-min would surface a
-  * null-cosine centroid first). */
+  * null-cosine centroid first), and a null ELEMENT inside a vector reads
+  * as 0.0 (`ArrayData.getFloat` on a null slot — the fold would propagate
+  * a null cosine for that centroid instead). The same three divergences
+  * apply to [[MicroArgmin]], [[PqEncode]] and [[Sq8Codes]], which share
+  * this element-access idiom. */
 case class CellArgmin(vec: Expression, cents: Expression, norms: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 

@@ -466,23 +466,27 @@ object CurationQueries {
         .select(col("vec_id").as("sid"), col("embedding").as("sv"))
       val tgt = e.filter(col("lang") === "de")
         .select(col("vec_id").as("tid"), col("embedding").as("tv"))
-      // per-side coarse models: the K lowest-id vectors of that side,
-      // K = max(8, ⌊√N⌋) so cells keep ~√N occupancy as the corpus
-      // grows (count() is a bounded scalar action; pinLocal bounds K)
-      def centOf(side: DataFrame, id: String, v: String) = {
-        val kC = math.max(8L, math.sqrt(side.count().toDouble).toLong).toInt
-        Similarity.pinLocal(side.orderBy(col(id)).limit(kC)
-          .select(col(id).as("cid"), col(v).as("cvec")))
-      }
+      // per-side coarse models (Similarity.coarseModel): K = max(8, ⌊√N⌋)
+      // lowest-id vectors so cells keep ~√N occupancy as the corpus
+      // grows; driver-pinned while K fits the model bound, unpinned
+      // broadcast-join assignment above it (the documented scale
+      // contract lives on coarseModel). BOTH side counts come from one
+      // groupBy action instead of two per-side count() jobs.
+      val sideN = e.groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def centOf(side: DataFrame, n: Long, id: String, v: String) =
+        Similarity.coarseModel(side, n, id, v)
       val micro = (c: org.apache.spark.sql.Column) =>
         floor(c * lit(1000000.0)).cast("long")
       val fwd = Similarity.ivfTopKLarge(tgt, "tid", "tv", src, "sid", "sv",
-          centOf(tgt, "tid", "tv"), "cid", "cvec", k = 4, probes = 2)
+          centOf(tgt, sideN.getOrElse("de", 0L), "tid", "tv"),
+          "cid", "cvec", k = 4, probes = 2)
         .select(col("query_id").as("sid"), col("rank"),
           col("neighbor_id").as("tid"), micro(col("cos_sim")).as("cm"))
         .cacheRegistered
       val bwd = Similarity.ivfTopKLarge(src, "sid", "sv", tgt, "tid", "tv",
-          centOf(src, "sid", "sv"), "cid", "cvec", k = 4, probes = 2)
+          centOf(src, sideN.getOrElse("en", 0L), "sid", "sv"),
+          "cid", "cvec", k = 4, probes = 2)
       val mx = fwd.groupBy(col("sid"))
         .agg(floor(sum(col("cm")).cast("double") / count(lit(1)))
           .cast("long").as("mx"))

@@ -111,6 +111,30 @@ object Similarity {
     df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema)
   }
 
+  /** Per-side coarse model for [[ivfTopKLarge]]-style all-to-all search:
+    * the K = max(8, ⌊√n⌋) lowest-id vectors of `side` as `(cid, cvec)`
+    * — K scales with the corpus so cells keep ~√n occupancy and the
+    * candidate count stays Θ(n^1.5). `n` is the side's row count,
+    * supplied by the caller so one action can serve several sides
+    * (x177 folds both languages' counts into one groupBy job).
+    *
+    * Scale contract, explicit (r14 verdict #3): while K ≤ `pinBound`
+    * (n ≲ pinBound² ≈ 16.8M vectors at the 4096 default) the model is
+    * [[pinLocal]]'d, so downstream cell assignment is the map-side
+    * native-argmin fold and every broadcast site is a LocalTableScan.
+    * ABOVE the bound the frame passes through UNPINNED — assignment
+    * falls to [[assignCellsWithNorm]]'s broadcast-join path (centroids
+    * broadcast once per site, ~K·dim floats: ~8 MB at n = 10⁹, dim 64 —
+    * far under the broadcast ceiling), so growth past the pin bound
+    * degrades to a broadcast join instead of a hard require-fail. */
+  def coarseModel(side: DataFrame, n: Long, idCol: String, vecCol: String,
+                  pinBound: Int = 4096): DataFrame = {
+    val kC = math.max(8L, math.sqrt(n.toDouble).toLong).toInt
+    val lim = side.orderBy(col(idCol)).limit(kC)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    if (kC <= pinBound) pinLocal(lim, pinBound) else lim
+  }
+
   /** Sign-LSH bucket code against `anchors` (a Seq of (anchorId, vector)
     * literals, e.g. a deterministic sample of the corpus): bit i = 1 iff
     * dot(v, anchor_i) > 0. Returns a b-character '0'/'1' string (portable
@@ -341,6 +365,10 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
       k: Int, probes: Int): DataFrame = {
+    require(qidCol != idCol && qvecCol != vecCol,
+      s"ivfTopK needs distinct (id, vec) names across the two sides, got " +
+        s"ids ('$qidCol','$idCol') vecs ('$qvecCol','$vecCol') — the " +
+        "candidate join and scored projection would be ambiguous")
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
     val cent = broadcast(centroids.select(col(cidCol), col(cvecCol))
@@ -394,6 +422,9 @@ object Similarity {
       k: Int, probes: Int): DataFrame = {
     require(qidCol != idCol,
       s"ivfTopKLarge needs distinct id names, got '$idCol' on both sides")
+    require(qvecCol != vecCol,
+      s"ivfTopKLarge needs distinct vector names, got '$vecCol' on both " +
+        "sides — the scored cosine projection would be ambiguous")
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val cent = broadcast(centroids.select(col(cidCol), col(cvecCol))
       .withColumn("__cn", sqrt(dot(col(cvecCol), col(cvecCol)))))
@@ -624,7 +655,17 @@ object Similarity {
     * candidates before ADC. Output: top-`k` per query by ADC distance
     * ascending (ties → neighbor id), `adc_dist` rounded to 4 dp. */
   /** PQ codes: argmin sub-distance per (vector, subspace) via struct-min
-    * (partial-aggregated; no sort, no window). `(idCol, s, code)`. */
+    * (partial-aggregated; no sort, no window). `(idCol, s, code)`.
+    *
+    * Edge-shape divergence between the two branches, outside every
+    * caller's fixed-dim non-null contract (same class of note as
+    * [[graft.expressions.CellArgmin]]): on a dim-mismatched or null
+    * vector the native path's `graft_pq_codes` returns a null codes
+    * array which `posexplode` silently DROPS (the row vanishes from the
+    * code frame), while the relational fallback still emits m rows whose
+    * min-structs saw null sub-distances. Identical inputs in-contract,
+    * different edge shapes out-of-contract — pick-up depends only on
+    * whether the codebook happened to be driver-local. */
   private def pqCodes(ev: DataFrame, idCol: String,
                       cent: DataFrame, cidCol: String,
                       m: Int, subDim: Int): DataFrame = {
@@ -1315,12 +1356,17 @@ object Similarity {
     * raw scan by hand. */
   def kmeansMicroLabeled(corpus: DataFrame, idCol: String, vecCol: String,
                          k: Int, iters: Int,
-                         scale: Long = 1000000L): (KmeansModel, DataFrame) =
-    kmeansMicroCore(corpus, idCol, vecCol, k, iters, scale, keepVec = true)
+                         scale: Long = 1000000L): (KmeansModel, DataFrame) = {
+    val (model, labeled) =
+      kmeansMicroCore(corpus, idCol, vecCol, k, iters, scale, keepVec = true)
+    (model, labeled.getOrElse(sys.error(
+      "kmeansMicroCore(keepVec = true) returned no labeled frame")))
+  }
 
   private def kmeansMicroCore(corpus: DataFrame, idCol: String, vecCol: String,
                               k: Int, iters: Int, scale: Long,
-                              keepVec: Boolean): (KmeansModel, DataFrame) = {
+                              keepVec: Boolean)
+      : (KmeansModel, Option[DataFrame]) = {
     require(k > 0 && iters >= 0, "k-means needs k > 0, iters >= 0")
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
@@ -1363,9 +1409,9 @@ object Similarity {
         col("__a").getField("d").as("dist2"))
     val labeled =
       if (keepVec)
-        q.select(col(idCol), col(vecCol),
-          assignExpr(cents).getField("c").as("cell"))
-      else null
+        Some(q.select(col(idCol), col(vecCol),
+          assignExpr(cents).getField("c").as("cell")))
+      else None
     (KmeansModel(assigned, cents.zipWithIndex.map { case (c, j) => (j, c) }),
       labeled)
   }

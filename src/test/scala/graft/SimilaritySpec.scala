@@ -493,6 +493,40 @@ class SimilaritySpec extends SparkSpec {
     assert(large == small, "ivfTopKLarge drifted from ivfTopK")
   }
 
+  test("coarseModel: pinned ≤ bound, unpinned pass-through above it, same rows either side (x177's scale contract)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    val kC = math.max(8L, math.sqrt(n.toDouble).toLong).toInt
+    def isLocal(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    // K ≤ bound → driver-pinned LocalRelation (map-side fold downstream)
+    val pinned = Similarity.coarseModel(emb, n, "vec_id", "embedding")
+    assert(isLocal(pinned), "coarseModel under the bound should pinLocal")
+    // K > bound (force with a tiny pinBound) → the frame passes through
+    // UNPINNED instead of require-failing: the >16M-vectors regime
+    val over = Similarity.coarseModel(emb, n, "vec_id", "embedding",
+      pinBound = kC - 1)
+    assert(!isLocal(over),
+      "coarseModel above the bound must NOT pin (and must not throw)")
+    // identical model rows on both paths
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cid", $"cvec").as[(Long, Array[Float])].collect()
+        .map { case (c, v) => (c, v.toSeq) }.toSet
+    assert(rows(pinned) == rows(over), "pin state changed the model rows")
+    // and ivfTopKLarge accepts the unpinned model (broadcast-join
+    // assignment), matching the pinned plan's output row for row
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def out(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKLarge(emb, "vec_id", "embedding", q, "qid", "qvec",
+          c, "cid", "cvec", k = 5, probes = 2)
+        .select($"query_id", $"rank".cast("long"), $"neighbor_id", $"cos_sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out(over) == out(pinned),
+      "unpinned coarse model changed ivfTopKLarge's rows")
+  }
+
   test("dual sweep: per-scheme slices ≡ the standalone sweeps, and pinLocal/cellsOpt change nothing") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cent = emb.filter($"vec_id" < 16)
