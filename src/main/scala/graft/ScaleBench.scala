@@ -49,7 +49,15 @@ object ScaleBench {
     "x124_span_scrub",
     "x138_lang_mix",
     // bitext scale path (directive #2)
-    "x177_bitext_margin_ivf")
+    "x177_bitext_margin_ivf",
+    // r15 (r14 verdict #2): the band's last ungated rows — x127 after
+    // its bigram-hub refactor, x83 (union-of-scans + one window, census
+    // says floor), x76 (the r14 regression row, post cascade refactor),
+    // x52 (the restamped sq8 row)
+    "x127_stupid_backoff",
+    "x83_scd2_history",
+    "x76_cascade_report",
+    "x52_ann_rerank")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

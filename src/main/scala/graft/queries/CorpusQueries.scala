@@ -44,28 +44,46 @@ object CorpusQueries {
     *   bit 4  mixture: the per-source md5 sampling rule (x39)
     * plus the bitmask, the and-of-all keep, and first-fail attribution
     * (the lowest failed stage, -1 when all pass) — what a production
-    * cascade ships so every dropped document is explainable. Token rows
-    * feed four aggregations and are cached (caller-managed lifecycle, as
-    * elsewhere); everything shuffles on doc_id or tok hashes, never text.
+    * cascade ships so every dropped document is explainable. All four
+    * token statistics derive from one per-(doc, tok) count frame (one
+    * token-frame shuffle, no cache); everything downstream shuffles
+    * distinct-count rows on doc_id or tok, never text.
     */
   private def cascadeFrame(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val tr = TextOps.tokenRows(docs, "doc_id", "text")
-      .filter(col("tok") =!= "").cacheRegistered
-    val stats = tr
+    // ONE partial-combined per-(doc, tok) count is the hub every stage
+    // statistic derives from (r15, the x76 census fix): the old shape
+    // cached raw token rows and ran FOUR independent aggregations over
+    // the cache — four full token-frame shuffles, and under AQE the
+    // concurrent branches serialized on the cache-fill lock (census: one
+    // 0.44 s fill task + three zero-CPU 0.4 s lock-wait stages). Here the
+    // token frame shuffles ONCE (map-side combined to distinct (doc,tok)
+    // rows); vocabulary, classifier and coverage all ride the far smaller
+    // count frame: sum(w·c) ≡ per-occurrence sum(w), sum(when(v, c)) ≡
+    // per-occurrence in-vocab count — distributivity, same integers. At
+    // 100 TB this is strictly better too: the wide frame pays one
+    // exchange instead of four, everything after is |distinct(doc,tok)|.
+    // the explicit isnotnull mirrors what the left-outer join infers on
+    // the perDoc branch — without it the vocab and perDoc subtrees
+    // canonicalize differently and the (doc, tok) exchange computes
+    // TWICE instead of being reused (doc_id is the table key, non-null
+    // by schema contract, so the filter drops nothing)
+    val cnt = TextOps.tokenRows(docs.filter(col("doc_id").isNotNull),
+        "doc_id", "text")
+      .filter(col("tok") =!= "")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c") * col("c")).as("sum_c2"))
-    val cls = tr.withColumn("w", TextOps.hashedTokenWeight(col("tok")))
-      .groupBy(col("doc_id")).agg(sum(col("w")).as("sw"))
-    val vocab = tr.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val vocab = cnt.groupBy(col("tok")).agg(sum(col("c")).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(20)
       .select(col("tok"), lit(true).as("__v"))
-    val cov = tr.join(broadcast(vocab), Seq("tok"), "left")
+    val perDoc = cnt
+      .withColumn("w", TextOps.hashedTokenWeight(col("tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nt"),
-        sum(when(col("__v"), 1L).otherwise(0L)).as("nv"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        sum(col("w") * col("c")).as("sw"),
+        sum(col("c")).as("nt"),
+        sum(when(col("__v"), col("c")).otherwise(0L)).as("nv"))
     // try_cast: a digit-less or null source must yield k_mix = false (not
     // an ANSI cast error / a null that desynchronizes bitmask vs
     // first_fail), like every other coalesced stage flag
@@ -75,9 +93,7 @@ object CorpusQueries {
         .cast("long") * 100 < (lit(25L) + (srcNum % 16) * 5) * 16777216L,
       lit(false))
     val joined = docs.select(col("doc_id"), col("source"), kMix.as("k_mix"))
-      .join(stats, Seq("doc_id"), "left")
-      .join(cls, Seq("doc_id"), "left")
-      .join(cov, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
     val k0 = coalesce(col("n_tokens").between(10, 2000), lit(false))
     // collision < 0.2 by integer cross-multiply: 5·(Σc²−n) < n·(n−1)
     val k1 = coalesce(col("n_tokens") > 1 &&

@@ -930,8 +930,8 @@ object CurationQueries {
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("pos"))
-      // cache: the token frame feeds bigram rows, unigram counts AND the
-      // token-total scalar (caller-managed lifecycle, as elsewhere)
+      // cache: the token frame feeds the bigram hub and the unigram
+      // counts (caller-managed lifecycle, as elsewhere)
       // counts TRAIN on the corpus split (doc_id ≥ 20) and SCORE every
       // doc — benchmark docs (< 20) hit genuine unseen-bigram backoff and
       // OOV (unseen unigrams score as count ½, add-half); a self-trained
@@ -939,14 +939,26 @@ object CurationQueries {
       // evidence)
       val tr = TextOps.tokenRows(docs, "doc_id", "text")
         .filter(col("tok") =!= "").cacheRegistered
-      val bg = tr.withColumn("prev", lag(col("tok"), 1).over(byDoc))
+      // hub (r15, the x76 census pattern): per-(doc, prev, cur) bigram
+      // occurrence counts. The score __c is constant per DISTINCT
+      // (prev, cur) — c_bi/c_prev/c_cur/n_toks don't depend on the doc —
+      // so weighting by n replays the per-occurrence sum integer-exactly,
+      // and both the train counts and the scored join ride ONE cached
+      // window pass instead of two (the old shape ran tokenize+window
+      // once per consumer; census showed the extra passes as zero-CPU
+      // cache-lock stages). tr itself keeps two consumers (hub fill, uc).
+      val nbg = tr.withColumn("prev", lag(col("tok"), 1).over(byDoc))
         .filter(col("prev").isNotNull)
         .select(col("doc_id"), col("prev"), col("tok").as("cur"))
+        .groupBy(col("doc_id"), col("prev"), col("cur"))
+        .agg(count(lit(1)).as("n")).cacheRegistered
       val train = col("doc_id") >= 20
       val uc = tr.filter(train).groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
-      val bc = bg.filter(train).groupBy(col("prev"), col("cur"))
-        .agg(count(lit(1)).as("c_bi"))
-      val nTok = broadcast(tr.filter(train).agg(count(lit(1)).as("n_toks")))
+      val bc = nbg.filter(train).groupBy(col("prev"), col("cur"))
+        .agg(sum(col("n")).as("c_bi"))
+      // train token total = Σ unigram counts — rides the vocabulary-sized
+      // uc frame instead of a third full token pass
+      val nTok = broadcast(uc.agg(sum(col("c_uni")).as("n_toks")))
       // count frames are vocabulary-sized (unigram/bigram types, not
       // token occurrences) — gate-broadcast them so the per-token bg
       // side keeps its doc_id partitioning through all three joins and
@@ -954,7 +966,7 @@ object CurationQueries {
       // a corpus whose bigram vocabulary outgrows the threshold falls
       // back to the shuffle join the planner picks)
       import graft.ops.Relational.gatedBroadcast
-      val contrib = bg
+      val contrib = nbg
         .join(gatedBroadcast(bc), Seq("prev", "cur"), "left")
         .join(gatedBroadcast(
           uc.select(col("tok").as("prev"), col("c_uni").as("c_prev"))),
@@ -971,7 +983,8 @@ object CurationQueries {
                   / CAST(n_toks AS DOUBLE) END)
              * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"""))
       val perDoc = contrib.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("__c")).as("ll_micro"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          sum(col("__c") * col("n")).as("ll_micro"))
       docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
