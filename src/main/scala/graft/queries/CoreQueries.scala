@@ -508,6 +508,63 @@ object CoreQueries {
           col("n_in_episode").cast("long").as("n_in_episode"), col("content"))
     }),
 
+    // ───── S4: the Google-Sheets export PLANNER
+    // (episode_stats_extract.py:15-66) — catalog-page HTML synthesized
+    // from `nation`, exercising every reference branch: the href-less
+    // first anchor (KeyError skip, nk%7), the non-spreadsheet href
+    // (substring-test skip, nk%5), a non-cast <ul> that must not match,
+    // and the char-exact readable-name pipeline (lower, -/space → _,
+    // drop :., drop newlines, drop the [1:] leading char)
+    "q39_sheets_export_plan" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      val pages = n.select(col("nk"), concat(
+        lit("<html><ul class=\"cast\">\n <a "),
+        when(col("nk") % 7 === 0, lit("name=\"nohref\""))
+          .otherwise(concat(lit("href=\""),
+            when(col("nk") % 5 === 0,
+              concat(lit("https://example.com/blog/post"),
+                col("nk").cast("string"), lit("/")))
+              .otherwise(concat(
+                lit("https://docs.google.com/spreadsheets/d/SHEET"),
+                col("nk").cast("string"), lit("/"))),
+            lit("\""))),
+        lit(">S"), col("nk").cast("string"), lit(": "), col("n_name"),
+        lit(" vs. the-Fans</a></ul>"),
+        lit("<ul class=\"other\"><a href=\"https://docs.google.com/" +
+          "spreadsheets/d/NOPE/\">x</a></ul></html>")).as("html"))
+      graft.sources.SyncPlan.sheetsExportPlan(pages, "html")
+        .select(col("nk"), col("readable_name"), col("sheet_id"),
+          col("export_url"), col("dest_file"))
+    }),
+
+    // ───── S6: the Drive-sync decision PLANNER
+    // (confessional_extract.py:151-168) — remote listing and local
+    // inventory synthesized from `orders`: ok%3=0 missing locally
+    // (download), ok%3=1 local five days stale (overwrite), ok%3=2
+    // local mtime equal (skip — the reference compares STRICTLY)
+    "q40_drive_sync_plan" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey").cast("long").as("ok"),
+          col("o_orderdate").cast("timestamp").as("od"))
+      val remote = o.select(
+        concat(lit("season_"), (col("ok") % 5).cast("string")).as("folder"),
+        concat(lit("ep_"), col("ok").cast("string")).as("title"),
+        col("od").as("modified"))
+      val local = o.filter(col("ok") % 3 =!= 0).select(
+        concat(lit("season_"), (col("ok") % 5).cast("string")).as("folder"),
+        concat(lit("ep_"), col("ok").cast("string"), lit(".docx"))
+          .as("file_name"),
+        when(col("ok") % 3 === 1, col("od") - expr("INTERVAL 5 DAYS"))
+          .otherwise(col("od")).as("mtime"))
+      graft.sources.SyncPlan.driveSyncPlan(
+          remote, "folder", "title", "modified",
+          local, "folder", "file_name", "mtime")
+        .select(col("folder"), col("title"), col("dest_file"),
+          unix_millis(col("modified")).as("modified_ms"),
+          unix_millis(col("mtime")).as("mtime_ms"), col("action"))
+    }),
+
     // ───── P4: seasons still in flight as of a watermark
     // (helpers/extract_helpers.py:7-57 currently-running test)
     "q36_active_seasons" -> ((s, d) => {
@@ -892,6 +949,57 @@ object CoreQueries {
           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY line_no) AS n_in_episode,
           content
         FROM parsed WHERE speaker <> ''""",
+    "q39_sheets_export_plan" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name FROM nation),
+        pages AS (SELECT nk,
+          '<html><ul class="cast">' || chr(10) || ' <a ' ||
+          CASE WHEN nk % 7 = 0 THEN 'name="nohref"'
+               ELSE 'href="' || CASE WHEN nk % 5 = 0
+                   THEN 'https://example.com/blog/post' || CAST(nk AS VARCHAR) || '/'
+                   ELSE 'https://docs.google.com/spreadsheets/d/SHEET'
+                     || CAST(nk AS VARCHAR) || '/' END || '"'
+          END || '>S' || CAST(nk AS VARCHAR) || ': ' || n_name
+          || ' vs. the-Fans</a></ul>'
+          || '<ul class="other"><a href="https://docs.google.com/spreadsheets/d/NOPE/">x</a></ul></html>'
+          AS html FROM n),
+        blocks AS (SELECT nk, unnest(regexp_extract_all(html,
+            '(?s)<ul class="cast">.*?</ul>', 0)) AS block FROM pages),
+        a AS (SELECT nk,
+            regexp_extract(regexp_extract(block, '(?s)<a\b[^>]*>', 0),
+              'href="([^"]*)"', 1) AS href,
+            regexp_replace(block, '(?s)<[^>]*>', '', 'g') AS txt
+          FROM blocks),
+        b AS (SELECT nk, href,
+            substr(replace(replace(replace(replace(replace(replace(
+              lower(txt), '-', '_'), ' ', '_'), ':', ''), '.', ''), ',', ''),
+              chr(10), ''), 2) AS readable_name
+          FROM a WHERE href <> '' AND contains(href, 'spreadsheet')),
+        c AS (SELECT nk, readable_name,
+            (string_split(substr(href, 1, length(href) - 1), '/'))[-1] AS sheet_id
+          FROM b)
+        SELECT nk, readable_name, sheet_id,
+          'https://docs.google.com/spreadsheets/d/' || sheet_id
+            || '/export?format=xlsx&id=' || sheet_id AS export_url,
+          readable_name || '.xlsx' AS dest_file
+        FROM c""",
+    "q40_drive_sync_plan" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS ok,
+          CAST(o_orderdate AS TIMESTAMP) AS od FROM orders WHERE o_orderkey < 300),
+        remote AS (SELECT 'season_' || CAST(ok % 5 AS VARCHAR) AS folder,
+          'ep_' || CAST(ok AS VARCHAR) AS title,
+          'ep_' || CAST(ok AS VARCHAR) || '.docx' AS dest_file,
+          od AS modified FROM o),
+        loc AS (SELECT 'season_' || CAST(ok % 5 AS VARCHAR) AS folder,
+          'ep_' || CAST(ok AS VARCHAR) || '.docx' AS dest_file,
+          CASE WHEN ok % 3 = 1 THEN od - INTERVAL 5 DAY ELSE od END AS mtime
+          FROM o WHERE ok % 3 <> 0)
+        SELECT r.folder, r.title, r.dest_file,
+          epoch_ms(r.modified) AS modified_ms, epoch_ms(l.mtime) AS mtime_ms,
+          CASE WHEN l.mtime IS NULL THEN 'download'
+               WHEN r.modified > l.mtime THEN 'overwrite'
+               ELSE 'skip' END AS action
+        FROM remote r LEFT JOIN loc l
+          ON r.folder = l.folder AND r.dest_file = l.dest_file""",
     "q38_json_ingest" ->
       // quarantine requires a NON-NULL raw payload (a null input is not a
       // parse failure — mirrors JsonIngest's `bad` predicate exactly)

@@ -1,0 +1,95 @@
+package graft
+
+import graft.sources.SyncPlan
+import org.apache.spark.sql.functions._
+
+/** S4/S6 planner fidelity (r14 verdict #8): the in-engine halves of the
+  * reference's two network-ingestion components, pinned char-for-char /
+  * rule-for-rule against hand-executed reference behavior
+  * (episode_stats_extract.py:15-66, confessional_extract.py:151-168). */
+class SyncPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sheetReadableName replays the reference char pipeline exactly (incl. the [1:] drop)") {
+    // hand-run through the Python: lower → -/space → _ → drop :., →
+    // drop \n → drop first char
+    val cases = Seq(
+      ("\n S41: David vs. Goliath", "s41_david_vs_goliath"),
+      ("\n Heroes v. Healers-v-Hustlers, Pt.2", "heroes_v_healers_v_hustlers_pt2"),
+      // no leading space: the [1:] eats the first REAL character —
+      // faithful to the reference, quirk and all
+      ("Edge of Extinction", "dge_of_extinction"))
+    val out = cases.toDF("t", "want")
+      .select(SyncPlan.sheetReadableName($"t").as("got"), $"want")
+      .as[(String, String)].collect()
+    out.foreach { case (got, want) => assert(got == want, s"got $got") }
+  }
+
+  test("sheetsExportPlan: first-anchor rule, KeyError skip, spreadsheet filter, url/file derivation") {
+    val pages = Seq(
+      // normal block + a second anchor that must be IGNORED (find('a')
+      // takes the first), plus a non-cast ul that must not match
+      (1L, """<html><ul class="cast">
+ <a href="https://docs.google.com/spreadsheets/d/ABC123/">S1: Borneo</a>
+ <a href="https://docs.google.com/spreadsheets/d/ZZZ/">x</a></ul>
+<ul class="other"><a href="https://docs.google.com/spreadsheets/d/NOPE/">x</a></ul></html>"""),
+      // first anchor has no href → KeyError → whole block skipped
+      (2L, """<ul class="cast">
+ <a name="n"><a href="https://docs.google.com/spreadsheets/d/HID/">S2: X</a></ul>"""),
+      // href without 'spreadsheet' → substring-test skip
+      (3L, """<ul class="cast">
+ <a href="https://example.com/post/9/">S3: Y</a></ul>"""),
+      // no trailing slash: [:-1] drops the id's last char — faithful
+      (4L, """<ul class="cast">
+ <a href="https://docs.google.com/spreadsheets/d/TAIL9">S4: Z</a></ul>"""))
+      .toDF("pg", "html")
+    val plan = SyncPlan.sheetsExportPlan(pages, "html")
+      .select($"pg", $"readable_name", $"sheet_id", $"export_url", $"dest_file")
+      .as[(Long, String, String, String, String)].collect().sortBy(_._1)
+    assert(plan.map(_._1).toSeq == Seq(1L, 4L))
+    val r1 = plan(0)
+    // the name includes the second anchor's text: bs4's e.text is the
+    // WHOLE ul's text, ignored anchors included — faithful to reference
+    assert(r1._2 == "s1_borneo_x" && r1._3 == "ABC123")
+    assert(r1._4 == "https://docs.google.com/spreadsheets/d/ABC123/export?format=xlsx&id=ABC123")
+    assert(r1._5 == "s1_borneo_x.xlsx")
+    assert(plan(1)._3 == "TAIL", "href[:-1] must drop the last char when there is no trailing slash")
+  }
+
+  test("sheetsExportPlan subset keeps only names whose first _-segment matches") {
+    val pages = Seq(
+      (1L, "<ul class=\"cast\">\n <a href=\"https://docs.google.com/spreadsheets/d/A/\">s41 alpha</a></ul>"),
+      (2L, "<ul class=\"cast\">\n <a href=\"https://docs.google.com/spreadsheets/d/B/\">s42 beta</a></ul>"))
+      .toDF("pg", "html")
+    val names = SyncPlan.sheetsExportPlan(pages, "html", Some(Seq("s41")))
+      .select($"readable_name").as[String].collect().toSeq
+    assert(names == Seq("s41_alpha"))
+  }
+
+  test("driveSyncPlan: missing → download, strictly newer → overwrite, equal/older → skip") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val remote = Seq(
+      ("arch1", "epA", ts("2020-01-10 00:00:00")),  // not local → download
+      ("arch1", "epB", ts("2020-01-10 00:00:00")),  // local older → overwrite
+      ("arch1", "epC", ts("2020-01-10 00:00:00")),  // equal → skip (strict >)
+      ("arch2", "epB", ts("2020-01-10 00:00:00")),  // same name, other folder → download
+      ("arch1", "epD", ts("2020-01-01 00:00:00")))  // local newer → skip
+      .toDF("folder", "title", "modified")
+    val local = Seq(
+      ("arch1", "epB.docx", ts("2020-01-05 00:00:00")),
+      ("arch1", "epC.docx", ts("2020-01-10 00:00:00")),
+      ("arch1", "epD.docx", ts("2020-02-01 00:00:00")),
+      ("arch1", "unrelated.docx", ts("2020-01-01 00:00:00")))
+      .toDF("folder", "file_name", "mtime")
+    val plan = SyncPlan.driveSyncPlan(remote, "folder", "title", "modified",
+        local, "folder", "file_name", "mtime")
+      .select($"folder", $"title", $"action").as[(String, String, String)]
+      .collect().map { case (f, t, a) => (f, t) -> a }.toMap
+    assert(plan(("arch1", "epA")) == "download")
+    assert(plan(("arch1", "epB")) == "overwrite")
+    assert(plan(("arch1", "epC")) == "skip")
+    assert(plan(("arch2", "epB")) == "download")
+    assert(plan(("arch1", "epD")) == "skip")
+    assert(plan.size == 5, "one decision per remote file, locals never add rows")
+  }
+}
