@@ -60,7 +60,7 @@ BASELINE_NOTES = {
 }
 
 groups = [
-    ("Reference operators (SURVEY §2, q01–q38)", lambda n: n.startswith("q")),
+    ("Reference operators (SURVEY §2, q01–q40)", lambda n: n.startswith("q")),
     ("Training-data extensions (x01–x35)",
      lambda n: n.startswith("x") and qnum(n) <= 35),
     ("Curation operators (x36–x61)",
