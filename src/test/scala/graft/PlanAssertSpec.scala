@@ -257,6 +257,35 @@ class PlanAssertSpec extends SparkSpec {
       s"grouping sets should scan the table once:\n$p")
   }
 
+  test("x76 cascade: hub shape — no cache, and the (doc,tok) count exchange is REUSED at runtime") {
+    // the r15 refactor: all four stage statistics ride one
+    // partial-combined per-(doc, tok) count frame with no cached raw
+    // token rows (the old shape serialized concurrent AQE branches on
+    // the cache-fill lock), and the explicit isnotnull(doc_id) keeps
+    // the vocab/perDoc subtrees canonical-equal so the shared exchange
+    // computes ONCE (a regression forks it silently — census r15)
+    val df = SparkEntry.queries("x76_cascade_report")(spark, sf)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "x76 must not cache raw token rows (hub shape, r15)")
+    // collect() drives THIS QueryExecution (df.write would spawn a new
+    // one and leave df's adaptive plan un-finalized)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedQueryStage") || finalPlan.contains("ReusedExchange"),
+      s"the (doc,tok) count exchange is no longer reused — the tokenize " +
+        s"runs once per consumer branch again:\n$finalPlan")
+  }
+
+  test("x127 backoff: bigram-count hub cached, raw token frame feeds only two consumers") {
+    // two caches by design (token rows: hub fill + unigram counts;
+    // bigram hub: train counts + scored join); a third would mean a
+    // consumer fell off a hub and re-reads wide data (the r14 disease)
+    val p = SparkEntry.queries("x127_stupid_backoff")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val caches = "InMemoryRelation".r.findAllIn(p).size
+    assert(caches >= 2, s"x127 lost a hub cache ($caches InMemoryRelation):\n$p")
+  }
+
   test("q01 agg pushes the scan down to the projected columns only") {
     val p = plan("q01_agg_pricing")
     // the lineitem scan must prune to the 5 referenced columns — a scan
