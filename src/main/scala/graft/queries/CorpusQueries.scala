@@ -120,7 +120,7 @@ object CorpusQueries {
     * keep, first_fail)`. */
   private val cascadeSql =
     s"""toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
          cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
          stats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,

@@ -129,7 +129,11 @@ object Similarity {
     * degrades to a broadcast join instead of a hard require-fail. */
   def coarseModel(side: DataFrame, n: Long, idCol: String, vecCol: String,
                   pinBound: Int = 4096): DataFrame = {
-    val kC = math.max(8L, math.sqrt(n.toDouble).toLong).toInt
+    // clamped so ⌊√n⌋ can never wrap Int (√n > 2³¹ needs n > 4.6e18
+    // rows — unreachable, but a wrapped negative limit() would throw
+    // with a baffling message instead of this deliberate ceiling)
+    val kC = math.min(math.max(8L, math.sqrt(n.toDouble).toLong),
+      Int.MaxValue.toLong).toInt
     val lim = side.orderBy(col(idCol)).limit(kC)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     if (kC <= pinBound) pinLocal(lim, pinBound) else lim
