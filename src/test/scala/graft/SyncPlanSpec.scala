@@ -66,6 +66,56 @@ class SyncPlanSpec extends SparkSpec {
     assert(names == Seq("s41_alpha"))
   }
 
+  test("S4 wiring dress rehearsal: plan rows drive a (simulated) fetch into bronze, S3 parses it") {
+    // the out-of-engine half, wired the way a deployment would: collect
+    // the plan (a download list is driver-sized by nature), fetch each
+    // export_url — here a stub serving xlsx bytes by sheet id — write
+    // bytes at dest_file under the bronze dir, then the S3 path
+    // (BronzeStage.xlsxCells → GridTables.subtableAt) reads what S4
+    // planned. Proves the two halves meet at the file-name contract.
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (n, c) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+      }
+      zos.close(); bos.toByteArray
+    }
+    def workbook(anchor: String): Array[Byte] = zip(
+      "xl/sharedStrings.xml" ->
+        ("""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+          s"<si><t>VOTE_TABLE</t></si><si><t>H1</t></si><si><t>$anchor</t></si></sst>"),
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+          |<row r="2"><c r="A2" t="s"><v>1</v></c></row>
+          |<row r="3"><c r="A3" t="s"><v>2</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val remoteSheets = Map("S41A" -> workbook("alice"), "S42B" -> workbook("bob"))
+    val pages = Seq(
+      (1L, "<ul class=\"cast\">\n <a href=\"https://docs.google.com/spreadsheets/d/S41A/\">s41 one</a></ul>"),
+      (2L, "<ul class=\"cast\">\n <a href=\"https://docs.google.com/spreadsheets/d/S42B/\">s42 two</a></ul>"))
+      .toDF("pg", "html")
+    val plan = graft.sources.SyncPlan.sheetsExportPlan(pages, "html")
+      .select($"sheet_id", $"export_url", $"dest_file")
+      .as[(String, String, String)].collect()
+    assert(plan.length == 2)
+    val bronze = java.nio.file.Files.createTempDirectory("graft_s4_bronze").toString
+    plan.foreach { case (id, url, dest) =>
+      assert(url == s"https://docs.google.com/spreadsheets/d/$id/export?format=xlsx&id=$id")
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$bronze/$dest"),
+        remoteSheets(id)) // the stubbed save_survivor_excel
+    }
+    // subtableAt keys on `sheet` — qualify it with the workbook path
+    // (every xlsx ships a "sheet1"), exactly as q34's synthetic names do
+    val cells = graft.sources.BronzeStage.xlsxCells(spark, bronze)
+      .withColumn("sheet", concat_ws(":", $"path", $"sheet"))
+    val sub = graft.sources.GridTables.subtableAt(cells, "^VOTE_TABLE$")
+    val anchors = sub.select($"sheet").distinct().as[String].collect()
+    assert(anchors.length == 2, "both planned workbooks parsed through S3")
+  }
+
   test("driveSyncPlan: missing → download, strictly newer → overwrite, equal/older → skip") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val remote = Seq(
