@@ -116,6 +116,55 @@ class SyncPlanSpec extends SparkSpec {
     assert(anchors.length == 2, "both planned workbooks parsed through S3")
   }
 
+  test("S6 wiring dress rehearsal: sync decisions drive a (simulated) download, S5 parses the bronze") {
+    // mirror of the S4 rehearsal: the plan's download/overwrite rows
+    // drive a stubbed GetContentFile into the local dir (skip rows
+    // leave the existing file untouched), then the S5 path
+    // (BronzeStage.docxLines → parseConfessionalLines) reads the result.
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (n, c) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+      }
+      zos.close(); bos.toByteArray
+    }
+    def docx(speaker: String): Array[Byte] = {
+      def p(t: String) = s"<w:p><w:r><w:t>$t</w:t></w:r></w:p>"
+      zip("word/document.xml" ->
+        ("""<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+          p("Day 1") + p(s"$speaker (1/1): the vote") + "</w:body></w:document>"))
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s6_bronze").toString
+    // pre-existing local file: epOld, newer than remote → skip keeps it
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/epOld.docx"),
+      docx("Keeper"))
+    val remote = Seq(
+      ("arch", "epNew", ts("2020-01-10 00:00:00")),   // missing → download
+      ("arch", "epOld", ts("2019-01-01 00:00:00")))   // older → skip
+      .toDF("folder", "title", "modified")
+    val local = Seq(("arch", "epOld.docx", ts("2020-01-01 00:00:00")))
+      .toDF("folder", "file_name", "mtime")
+    val remoteBytes = Map("epNew" -> docx("Newcomer"))
+    graft.sources.SyncPlan.driveSyncPlan(remote, "folder", "title", "modified",
+        local, "folder", "file_name", "mtime")
+      .select($"title", $"dest_file", $"action")
+      .as[(String, String, String)].collect()
+      .foreach { case (title, dest, action) =>
+        if (action != "skip")     // the stubbed download_special_file
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/$dest"), remoteBytes(title))
+      }
+    val lines = graft.sources.BronzeStage.docxLines(spark, dir)
+    val parsed = graft.domain.Pipelines.parseConfessionalLines(
+        lines.select($"path".as("doc_id"), $"line_no", $"line"))
+      .select($"speaker").distinct().as[String].collect().toSet
+    assert(parsed == Set("Keeper", "Newcomer"),
+      s"skip must keep the local copy and download must land the remote: $parsed")
+  }
+
   test("driveSyncPlan: missing → download, strictly newer → overwrite, equal/older → skip") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val remote = Seq(
