@@ -966,7 +966,7 @@ object CoreQueries {
             '(?s)<ul class="cast">.*?</ul>', 0)) AS block FROM pages),
         a AS (SELECT nk,
             regexp_extract(regexp_extract(block, '(?s)<a\b[^>]*>', 0),
-              'href="([^"]*)"', 1) AS href,
+              '[\s"'']href="([^"]*)"', 1) AS href,
             regexp_replace(block, '(?s)<[^>]*>', '', 'g') AS txt
           FROM blocks),
         b AS (SELECT nk, href,

@@ -957,8 +957,10 @@ object CurationQueries {
       val bc = nbg.filter(train).groupBy(col("prev"), col("cur"))
         .agg(sum(col("n")).as("c_bi"))
       // train token total = Σ unigram counts — rides the vocabulary-sized
-      // uc frame instead of a third full token pass
-      val nTok = broadcast(uc.agg(sum(col("c_uni")).as("n_toks")))
+      // uc frame instead of a third full token pass; coalesce keeps the
+      // pre-hub empty-train value (count = 0, not sum's NULL)
+      val nTok = broadcast(uc.agg(
+        coalesce(sum(col("c_uni")), lit(0L)).as("n_toks")))
       // count frames are vocabulary-sized (unigram/bigram types, not
       // token occurrences) — gate-broadcast them so the per-token bg
       // side keeps its doc_id partitioning through all three joins and

@@ -67,9 +67,12 @@ object SyncPlan {
       .as("__block"): _*)
     // first anchor TAG, then its href: an href-less first anchor skips
     // the whole block (the reference's KeyError path) instead of falling
-    // through to a later anchor
+    // through to a later anchor. The attribute NAME is left-anchored to
+    // whitespace/quote (bs4's attrs['href'] is an exact-name lookup — an
+    // attribute merely ending in "href", e.g. data-href, must not match;
+    // \b can't anchor it since '-' is a non-word char)
     val firstA = regexp_extract(col("__block"), "(?s)<a\\b[^>]*>", 0)
-    val href = regexp_extract(firstA, "href=\"([^\"]*)\"", 1)
+    val href = regexp_extract(firstA, "[\\s\"']href=\"([^\"]*)\"", 1)
     // bs4's element.text: text nodes concatenated verbatim (no
     // whitespace collapse — the name pipeline's [1:] depends on it)
     val text = regexp_replace(col("__block"), "(?s)<[^>]*>", "")

@@ -24,15 +24,28 @@ class NativeExprGuardSpec extends SparkSpec {
   private def natives(name: String): Set[String] = {
     val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
     var found = Set.empty[String]
+    def tag(e: org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      e.foreach {
+        case _: CellArgmin  => found += "cell"
+        case _: MicroArgmin => found += "micro"
+        case _: PqEncode    => found += "pq"
+        case _: Sq8Codes    => found += "sq8"
+        case _ =>
+      }
+    def scanPhysical(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+      p.foreach {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          scanPhysical(s.relation.cachedPlan)
+        case node => node.expressions.foreach(tag)
+      }
     def scan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
-      p.foreach { node =>
-        node.expressions.foreach(_.foreach {
-          case _: CellArgmin  => found += "cell"
-          case _: MicroArgmin => found += "micro"
-          case _: PqEncode    => found += "pq"
-          case _: Sq8Codes    => found += "sq8"
-          case _ =>
-        })
+      p.foreach {
+        // InMemoryRelation hides its child from `expressions` — descend
+        // into the cached PHYSICAL plan (which may itself scan another
+        // cache) so natives living only inside a cached subtree count
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          scanPhysical(r.cachedPlan)
+        case node => node.expressions.foreach(tag)
       }
     scan(plan)
     found

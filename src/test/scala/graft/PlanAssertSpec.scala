@@ -280,10 +280,17 @@ class PlanAssertSpec extends SparkSpec {
     // two caches by design (token rows: hub fill + unigram counts;
     // bigram hub: train counts + scored join); a third would mean a
     // consumer fell off a hub and re-reads wide data (the r14 disease)
+    // count DISTINCT cached frames (cacheBuilder identity), not substring
+    // hits — one cached frame prints once per consumer site, so a string
+    // count can't see a lost cache, and >= can't see a third one
     val p = SparkEntry.queries("x127_stupid_backoff")(spark, sf)
-      .queryExecution.optimizedPlan.toString
-    val caches = "InMemoryRelation".r.findAllIn(p).size
-    assert(caches >= 2, s"x127 lost a hub cache ($caches InMemoryRelation):\n$p")
+      .queryExecution.optimizedPlan
+    val caches = p.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder
+    }.distinct.size
+    assert(caches == 2, s"x127 hub-cache census drifted ($caches distinct " +
+      s"InMemoryRelation, want exactly 2: token rows + bigram hub):\n$p")
   }
 
   test("q01 agg pushes the scan down to the projected columns only") {
