@@ -32,38 +32,47 @@ object Retrieval {
   def bm25TopK(corpus: DataFrame, queries: DataFrame,
                idCol: String, textCol: String, qidCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // postings (id, tok, tf, dl) from ONE tokenize + ONE exchange: tf
-    // and dl are both windows over the hash(id)-partitioned token rows
-    // (hash(id) satisfies the (id, tok) clustering, so the second window
-    // and the per-(id, tok) dedup ride the same exchange). The r1–r12
-    // form re-tokenized the corpus in three independent aggregation
-    // subplans (tf, dl, df) — concurrent broadcast builds hid some of
-    // that on the wall, but the work was 3×. The pin makes every
-    // downstream consumer (stats, df, scoring) read the cache; no
-    // driver-side collects anywhere, so independent broadcast builds
-    // still overlap. No repartition before tokenize: for linear per-row
-    // work the scan splits provide the parallelism, and the extra
-    // exchange measured slower (the r13 lesson — rebalance only pays
-    // for CPU-dense kernels like x106's pair scoring). avgdl stays an
-    // explicit sum/count division of exact longs.
-    val wTok = Window.partitionBy(col(idCol), col("tok"))
-    val wDoc = Window.partitionBy(col(idCol))
-    // explicit hash(id) BEFORE the windows: it satisfies wTok's (id, tok)
-    // clustering by the subset rule, wDoc's (id), AND the (id, tok)
-    // dedup — ONE exchange where the planner's defaults (hash(id, tok)
-    // for wTok, then hash(id) for wDoc) pay two over the widest frame in
-    // the query
+    // postings (id, tok, tf, dl) from ONE tokenize + ONE exchange. The
+    // r1–r12 form re-tokenized the corpus in three independent
+    // aggregation subplans (tf, dl, df); the r13–r15 form cached one
+    // frame but built it with two window sorts + a dedup over the full
+    // occurrence frame. The pin makes every downstream consumer (df,
+    // scoring) read the cache. No repartition before tokenize: for
+    // linear per-row work the scan splits provide the parallelism, and
+    // the extra exchange measured slower (the r13 lesson — rebalance
+    // only pays for CPU-dense kernels like x106's pair scoring). avgdl
+    // stays an explicit sum/count division of exact longs.
+    // explicit hash(id) BEFORE the agg: it satisfies the (id, tok)
+    // grouping by the subset rule AND the per-id dl window — ONE exchange
+    // where the planner's defaults (hash(id, tok) for the agg, then
+    // hash(id) for the window) pay two over the widest frame in the
+    // query. tf comes from a HASH aggregation over the occurrence rows
+    // (long buffer, codegen'd), and dl = Σ tf rides a window over the
+    // already-deduped per-(id, tok) frame — the r15 shape ran two window
+    // sorts + a dedup over the full occurrence frame inside the cache
+    // fill (12.8 CPU-s at sf0.1), and every concurrent consumer of the
+    // cache blocked on that fill's block-lock (the x126 census: zero-CPU
+    // same-wall lock-wait stages). Same values, ~10× cheaper fill.
     val postings = graft.ops.InternalCaches.register(
       TextOps.tokenRows(corpus, idCol, textCol)
         .filter(col("tok") =!= "")
         .repartition(col(idCol))
-        .withColumn("tf", count(lit(1)).over(wTok))
-        .withColumn("dl", count(lit(1)).over(wDoc))
-        .select(col(idCol), col("tok"), col("tf"), col("dl"))
-        .dropDuplicates(idCol, "tok"))
-    val stats = broadcast(postings
+        .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+        .withColumn("dl",
+          sum(col("tf")).over(Window.partitionBy(col(idCol)))))
+    // corpus-global scalars (N, Σdl) COLLECTED driver-side — one row,
+    // bounded by construction. This first action also materializes the
+    // postings cache SERIALLY before any consumer branch exists, so the
+    // dfreq broadcast build and the contrib chain read a warm cache
+    // instead of racing the fill's block-lock (the x126 census showed
+    // the race as zero-CPU same-wall lock-wait stages; same cure as
+    // x131's stat collect — the x144/x171 lesson)
+    val statRow = postings
       .groupBy(col(idCol)).agg(min(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl")))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .head()
+    val nDocs = statRow.getLong(0)
+    val totDl = if (statRow.isNullAt(1)) 0L else statRow.getLong(1)
     val qt = TextOps.tokenRows(queries, qidCol, textCol)
       .filter(col("tok") =!= "")
       .select(col(qidCol).as("__qid"), col("tok")).distinct()
@@ -75,7 +84,6 @@ object Retrieval {
     val contrib = broadcast(qt)
       .join(tfQ, Seq("tok"))
       .join(broadcast(dfreq), Seq("tok"))
-      .crossJoin(stats)
       .withColumn("__c", expr(
         // idf * tf-component, floored to micro-units: every double op is
         // written identically in the DuckDB oracle (literals cast, same
@@ -84,13 +92,16 @@ object Retrieval {
         // every literal casts to DOUBLE explicitly: bare 0.5 / 1.2 parse
         // as DECIMAL on both engines and would push parts of the chain
         // into exact decimal arithmetic on one engine but not the other
+        // n_docs/tot_dl are driver-collected literals; every double op
+        // (conversion, association order) is unchanged vs the column
+        // form, so the floored micro value is bit-identical
         s"""CAST(floor(
-           ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           ln(((CAST($nDocs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
                / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) + CAST(1.0 AS DOUBLE))
            * ((CAST(tf AS DOUBLE) * (CAST($k1 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
               / (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)
                  + CAST($b AS DOUBLE) * (CAST(dl AS DOUBLE)
-                         / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                         / (CAST($totDl AS DOUBLE) / CAST($nDocs AS DOUBLE))))))
            * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"""))
     val scored = contrib.groupBy(col("__qid"), col(idCol))
       .agg(sum(col("__c")).as("score_micro"))
