@@ -57,7 +57,14 @@ object ScaleBench {
     "x127_stupid_backoff",
     "x83_scd2_history",
     "x76_cascade_report",
-    "x52_ann_rerank")
+    "x52_ann_rerank",
+    // r16 (r15 verdict #2): the band's four new entrants via twin-time
+    // drift — gated here so every >2×-of-twin row carries measured
+    // vs_linear evidence (x131 after its packed-argmax surgery)
+    "x131_nb_langid",
+    "x36_semantic_dedup",
+    "x48_ann_recall",
+    "x91_collocations")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

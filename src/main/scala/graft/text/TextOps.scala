@@ -509,25 +509,12 @@ object TextOps {
     // folded into the agg — constant within the group), and the argmax
     // are ONE exchange-free span over the cached tokens
     val dtc = tr.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n_w"))
-    val contrib = dtc
-      .crossJoin(broadcast(labels))
-      .join(lw, Seq("cand", "tok"), "left")
-      .groupBy(col(idCol), col("cand"))
-      .agg((min(col("prior_m"))
-        + sum(col("n_w") * coalesce(col("lw_m"), col("def_m"))))
-        .as("score_micro"))
-    val best = contrib.groupBy(col(idCol))
-      .agg(min(struct((-col("score_micro")).as("ns"), col("cand").as("c")))
-        .as("m"))
-      .select(col(idCol), col("m.c").as("pred_lang"),
-        (-col("m.ns")).as("score_micro"))
-    // zero-token docs never reach contrib; their score over every cand is
-    // the bare prior, so their argmax is a CONSTANT — max prior, tie to
-    // the smallest cand. Computed at the driver from statRows with the
-    // prior_m values read back off the labels local frame (same Catalyst
-    // ln floor — LocalRelation projection folds driver-side, no job);
-    // strings compare as UTF-8 bytes = Spark's UTF8String struct-min order
-    val labelRows = labels.collect()
+    // label index for the PACKED argmax below, assigned at the driver in
+    // tie-break order (candLt = Spark's UTF8String / numeric ordering):
+    // idx 0 = the smallest cand. labelRows reads the labels LOCAL frame
+    // (the projection constant-folds driver-side — same Catalyst ln
+    // floor, no job), so prior_m values are bit-identical to the column
+    // form's.
     def candLt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: String, y: String) =>
         val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
@@ -538,6 +525,44 @@ object TextOps {
       case (x: Number, y: Number) => x.doubleValue < y.doubleValue
       case _ => a.toString < b.toString
     }
+    val labelRows = labels.collect()
+    val candSorted = labelRows.map(_.get(0)).sortWith(candLt)
+    val idxOf = candSorted.zipWithIndex.toMap
+    val nL = math.max(labelRows.length, 1).toLong
+    val labelsIdx = docs.sparkSession.createDataFrame(
+      labelRows.map(r => Row(r.get(0), r.getLong(1), r.getLong(2),
+        idxOf(r.get(0)).toLong)).toSeq.asJava,
+      StructType(labels.schema.fields :+ StructField("__ci", LongType)))
+    val contrib = dtc
+      .crossJoin(broadcast(labelsIdx))
+      .join(lw, Seq("cand", "tok"), "left")
+      .groupBy(col(idCol), col("cand"), col("__ci"))
+      .agg((min(col("prior_m"))
+        + sum(col("n_w") * coalesce(col("lw_m"), col("def_m"))))
+        .as("score_micro"))
+    // argmax as a PACKED single-long min — min(struct(ns, cand)) put a
+    // SortAggregate in the score stage (struct buffers block hash-agg;
+    // the r15 census's one lever on x131). ns = -score is ≥ 0 (every
+    // per-token ln is of a probability ≤ 1, so scores are ≤ 0), the
+    // label index is < nL, so min(ns·nL + idx) is the same lexicographic
+    // (ns, idx) order with idx ordered by candLt = the struct's
+    // tie-break — and it hash-aggregates as a plain long. Overflow would
+    // need ns·nL ≥ 2^63 (≈ 4·10¹¹ tokens in ONE doc at 8 labels) and
+    // ANSI mode throws loudly, not silently, if a corpus ever does that.
+    val packed = contrib.groupBy(col(idCol))
+      .agg(min((-col("score_micro")) * lit(nL) + col("__ci")).as("__p"))
+    val best = packed
+      .withColumn("__ci", col("__p") % nL)
+      .withColumn("score_micro", -expr(s"__p div ${nL}L"))
+      .join(broadcast(labelsIdx.select(col("__ci"),
+        col("cand").as("pred_lang"))), Seq("__ci"))
+      .select(col(idCol), col("pred_lang"), col("score_micro"))
+    // zero-token docs never reach contrib; their score over every cand is
+    // the bare prior, so their argmax is a CONSTANT — max prior, tie to
+    // the smallest cand. Computed at the driver from statRows with the
+    // prior_m values read back off the labels local frame (same Catalyst
+    // ln floor — LocalRelation projection folds driver-side, no job);
+    // strings compare as UTF-8 bytes = Spark's UTF8String struct-min order
     val bestDefault = labelRows.sortWith { (a, b) =>
       if (a.getLong(1) != b.getLong(1)) a.getLong(1) > b.getLong(1)
       else candLt(a.get(0), b.get(0))
