@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   *    replays `sync_confessionals`' decision rules (missing → download,
   *    remote modifiedDate strictly newer → overwrite, else skip).
   *
-  * Both are pure DataFrame transforms: the plan rows feed whatever
-  * executor a deployment wires up (a foreachPartition HTTP fetch, an
-  * external downloader reading the plan parquet), with retry policy from
-  * [[graft.ops.Retry]] and idempotent replay via the K1 upsert sink.
+  * Both are pure DataFrame transforms: the plan rows feed
+  * [[PlanExecutor.execute]] — the concrete foreachPartition executor
+  * seam (pluggable transport, [[graft.ops.Retry]]-wrapped fetches,
+  * idempotent atomic-replace sink) — or any external downloader reading
+  * the plan parquet; replayed loads stay idempotent via the K1 upsert.
   * Scale posture: the catalog page parse is a map-side regex projection;
   * the sync compare is one equi-join where the local inventory side is
   * gate-broadcast (directory listings are small; a corpus-sized

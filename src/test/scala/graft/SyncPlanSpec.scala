@@ -97,16 +97,23 @@ class SyncPlanSpec extends SparkSpec {
       (1L, "<ul class=\"cast\">\n <a href=\"https://docs.google.com/spreadsheets/d/S41A/\">s41 one</a></ul>"),
       (2L, "<ul class=\"cast\">\n <a href=\"https://docs.google.com/spreadsheets/d/S42B/\">s42 two</a></ul>"))
       .toDF("pg", "html")
-    val plan = graft.sources.SyncPlan.sheetsExportPlan(pages, "html")
-      .select($"sheet_id", $"export_url", $"dest_file")
+    val planDf = graft.sources.SyncPlan.sheetsExportPlan(pages, "html")
+    val plan = planDf.select($"sheet_id", $"export_url", $"dest_file")
       .as[(String, String, String)].collect()
     assert(plan.length == 2)
-    val bronze = java.nio.file.Files.createTempDirectory("graft_s4_bronze").toString
-    plan.foreach { case (id, url, dest) =>
+    plan.foreach { case (id, url, _) =>
       assert(url == s"https://docs.google.com/spreadsheets/d/$id/export?format=xlsx&id=$id")
-      java.nio.file.Files.write(java.nio.file.Paths.get(s"$bronze/$dest"),
-        remoteSheets(id)) // the stubbed save_survivor_excel
     }
+    val bronze = java.nio.file.Files.createTempDirectory("graft_s4_bronze").toString
+    // the executor seam: a stub transport serving xlsx bytes by the
+    // sheet id embedded in the export URL (the stubbed
+    // save_survivor_excel), distributed over the plan rows
+    val transport: graft.sources.PlanExecutor.Transport = (key: String) =>
+      remoteSheets(key.stripPrefix("https://docs.google.com/spreadsheets/d/")
+        .takeWhile(_ != '/'))
+    graft.sources.PlanExecutor.execute(planDf, "export_url", "dest_file",
+      transport, graft.sources.PlanExecutor.DirSink(bronze),
+      maxAttempts = 1, baseMs = 0, jitterMs = 0)
     // subtableAt keys on `sheet` — qualify it with the workbook path
     // (every xlsx ships a "sheet1"), exactly as q34's synthetic names do
     val cells = graft.sources.BronzeStage.xlsxCells(spark, bronze)
@@ -148,15 +155,17 @@ class SyncPlanSpec extends SparkSpec {
     val local = Seq(("arch", "epOld.docx", ts("2020-01-01 00:00:00")))
       .toDF("folder", "file_name", "mtime")
     val remoteBytes = Map("epNew" -> docx("Newcomer"))
-    graft.sources.SyncPlan.driveSyncPlan(remote, "folder", "title", "modified",
-        local, "folder", "file_name", "mtime")
-      .select($"title", $"dest_file", $"action")
-      .as[(String, String, String)].collect()
-      .foreach { case (title, dest, action) =>
-        if (action != "skip")     // the stubbed download_special_file
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$dir/$dest"), remoteBytes(title))
-      }
+    val decisions = graft.sources.SyncPlan.driveSyncPlan(
+      remote, "folder", "title", "modified",
+      local, "folder", "file_name", "mtime")
+    // the executor seam: skip rows filtered out, the rest fetched by
+    // title through a stub transport (the stubbed download_special_file)
+    val transport: graft.sources.PlanExecutor.Transport =
+      (key: String) => remoteBytes(key)
+    graft.sources.PlanExecutor.execute(
+      decisions.filter($"action" =!= "skip"), "title", "dest_file",
+      transport, graft.sources.PlanExecutor.DirSink(dir),
+      maxAttempts = 1, baseMs = 0, jitterMs = 0)
     val lines = graft.sources.BronzeStage.docxLines(spark, dir)
     val parsed = graft.domain.Pipelines.parseConfessionalLines(
         lines.select($"path".as("doc_id"), $"line_no", $"line"))
@@ -190,5 +199,55 @@ class SyncPlanSpec extends SparkSpec {
     assert(plan(("arch2", "epB")) == "download")
     assert(plan(("arch1", "epD")) == "skip")
     assert(plan.size == 5, "one decision per remote file, locals never add rows")
+  }
+
+  test("PlanExecutor: flaky transport retries; full-plan replay converges (idempotent sink)") {
+    import graft.sources.PlanExecutor
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_planexec").toString
+    SyncPlanSpecFlaky.failures.clear()
+    SyncPlanSpecFlaky.failures.put("u1", 2) // first two fetches of u1 throw
+    val plan = Seq(("u1", "a.bin"), ("u2", "sub/b.bin")).toDF("url", "dest")
+    def run(): Unit = PlanExecutor.execute(plan, "url", "dest",
+      SyncPlanSpecFlaky.transport, PlanExecutor.DirSink(dir),
+      maxAttempts = 3, baseMs = 0, jitterMs = 0)
+    run()
+    def read(f: String) =
+      new String(Files.readAllBytes(Paths.get(dir, f)), "UTF-8")
+    assert(read("a.bin") == "payload:u1", "retried past the transient failures")
+    assert(read("sub/b.bin") == "payload:u2", "nested dest dirs created")
+    // replay the WHOLE plan (what a Spark task retry does to its
+    // partition): same end state, no torn/temp files left behind
+    run()
+    assert(read("a.bin") == "payload:u1" && read("sub/b.bin") == "payload:u2")
+    assert(new java.io.File(dir).list().toSet == Set("a.bin", "sub"),
+      "atomic temp-then-replace leaves no extra files")
+    // a transport that exhausts its retries propagates (loud, not
+    // silent) — deliberate failure path, so the task-abort loggers are
+    // silenced for exactly this window (the suite-log zero-ERROR rule)
+    SyncPlanSpecFlaky.failures.put("u1", 99)
+    quietLoggers(Seq(
+      "org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager",
+      "org.apache.spark.scheduler.DAGScheduler",
+      "org.apache.spark.util.Utils")) {
+      intercept[org.apache.spark.SparkException](run())
+    }
+  }
+}
+
+/** Executor-side mutable state for the PlanExecutor flaky-transport test
+  * — a top-level object so the lambda ships without dragging the spec
+  * instance along (local mode shares the JVM, so the map is visible to
+  * tasks). */
+object SyncPlanSpecFlaky {
+  val failures = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  val transport: graft.sources.PlanExecutor.Transport = (key: String) => {
+    val left: Integer = failures.getOrDefault(key, 0)
+    if (left > 0) {
+      failures.put(key, left - 1)
+      throw new RuntimeException(s"transient fetch failure for $key")
+    }
+    s"payload:$key".getBytes("UTF-8")
   }
 }
