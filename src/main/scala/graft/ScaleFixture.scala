@@ -25,27 +25,40 @@ object ScaleFixture {
   def defaultDir: String =
     s"/tmp/graft_sf1synth_spark_${sys.props.getOrElse("user.name", "anon")}"
 
-  def ensure(spark: SparkSession, sf01: String, fixtureDir: String): Unit = {
+  def ensure(spark: SparkSession, sf01: String, fixtureDir: String): Unit =
+    ensureShards(spark, sf01, fixtureDir, 10)
+
+  /** Generalized N-shard build (r15 verdict #3: the 100×-shape probe
+    * needs a 100-shard fixture). `shards <= 26` keeps the original
+    * single-letter word tags (so the 10× fixture is byte-identical to
+    * every prior round's); larger counts use two letters — still
+    * letters-only, so normalize can't split the tag off. */
+  def ensureShards(spark: SparkSession, sf01: String, fixtureDir: String,
+                   nShards: Int): Unit = {
+    require(nShards >= 2 && nShards <= 260,
+      s"shard count $nShards outside the letter-tag range")
+    def tag(k: Int): String =
+      if (nShards <= 26) s"x${('a' + k).toChar}"
+      else s"x${('a' + k / 26).toChar}${('a' + k % 26).toChar}"
     val docs = Tables.load(spark, sf01, "documents")
     val nDocs = docs.count()
     // The k·10⁶ shard offset assumes ids fit under one million per shard;
     // a bigger source would silently collide ids while still passing the
-    // 10×-row-count freshness stamp, so fail loudly instead (r13 advice).
+    // N×-row-count freshness stamp, so fail loudly instead (r13 advice).
     require(nDocs < 1000000L,
       s"ScaleFixture shard offset requires <1e6 docs, got $nDocs")
     val docsTarget = new java.io.File(s"$fixtureDir/documents.parquet")
     val docsFresh = docsTarget.exists() &&
-      (try spark.read.parquet(docsTarget.toString).count() == 10 * nDocs
+      (try spark.read.parquet(docsTarget.toString).count() == nShards * nDocs
       catch { case _: Throwable => false })
     if (!docsFresh) {
-      val shards = (0 until 10).map { k =>
+      val shards = (0 until nShards).map { k =>
         if (k == 0)
           docs.select(col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_chars"))
         else {
-          val tag = ('a' + k).toChar
           val tagged = array_join(
-            transform(split(col("text"), " "), w => concat(w, lit(s"x$tag"))),
+            transform(split(col("text"), " "), w => concat(w, lit(tag(k)))),
             " ")
           docs.select((col("doc_id") + k * 1000000L).as("doc_id"),
             tagged.as("text"), col("lang"), col("source"),
@@ -61,10 +74,10 @@ object ScaleFixture {
       s"ScaleFixture shard offset requires <1e6 embeddings, got $nEmb")
     val embTarget = new java.io.File(s"$fixtureDir/embeddings.parquet")
     val embFresh = embTarget.exists() &&
-      (try spark.read.parquet(embTarget.toString).count() == 10 * nEmb
+      (try spark.read.parquet(embTarget.toString).count() == nShards * nEmb
       catch { case _: Throwable => false })
     if (!embFresh) {
-      val shards = (0 until 10).map { k =>
+      val shards = (0 until nShards).map { k =>
         emb.select((col("vec_id") + k * 1000000L).as("vec_id"),
           col("embedding"), col("label"))
       }

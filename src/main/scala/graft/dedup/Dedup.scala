@@ -307,17 +307,36 @@ object Dedup {
     val pref = ranked.filter(col("__pos") <=
         col("__sz") - expr(s"($tauNum * __sz + $tauDen - 1) div $tauDen")
           + 1)
-      .select(col(idCol), col("g"), col("__sz"))
+      .select(col(idCol), col("g"), col("__sz"), col("__pos"))
     // length filter (the All-Pairs size bound): J >= tau forces
     // tau*max(sz) <= |x∩y| <= min(sz) — prune incompatible sizes before
-    // the distinct, exactness untouched
-    val cand = pref.select(col(idCol).as("id_a"), col("g"), col("__sz").as("__sa"))
-      .join(pref.select(col(idCol).as("id_b"), col("g"), col("__sz").as("__sb")),
+    // the pair agg, exactness untouched
+    val cand = pref.select(col(idCol).as("id_a"), col("g"),
+        col("__sz").as("__sa"), col("__pos").as("__pa"))
+      .join(pref.select(col(idCol).as("id_b"), col("g"),
+        col("__sz").as("__sb"), col("__pos").as("__pb")),
         Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .filter(lit(tauNum) * greatest(col("__sa"), col("__sb")) <=
         lit(tauDen) * least(col("__sa"), col("__sb")))
-      .select(col("id_a"), col("id_b")).distinct()
+      // PPJoin positional filter (Xiao '08 §3.2): __pos is the per-doc
+      // rank in ONE global element order (df asc, g asc), so a pair's
+      // common elements appear in the same relative order in both docs —
+      // the FIRST prefix match (min __pa; necessarily also min __pb) has
+      // no common element before it, hence overlap I <= 1 + min(sa−pa,
+      // sb−pb). J >= tau needs I·(tauNum+tauDen) >= tauNum·(sa+sb), so
+      // pairs whose positional bound can't reach that die BEFORE the
+      // verification join — pure integer arithmetic, prunes only pairs
+      // the final jaccard filter would drop anyway (hash-identical
+      // output). The pair agg replaces the old distinct — same shuffle
+      // key, same cost, plus the sizes ride along for free.
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("__pa")).as("__pa"), min(col("__pb")).as("__pb"),
+        min(col("__sa")).as("__sa"), min(col("__sb")).as("__sb"))
+      .filter((lit(1) + least(col("__sa") - col("__pa"),
+          col("__sb") - col("__pb"))) * lit(tauNum + tauDen) >=
+        lit(tauNum) * (col("__sa") + col("__sb")))
+      .select(col("id_a"), col("id_b"))
     jaccardForShingles(td, idCol, cand)
       .filter(col("jaccard") >=
         expr(s"CAST($tauNum AS DOUBLE) / CAST($tauDen AS DOUBLE)"))
