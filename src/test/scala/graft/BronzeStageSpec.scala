@@ -162,13 +162,18 @@ class BronzeStageSpec extends SparkSpec {
       .select("sheet").distinct().as[String].collect().toSeq
     assert(got == Seq("sheet1"))
     // deliberate failure path — silence the listener-bus echo of the
-    // expected FileNotFoundException so a green suite log stays clean
+    // expected FileNotFoundException, and DRAIN the async bus before
+    // the levels restore: the ExecutionListenerBus delivery runs after
+    // collect() throws, so without the drain the ERROR line lands
+    // outside the quiet window (seen once in a full-suite run)
     val missing = quietLoggers(Seq(
       "org.apache.spark.sql.util.ExecutionListenerBus")) {
-      intercept[Exception] {
+      val e = intercept[Exception] {
         spark.read.format("graft-xlsx").load(s"$dir/nope/*.xlsx")
           .collect()
       }
+      drainListenerBus()
+      e
     }
     assert(missing.getMessage.contains("no files match") ||
       Option(missing.getCause).exists(_.getMessage.contains("no files match")))

@@ -232,6 +232,7 @@ class SyncPlanSpec extends SparkSpec {
       "org.apache.spark.scheduler.DAGScheduler",
       "org.apache.spark.util.Utils")) {
       intercept[org.apache.spark.SparkException](run())
+      drainListenerBus() // async echoes land inside the quiet window
     }
   }
 }
