@@ -53,18 +53,32 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterEach {
       // termination: stop() cancels the job, awaitTermination returns,
       // and the interrupted write tasks are still logging their
       // commit-abort on executor threads (seen as DataWritingSparkTask
-      // / Utils ERROR lines landing after the old window closed). Wait
-      // for the scheduler to actually go idle, then drain the bus —
-      // task-end events postdate the abort logging, so an empty bus
-      // after an idle scheduler means the abort path has finished
-      // talking — only then restore logger levels.
+      // / Utils ERROR lines landing after the old window closed).
+      // Active jobs/stages alone are NOT enough to wait on: the
+      // DAGScheduler deschedules the cancelled job (stage/job-end
+      // events post) while the killed task threads are still unwinding
+      // their interrupt — the scheduler reads idle, the bus drains
+      // empty, levels restore, and THEN the task thread logs its abort
+      // (the 4 'ERROR Utils: Aborting task' lines the TTL test leaked).
+      // Executor activeTasks only decrements when each task's OWN end
+      // event is delivered, which strictly postdates its abort logging
+      // — so wait for that too, then drain the bus.
+      // One more subtlety: statusTracker reads the AppStatusStore, which
+      // is fed by the SAME async bus — polled before a drain it can read
+      // a stale "idle" while the in-flight batch's job-start event is
+      // still queued (the 2-line leak the first fix left). Drain first
+      // so the store is current, and re-drain between polls.
       val idleBy = System.currentTimeMillis + 5000
       def busy = {
         val st = spark.sparkContext.statusTracker
-        st.getActiveJobIds.nonEmpty || st.getActiveStageIds.nonEmpty
+        st.getActiveJobIds.nonEmpty || st.getActiveStageIds.nonEmpty ||
+          st.getExecutorInfos.exists(_.numRunningTasks() > 0)
       }
-      while (busy && System.currentTimeMillis < idleBy) Thread.sleep(20)
       drainListenerBus()
+      while (busy && System.currentTimeMillis < idleBy) {
+        Thread.sleep(20)
+        drainListenerBus()
+      }
     }
   }
 
