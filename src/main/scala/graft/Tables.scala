@@ -13,6 +13,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** JVM-scoped parquet schema cache, keyed on (path, length, mtime).
+    *
+    * `spark.read.parquet(path)` re-infers the schema from the file footer
+    * on EVERY DataFrame construction — a serial driver-side job (~30 ms
+    * warm at sf0.1) that every catalog query pays once per table load,
+    * in every bench pass (r16 census: a `parquet at Tables.scala` job in
+    * each query's job list). Supplying the schema explicitly skips that
+    * job; the (length, mtime) half of the key invalidates the entry when
+    * a test overwrites the same path, so the cache can never serve a
+    * stale schema to a rewritten file (the annIndexMeta discipline —
+    * one cheap getFileStatus stat per load instead of a footer read).
+    * At scale the analogous move is a catalog-supplied schema: the lake's
+    * table metadata replaces per-query footer sniffing. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def schemaOf(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val key = s"$path:${st.getLen}:${st.getModificationTime}"
+    schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.expressions.GraftFunctions.ensureRegistered(spark)
     // The events table has shipped with two physical encodings of `ts`:
@@ -23,7 +49,8 @@ object Tables {
     // comparisons agree); native timestamp columns pass through untouched.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val path = s"$dir/$name.parquet"
+      val raw = spark.read.schema(schemaOf(spark, path)).parquet(path)
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
@@ -36,7 +63,10 @@ object Tables {
             .cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else {
+      val path = s"$dir/$name.parquet"
+      spark.read.schema(schemaOf(spark, path)).parquet(path)
+    }
     // NOTE the synthetic files are single parquet row groups, so every
     // scan is one task locally; a production lake splits naturally across
     // files/row groups. Deliberately NOT compensated with a repartition

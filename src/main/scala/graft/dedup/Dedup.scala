@@ -378,10 +378,30 @@ object Dedup {
                        shingleK: Int = 2, numHashes: Int = 12,
                        rowsPerBand: Int = 3, candTau: Double = 0.25,
                        jaccardTau: Double = 0.2): DataFrame = {
-    require(numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val sh = InternalCaches.register(
       TextOps.shingleRows(docs, idCol, textCol, shingleK))
+    val labels = lshDedupClustersFromShingles(sh, idCol, numHashes,
+      rowsPerBand, candTau, jaccardTau)
+    sh.unpersist()
+    labels
+  }
+
+  /** [[lshDedupClusters]] over an ALREADY-MATERIALIZED (caller-cached)
+    * shingle frame — the form composed pipelines use when another stage
+    * needs the same shingles (x128's audit verify, x141's pair verify):
+    * tokenization+shingling runs ONCE for the whole composition instead
+    * of once inside the cluster chain and once per extra consumer (the
+    * r16 census read the second full shingle pass as the duplicate-
+    * subtree signature on both queries). `sh` lifecycle stays with the
+    * caller; the internal signature cache is released before returning
+    * (CC materializes via localCheckpoint, so it is consumed by then). */
+  def lshDedupClustersFromShingles(sh: DataFrame, idCol: String,
+                                   numHashes: Int = 12,
+                                   rowsPerBand: Int = 3,
+                                   candTau: Double = 0.25,
+                                   jaccardTau: Double = 0.2): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val signed = InternalCaches.register(
       signatureOfShingles(sh, idCol, numHashes))
     val cands = lshPairsFromSignatures(signed, idCol, numHashes, rowsPerBand, candTau)
@@ -389,7 +409,6 @@ object Dedup {
     val verified = jaccardForShingles(sh, idCol, cands)
       .filter(col("jaccard") >= jaccardTau)
     val labels = connectedComponents(verified) // materializes via localCheckpoint
-    sh.unpersist()
     signed.unpersist()
     labels
   }

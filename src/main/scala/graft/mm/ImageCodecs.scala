@@ -589,6 +589,7 @@ object ImageCodecs {
 
       val r = new JpegBits(b, scanStart)
       val coef = new Array[Int](64)                // natural order, dequantized
+      val idctT = new Array[Long](64)              // separable-IDCT row pass
 
       def decodeBlock(c: JpegComp, blockRow: Int, blockCol: Int): Unit = {
         val dc = dcTabs(c.dcTab); val ac = acTabs(c.acTab)
@@ -613,23 +614,43 @@ object ImageCodecs {
             k += 1
           }
         }
-        // fixed-point IDCT + level shift, straight from the basis grid
+        // fixed-point IDCT + level shift, straight from the basis grid.
+        // SEPARABLE two-pass form of the r1–r15 quadruple loop: the old
+        // per-pixel sum Σ_v Σ_u f(v,u)·CosT(u)(x)·CosT(v)(y) factors as
+        // Σ_v (Σ_u f(v,u)·CosT(u)(x))·CosT(v)(y) — pure 64-bit integer
+        // multiply/add throughout (no intermediate descale), and integer
+        // × and + are associative/distributive even under wraparound, so
+        // every pixel is BIT-IDENTICAL to the unfactored form (the
+        // fixture sums in MultimodalSpec pin it). Work per block drops
+        // from 64 px × 64 coefs to 2 × 512 multiply-adds (~3-4×) — the
+        // decode CPU is the censused floor of every JPEG consumer
+        // (x12/x13/x32/x84).
         val base = blockRow * 8 * c.planeW + blockCol * 8
+        var v = 0
+        while (v < 8) {
+          var x = 0
+          while (x < 8) {
+            var t = 0L
+            var u = 0
+            while (u < 8) {
+              val f = coef(v * 8 + u)
+              if (f != 0) t += f * CosT(u)(x)
+              u += 1
+            }
+            idctT(v * 8 + x) = t
+            x += 1
+          }
+          v += 1
+        }
         var y = 0
         while (y < 8) {
           var x = 0
           while (x < 8) {
             var s = 0L
-            var v = 0
-            while (v < 8) {
-              var u = 0
-              val tvy = CosT(v)(y)
-              while (u < 8) {
-                val f = coef(v * 8 + u)
-                if (f != 0) s += f * CosT(u)(x) * tvy
-                u += 1
-              }
-              v += 1
+            var v1 = 0
+            while (v1 < 8) {
+              s += idctT(v1 * 8 + x) * CosT(v1)(y)
+              v1 += 1
             }
             var p = (((s + (1L << 29)) >> 30) + 128).toInt
             if (p < 0) p = 0 else if (p > 255) p = 255

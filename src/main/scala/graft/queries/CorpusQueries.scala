@@ -711,8 +711,15 @@ object CorpusQueries {
     "x84_phash_neardup" -> ((s, d) => {
       val base = t(s, d, "documents")
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        // slice the BINARY to 64 bytes BEFORE hexing: hex is byte-local,
+        // so hex(substring(bin, 1, 64)) ≡ substring(hex(bin), 1, 128)
+        // exactly — but the old order hex-encoded the ENTIRE payload
+        // (2× its size in fresh string) per row just to keep 128 chars
+        // (r16 census: the aHash stage burned ~5 CPU-s at sf0.1, mostly
+        // this allocation). At 100 TB this is the difference between
+        // hexing 64 B and hexing the whole asset per row.
         .select(col("doc_id").as("asset_id"),
-          substring(hex(col("text").cast("binary")), 1, 128).as("hx"),
+          hex(substring(col("text").cast("binary"), 1, 64)).as("hx"),
           length(col("text").cast("binary")).as("n"))
         .filter(col("n") >= 64)
       val bytes = base

@@ -1034,9 +1034,14 @@ object ExtensionQueries {
     // dedup decisions (keep one survivor per cluster) over-delete
     "x128_chaining_audit" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val labels = Dedup.lshDedupClusters(docs, "doc_id", "text",
-        shingleK = 2, numHashes = 12, rowsPerBand = 3,
-        candTau = 0.25, jaccardTau = 0.2)
+      // ONE shingle frame for the cluster chain AND the audit verify
+      // (r16: the jaccardForPairs call re-ran the full tokenize+shingle
+      // pass the cluster chain had already paid — the duplicate-subtree
+      // signature; shared-hub form per the x76/x127 lesson)
+      val sh = graft.text.TextOps.shingleRows(docs, "doc_id", "text", 2)
+        .cacheRegistered
+      val labels = Dedup.lshDedupClustersFromShingles(sh, "doc_id",
+        numHashes = 12, rowsPerBand = 3, candTau = 0.25, jaccardTau = 0.2)
       val sized = labels.groupBy(col("cluster")).agg(count(lit(1)).as("size"))
         .filter(col("size") <= 32)
       val members = labels.join(sized, Seq("cluster"))
@@ -1044,7 +1049,7 @@ object ExtensionQueries {
         .join(members.select(col("cluster"), col("id").as("id_b")),
           Seq("cluster"))
         .filter(col("id_a") < col("id_b"))
-      val jac = Dedup.jaccardForPairs(docs, "doc_id", "text", k = 2,
+      val jac = Dedup.jaccardForShingles(sh, "doc_id",
         pairs.select(col("id_a"), col("id_b")))
       pairs.join(jac, Seq("id_a", "id_b"), "left")
         .groupBy(col("cluster"), col("size"))
@@ -1145,9 +1150,16 @@ object ExtensionQueries {
     // exact-Jaccard verify); the roll-up adds two broadcast-size joins
     "x141_source_copy_matrix" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        shingleK = 2, numHashes = 12, rowsPerBand = 3, tau = 0.25)
-      val ver = Dedup.jaccardForPairs(docs, "doc_id", "text", k = 2,
+      // ONE shingle frame for signatures AND the exact-Jaccard verify
+      // (r16: minhashLshPairs + jaccardForPairs each ran their own full
+      // tokenize+shingle pass — the duplicate-subtree signature; the
+      // shared form is lshDedupClusters' hub shape without the CC)
+      val sh = graft.text.TextOps.shingleRows(docs, "doc_id", "text", 2)
+        .cacheRegistered
+      val cand = Dedup.lshPairsFromSignatures(
+        Dedup.signatureOfShingles(sh, "doc_id", numHashes = 12),
+        "doc_id", numHashes = 12, rowsPerBand = 3, tau = 0.25)
+      val ver = Dedup.jaccardForShingles(sh, "doc_id",
           cand.select(col("id_a"), col("id_b")))
         .filter(col("jaccard") >= 0.2)
       val src = docs.select(col("doc_id"), col("source"))
