@@ -64,7 +64,10 @@ object BenchSubset {
     } catch { case _: Exception => Thread.sleep(300) }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_CPUS mirrors Bench's core-count seam (r16 verdict item 1:
+    // census the 8-vs-32 contention rows at both counts)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",

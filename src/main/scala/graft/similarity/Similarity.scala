@@ -65,7 +65,7 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val parts = graft.ops.Partitioning.sizeAdaptive(corpus)
     val c = withNorm(corpus, idCol, vecCol, parts)
     val q = queries.select(col(qidCol), col(qvecCol))
       .withColumn("__qn", sqrt(dot(col(qvecCol), col(qvecCol))))
@@ -184,7 +184,7 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       anchors: Seq[Array[Float]], k: Int, probeFlips: Int = 0): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val parts = graft.ops.Partitioning.sizeAdaptive(corpus)
     val cb = withNorm(corpus, idCol, vecCol, parts)
       .withColumn("bucket", bucketCode(col(vecCol), anchors))
     val qb = queries.select(col(qidCol), col(qvecCol))
@@ -246,7 +246,7 @@ object Similarity {
                                   cvecCol: String): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val parts = graft.ops.Partitioning.sizeAdaptive(corpus)
     val centPlan = centroids.select(col(cidCol), col(cvecCol))
     val vecLit: Option[org.apache.spark.sql.Row => Column] =
       centPlan.schema(cvecCol).dataType match {
@@ -544,7 +544,7 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    tau: Double): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val parts = graft.ops.Partitioning.sizeAdaptive(corpus)
     val v = withNorm(corpus, idCol, vecCol, parts)
     v.as("a").join(v.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
@@ -583,7 +583,7 @@ object Similarity {
     require(anchors.nonEmpty && anchors.length % bitsPerTable == 0,
       s"anchors (${anchors.length}) must divide evenly into tables of $bitsPerTable bits")
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val parts = graft.ops.Partitioning.sizeAdaptive(corpus)
     val numTables = anchors.length / bitsPerTable
     // cache: the (id, vec, norm) frame feeds the coding pass AND both
     // sides of the verify join — caller-managed lifecycle, as with
@@ -706,7 +706,7 @@ object Similarity {
         // explicit spread pays (a one-row-group corpus would otherwise
         // encode on a single core)
         pqSubDists(
-            ev.repartition(ev.sparkSession.sparkContext.defaultParallelism),
+            ev.repartition(graft.ops.Partitioning.sizeAdaptive(ev)),
             Seq(idCol), "__v", cent, cidCol, "__cv", m, subDim)
           .groupBy(col(idCol), col("s"))
           .agg(min(struct(col("d"), col(cidCol))).as("__m"))
@@ -1373,7 +1373,10 @@ object Similarity {
       : (KmeansModel, Option[DataFrame]) = {
     require(k > 0 && iters >= 0, "k-means needs k > 0, iters >= 0")
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    // size-adaptive fan-out (guide §2, r16 verdict item 1): the iters+1
+    // passes over this cached frame paid cores× per-task fixed cost on a
+    // KB-scale corpus; production sizes still get defaultParallelism
+    val parts = graft.ops.Partitioning.sizeAdaptive(corpus)
     val baseCols =
       if (keepVec) Seq(col(idCol), col(vecCol)) else Seq(col(idCol))
     val q = corpus

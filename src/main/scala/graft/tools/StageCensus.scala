@@ -36,7 +36,11 @@ object StageCensus {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_CPUS mirrors Bench's core-count seam so the 8-vs-32
+    // scaling contention rows can be censused at BOTH counts (r16 verdict
+    // item 1); shuffle partitions stay pinned at 32 like the driver bench
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
