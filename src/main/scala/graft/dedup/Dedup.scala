@@ -4,6 +4,7 @@ import graft.ops.{InternalCaches, Skew}
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.expressions.FastHash.md5 // shadows functions.md5 (bit-identical, thread-cached digest)
 
 /** Deduplication operators for large-scale corpus cleaning: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard.

@@ -426,3 +426,85 @@ case class JaroWinkler(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
 }
+
+/** MD5-hex kernel behind [[FastMd5]]: one thread-cached
+  * `MessageDigest` per executor thread and a direct bytes→hex render.
+  *
+  * The built-in `md5()` expression routes every call through
+  * `DigestUtils.md5Hex`, which calls `MessageDigest.getInstance("MD5")`
+  * PER ROW — a `java.security.Provider$Service.newInstance` reflective
+  * lookup that is both slow (~µs) and concurrency-hostile: an r17
+  * thread-dump census of the md5-dense signature stages caught most
+  * RUNNABLE samples inside `sun.security.jca.GetInstance`, and the same
+  * 32-task stage burned 11.6 CPU-s at 32-way concurrency vs 2.3 CPU-s at
+  * 8-way (the 8-core bench beating the 32-core one on the LSH family —
+  * PERF_r16.scaling x58 0.55). The digest object is reusable by contract
+  * (`digest()` resets); caching it per thread removes the per-row
+  * provider lookup and the DigestUtils String round-trips. Output is
+  * bit-identical: MD5 is MD5, rendered as the same 32-char lowercase hex.
+  */
+object Md5Algo {
+  private val hexDigits = "0123456789abcdef".getBytes("US-ASCII")
+
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5hexUtf8(s: UTF8String): UTF8String = md5hex(s.getBytes)
+
+  def md5hex(bytes: Array[Byte]): UTF8String = {
+    val md = local.get()
+    md.reset()
+    md.update(bytes)
+    val d = md.digest()
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** `graft_md5(string|binary)` — drop-in twin of the built-in `md5()`
+  * (lowercase 32-char hex of the MD5 of the UTF-8 bytes / raw bytes;
+  * null → null), backed by [[Md5Algo]]'s thread-cached digest instead of
+  * a per-row `MessageDigest.getInstance`. Used via
+  * [[graft.expressions.FastHash.md5]], which shadows
+  * `functions.md5` file-wide so bulk hash paths (MinHash signatures,
+  * banding, SimHash votes) switch without touching call sites.
+  */
+case class FastMd5(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | org.apache.spark.sql.types.BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_md5 expects string or binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => Md5Algo.md5hexUtf8(s)
+    case b: Array[Byte] => Md5Algo.md5hex(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, x => s"graft.expressions.Md5Algo.md5hexUtf8($x)")
+      case _ =>
+        defineCodeGen(ctx, ev, x => s"graft.expressions.Md5Algo.md5hex($x)")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): FastMd5 =
+    copy(child = newChild)
+}

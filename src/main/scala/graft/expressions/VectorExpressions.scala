@@ -465,6 +465,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[Sq8Codes].getName, "graft_sq8_codes"),
       (children: Seq[Expression]) =>
         Sq8Codes(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5"),
+      new ExpressionInfo(classOf[FastMd5].getName, "graft_md5"),
+      (children: Seq[Expression]) => FastMd5(children(0))))
   }
 }
 
@@ -516,6 +520,10 @@ object GraftFunctions {
         new ExpressionInfo(classOf[Sq8Codes].getName, "graft_sq8_codes"),
         (children: Seq[Expression]) =>
           Sq8Codes(children(0), children(1), children(2)))
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier("graft_md5"),
+        new ExpressionInfo(classOf[FastMd5].getName, "graft_md5"),
+        (children: Seq[Expression]) => FastMd5(children(0)))
       registered += key
     }
   }

@@ -8,6 +8,7 @@ import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.FastHash.md5 // shadows functions.md5 (bit-identical, thread-cached digest)
 
 /** Round-9 trainer-loop operators: the pieces that turn one-shot
   * curation steps into the LOOPS a production pipeline actually runs —

@@ -14,7 +14,7 @@ object StageCensus {
 
   private final class Stages extends org.apache.spark.scheduler.SparkListener {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[
-      (Double, Int, Long, Long, Long, Double, String)]()
+      (Double, Int, Long, Long, Long, Double, Double, String)]()
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val i = e.stageInfo
@@ -24,12 +24,13 @@ object StageCensus {
       val swrite = i.taskMetrics.shuffleWriteMetrics.bytesWritten
       val in = i.taskMetrics.inputMetrics.bytesRead
       val cpu = i.taskMetrics.executorCpuTime / 1e9
+      val gc = i.taskMetrics.jvmGCTime / 1e3
       // RDD scope names say which operators the stage spans (the AQE job
       // name never does)
       val ops = i.rddInfos
         .map(r => r.scope.map(_.name).getOrElse(r.name))
         .distinct.reverse.mkString(">").take(160)
-      done.add((dur, i.numTasks, sread, swrite, in, cpu, ops)): Unit
+      done.add((dur, i.numTasks, sread, swrite, in, cpu, gc, ops)): Unit
     }
   }
 
@@ -66,8 +67,8 @@ object StageCensus {
     println(f"$name wall ${t}%.2f s — stages by duration:")
     import scala.jdk.CollectionConverters._
     l.done.asScala.toSeq.sortBy(-_._1).take(30).foreach {
-      case (d, n, sr, sw, in, cpu, nm) =>
-        println(f"  $d%6.2fs $n%4d tasks cpu=$cpu%5.2fs sr=${sr / 1024}%5dKB sw=${sw / 1024}%5dKB in=${in / 1024}%6dKB  $nm")
+      case (d, n, sr, sw, in, cpu, gc, nm) =>
+        println(f"  $d%6.2fs $n%4d tasks cpu=$cpu%5.2fs gc=$gc%5.2fs sr=${sr / 1024}%5dKB sw=${sw / 1024}%5dKB in=${in / 1024}%6dKB  $nm")
     }
     spark.stop()
   }
