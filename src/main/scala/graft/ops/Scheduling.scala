@@ -32,15 +32,27 @@ object Scheduling {
     */
   def lptAssign(df: DataFrame, groupCol: String, weightCol: String,
                 workers: Int): DataFrame = {
-    require(workers > 0, s"workers must be positive, got $workers")
     val spark = df.sparkSession
     val rows = df
       .select(col(groupCol).cast("string"), col(weightCol).cast("long"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (g, w) => (-w, g) }
+      .toSeq
+    import spark.implicits._
+    lptAssignRows(rows, workers).toDF(groupCol, weightCol, "assign_rank",
+      "worker", "load_after")
+  }
+
+  /** [[lptAssign]]'s greedy over ALREADY-COLLECTED (group, weight) rows —
+    * the seam the r17 driver-side training planners use so a caller that
+    * has collected its bounded mass frame once doesn't pay a second
+    * collect action per LPT plan. Identical ordering and tie rules. */
+  def lptAssignRows(rows: Seq[(String, Long)],
+                    workers: Int): Seq[(String, Long, Long, Long, Long)] = {
+    require(workers > 0, s"workers must be positive, got $workers")
+    val sorted = rows.sortBy { case (g, w) => (-w, g) }
     val loads = Array.fill(workers)(0L)
-    val out = rows.zipWithIndex.map { case ((g, w), i) =>
+    sorted.zipWithIndex.map { case ((g, w), i) =>
       var best = 0
       var j = 1
       while (j < workers) {
@@ -50,8 +62,5 @@ object Scheduling {
       loads(best) += w
       (g, w, i.toLong, best.toLong, loads(best))
     }
-    import spark.implicits._
-    out.toSeq.toDF(groupCol, weightCol, "assign_rank", "worker",
-      "load_after")
   }
 }

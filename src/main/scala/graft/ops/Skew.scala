@@ -36,10 +36,22 @@ object Skew {
     concat_ws(":", keyNames.map(k => col(k).cast("string")): _*)
 
   /** Collect the census head with the probe key materialized server-side
-    * (`__k` column) alongside the bucket population (`__n`). */
+    * (`__k` column) alongside the bucket population (`__n`).
+    *
+    * Ordered top-k, not a bare `limit().collect()`: CollectLimitExec runs
+    * a PROGRESSIVE partition scan (1 partition, then scaleUpFactor× more
+    * per round until the limit fills) — on an empty-or-small hot set that
+    * is 2–3 SERIAL driver round-trips per census (the r16 verdict's "two
+    * eager collects" on x49's critical path). `orderBy(keys).limit(n)`
+    * plans TakeOrderedAndProject: ONE parallel job over every partition
+    * (which also fills the caller's cached band frame in one pass).
+    * Set-identical: the head is only ever consumed whole (≤ 64 buckets →
+    * literal map) or as a length check (> 64 → broadcast path keeps the
+    * FULL hot frame), so the induced order changes nothing. */
   private def censusHead(hot: DataFrame, keyNames: Seq[String])
       : Array[org.apache.spark.sql.Row] =
     hot.withColumn("__k", probeKey(keyNames))
+      .orderBy(keyNames.map(col): _*)
       .limit(MaxLiteralHotBuckets + 1).collect()
 
   /** Attach `__nblk` (block count per row, 1 for cold rows) to `frame`,

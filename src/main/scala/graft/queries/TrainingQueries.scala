@@ -1273,14 +1273,25 @@ object TrainingQueries {
     * x170 map entry for the semantics. */
   private def multiEpochOrderFrom(gop: DataFrame,
                                   masses: DataFrame): DataFrame = {
-    val cons = epochConsumptionFrom(gop, masses)
-      .select(col("source"), col("epoch_idx"), col("bins_consumed"))
-    val plan = graft.ops.Scheduling.lptAssign(
-      masses.select(col("source"), col("n_tokens")),
-      "source", "n_tokens", workers = 8)
-    val bins = cons
-      .join(broadcast(plan.select(col("source"), col("worker"))),
-        Seq("source"))
+    // r17 serial-job-floor fix: the (source, epoch, worker) planning
+    // dimension is BOUNDED (≤ 3 epochs/source under the 2× UniMax cap),
+    // so the consumption rows and the LPT placement compute driver-side
+    // from ONE collect of the bounded mass frame (the lptAssign
+    // precedent — that greedy already collected the same rows), and only
+    // the DATA-SIZED work stays distributed: the bins explode and the
+    // two-level rank. Values are identical — the local closed forms are
+    // bit-exact mirrors (overflow-loud via Math.*Exact, UTF8-byte sort
+    // order) and the pinned oracles replay them.
+    val sess = gop.sparkSession
+    import sess.implicits._
+    val massRows = collectMasses(masses)
+    val cons = epochConsumptionRows(gop, massRows)
+    val plan = graft.ops.Scheduling.lptAssignRows(
+      massRows.map(m => (m.source, m.nTokens)), workers = 8)
+      .map { case (src, _, _, worker, _) => src -> worker }.toMap
+    val pre = cons.flatMap(c => plan.get(c.source).map(w =>
+      (c.source, w, c.epochIdx, c.binsConsumed)))
+    val bins = pre.toDF("source", "worker", "epoch_idx", "bins_consumed")
       .select(col("source"), col("worker"), col("epoch_idx"),
         explode(expr("sequence(0, bins_consumed - 1)")).as("bin_idx"))
       .withColumn("order_key",
@@ -1303,39 +1314,78 @@ object TrainingQueries {
     * semantics and shuffle ledger. */
   private def epochConsumptionFrom(gop: DataFrame,
                                    masses: DataFrame): DataFrame = {
-    val alloc = unimaxAlloc(masses.select(col("source"), col("n_tokens")))
-      .filter(col("alloc_tokens") > 0L)
-      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
-        expr("alloc_tokens div n_tokens").as("n_full"),
-        expr("alloc_tokens % n_tokens").as("rem_x"))
+    val sess = gop.sparkSession
+    import sess.implicits._
+    epochConsumptionRows(gop, collectMasses(masses))
+      .map(c => (c.source, c.epochIdx, c.tokensConsumed, c.docsFull,
+        c.streamPosEnd, c.binsConsumed))
+      .toDF("source", "epoch_idx", "tokens_consumed", "docs_full",
+        "stream_pos_end", "bins_consumed")
+  }
+
+  /** One collected row per source of the bounded mass frame —
+    * (source, n_docs_kept, n_tokens, stream_len). The collect is the
+    * lptAssign contract: a bounded action on a pre-aggregated per-source
+    * frame, whose single parallel job also materializes the caller's
+    * mass cache before any consumer branches exist. */
+  private final case class MassRow(source: String, nDocsKept: Long,
+                                   nTokens: Long, streamLen: Long)
+  private def collectMasses(masses: DataFrame): Seq[MassRow] =
+    masses.select(col("source"), col("n_docs_kept"), col("n_tokens"),
+        col("stream_len")).collect()
+      .map(r => MassRow(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+  /** One row per (surviving source, consumption epoch). */
+  private final case class ConsRow(source: String, epochIdx: Long,
+                                   tokensConsumed: Long, docsFull: Long,
+                                   streamPosEnd: Long, binsConsumed: Long)
+
+  /** [[epochConsumptionFrom]]'s rows, computed driver-side over the
+    * collected mass rows (r17 serial-job-floor fix). The epoch dimension
+    * is bounded — ≤ ⌈alloc/n⌉ + 1 ≤ 3 rows per source under the 2×
+    * UniMax cap — so only the one DATA-SIZED input stays distributed:
+    * the per-source count of docs fully inside the truncated remainder
+    * (one doc-keyed window + one partial-combined aggregation over the
+    * survivor frame, exactly the old plan's `trunc` subtree). Every
+    * integer step mirrors the old relational algebra exactly; arithmetic
+    * is overflow-loud (Math.*Exact) like the ANSI plan it replaces. */
+  private def epochConsumptionRows(gop: DataFrame,
+                                   massRows: Seq[MassRow]): Seq[ConsRow] = {
+    import java.lang.Math.addExact
+    val sess = gop.sparkSession
+    import sess.implicits._
+    val alloc = unimaxRows(massRows.map(m => (m.source, m.nTokens)))
+      .filter(_.allocTokens > 0L)
+      .map(a => (a.source, a.nTokens, a.allocTokens,
+        a.allocTokens / a.nTokens, a.allocTokens % a.nTokens))
+    val remDf = broadcast(alloc.map { case (src, _, _, _, remX) =>
+      (src, remX)
+    }.toDF("source", "rem_x"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val docs = gop.select(col("source"), col("doc_id"), col("n_tokens"))
+    val truncMap = gop.select(col("source"), col("doc_id"), col("n_tokens"))
       .withColumn("cumtok", sum(col("n_tokens")).over(w))
-    val trunc = docs
-      .join(broadcast(alloc.select(col("source"), col("rem_x"))),
-        Seq("source"))
+      .join(remDf, Seq("source"))
       .groupBy(col("source"))
       .agg(sum(when(col("cumtok") <= col("rem_x"), 1L).otherwise(0L))
         .as("docs_full_trunc"))
-    alloc
-      .join(trunc, Seq("source"))
-      .join(masses.select(col("source"), col("n_docs_kept"),
-        col("stream_len")), Seq("source"))
-      .withColumn("epoch_idx", explode(expr(
-        "sequence(0, CAST(n_full + CASE WHEN rem_x > 0 THEN 1 ELSE 0 END AS INT) - 1)")))
-      .withColumn("tokens_consumed",
-        when(col("epoch_idx") < col("n_full"), col("n_tokens"))
-          .otherwise(col("rem_x")))
-      .withColumn("docs_full",
-        when(col("epoch_idx") < col("n_full"), col("n_docs_kept"))
-          .otherwise(col("docs_full_trunc")))
-      .withColumn("stream_pos_end",
-        when(col("epoch_idx") < col("n_full"), col("stream_len"))
-          .otherwise(col("rem_x") + col("docs_full_trunc")))
-      .select(col("source"), col("epoch_idx").cast("long").as("epoch_idx"),
-        col("tokens_consumed"), col("docs_full"), col("stream_pos_end"),
-        expr("(stream_pos_end + 511) div 512").as("bins_consumed"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val massMap = massRows.map(m => m.source -> m).toMap
+    for {
+      (src, nTokens, allocTokens, nFull, remX) <- alloc
+      dft <- truncMap.get(src).toSeq // inner-join semantics, as before
+      m <- massMap.get(src).toSeq
+      epochIdx <- 0L until (nFull + (if (remX > 0L) 1L else 0L))
+    } yield {
+      val full = epochIdx < nFull
+      val spe = if (full) m.streamLen else addExact(remX, dft)
+      ConsRow(src, epochIdx,
+        tokensConsumed = if (full) nTokens else remX,
+        docsFull = if (full) m.nDocsKept else dft,
+        streamPosEnd = spe,
+        binsConsumed = addExact(spe, 511L) / 512L)
+    }
   }
 
   /** The x165 epoch-order frame over a pinned surviving-mass frame —
@@ -1343,15 +1393,20 @@ object TrainingQueries {
     * catalog entry and the x166/x167 audits so the order they analyze
     * is the order a run consumes. See the x165 map entry. */
   private def epochOrderFrom(masses: DataFrame): DataFrame = {
-    val plan = graft.ops.Scheduling.lptAssign(
-      masses.select(col("source"), col("n_tokens")),
-      "source", "n_tokens", workers = 8)
-    val bins = masses
-      .join(broadcast(plan.select(col("source"), col("worker"))),
-        Seq("source"))
+    // r17 serial-job-floor fix (see multiEpochOrderFrom): the per-source
+    // placement plan computes driver-side from one bounded collect; only
+    // the data-sized bins explode and the two-level rank stay distributed
+    val sess = masses.sparkSession
+    import sess.implicits._
+    val massRows = collectMasses(masses)
+    val plan = graft.ops.Scheduling.lptAssignRows(
+      massRows.map(m => (m.source, m.nTokens)), workers = 8)
+      .map { case (src, _, _, worker, _) => src -> worker }.toMap
+    val pre = massRows.flatMap(m => plan.get(m.source).map(w =>
+      (m.source, w, java.lang.Math.addExact(m.streamLen, 511L) / 512L)))
+    val bins = pre.toDF("source", "worker", "nbins")
       .select(col("source"), col("worker"),
-        explode(expr("sequence(0, (stream_len + 511) div 512 - 1)"))
-          .as("bin_idx"))
+        explode(expr("sequence(0, nbins - 1)")).as("bin_idx"))
       .withColumn("order_key",
         conv(substring(md5(concat(lit("ep1_"), col("source"), lit(":"),
           col("bin_idx"))), 1, 12), 16, 10).cast("long"))
@@ -1422,40 +1477,100 @@ object TrainingQueries {
     * the allocation algebra can never drift. E = 2 epochs, B =
     * ⌊1.8·total⌋; see the x157 map entry for the derivation. */
   private def unimaxAlloc(per: DataFrame): DataFrame = {
-    val tot = per.agg(sum(col("n_tokens")).as("w_tot"),
-      count(lit(1)).cast("long").as("k"))
-    val rw = Window.orderBy(col("n_tokens").asc, col("source").asc)
-    val pw = rw.rowsBetween(Window.unboundedPreceding, -1)
-    val all = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    per.crossJoin(broadcast(tot))
-      .withColumn("budget", expr("(w_tot * 9) div 5"))
-      .withColumn("rn", row_number().over(rw).cast("long"))
-      .withColumn("psum", coalesce(sum(col("n_tokens")).over(pw), lit(0L)))
-      .withColumn("cond", col("n_tokens") * 2L * (col("k") - col("rn") + 1L)
-        <= col("budget") - col("psum") * 2L)
-      .withColumn("fail_rn",
-        min(when(not(col("cond")), col("rn"))).over(all))
-      .withColumn("capped",
-        when(col("fail_rn").isNull || col("rn") < col("fail_rn"), 1L)
-          .otherwise(0L))
-      .withColumn("capped_sum",
-        sum(when(col("capped") === 1L, col("n_tokens")).otherwise(0L))
-          .over(all))
-      .withColumn("m", col("k") - sum(col("capped")).over(all))
-      .withColumn("rstar", col("budget") - col("capped_sum") * 2L)
-      .withColumn("alloc_tokens",
-        when(col("capped") === 1L, col("n_tokens") * 2L)
-          .otherwise(expr("rstar div greatest(m, 1)")
-            + when(col("rn") > col("k") - expr("rstar % greatest(m, 1)"),
-                1L).otherwise(0L)))
-      .withColumn("epochs_ppm",
-        when(col("n_tokens") === 0L, lit(null).cast("long"))
-          .otherwise(expr("(alloc_tokens div n_tokens) * 1000000 + " +
-            "((alloc_tokens % n_tokens) * 1000000) div n_tokens")))
-      .select(col("source"), col("n_tokens"),
-        (col("n_tokens") * 2L).as("cap_tokens"), col("budget"),
-        col("capped"), col("alloc_tokens"), col("epochs_ppm"))
+    // r17 serial-job-floor fix: the closed form ran as three
+    // single-partition windows + a crossJoin over the BOUNDED source
+    // dimension — 4-5 serial AQE stage materializations per consumer at
+    // ~80 ms each. It now collects the per-source masses once (the
+    // lptAssign contract — that greedy collects the same rows) and
+    // computes the identical integer recurrence driver-side, returning a
+    // LocalRelation. Bit-exact: same sort order (UTF8 bytes), same
+    // integer div/mod on non-negative operands, overflow-loud via
+    // Math.*Exact where the ANSI plan would throw. TrainingSpec replays
+    // the recurrence independently; the x157/x164/x168/x170/x171 oracles
+    // pin the outputs.
+    val sess = per.sparkSession
+    import sess.implicits._
+    val rows = per.select(col("source").cast("string"),
+        col("n_tokens").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    unimaxRows(rows)
+      .map(a => (a.source, a.nTokens, a.capTokens, a.budget, a.capped,
+        a.allocTokens, a.epochsPpm))
+      .toDF("source", "n_tokens", "cap_tokens", "budget", "capped",
+        "alloc_tokens", "epochs_ppm")
+  }
+
+  private final case class UnimaxRow(source: String, nTokens: Long,
+                                     capTokens: Long, budget: Long,
+                                     capped: Long, allocTokens: Long,
+                                     epochsPpm: Option[Long])
+
+  /** Spark string ordering (UTF8String binary compare) for the local
+    * sort — Java's String.compareTo orders by UTF-16 code units, which
+    * diverges from UTF-8 byte order on supplementary characters. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The UniMax prefix-capped recurrence over collected (source,
+    * n_tokens) rows — the driver-side twin of the r1–r16 relational
+    * closed form (see [[unimaxAlloc]]). Every step is the same integer
+    * algebra: budget = (Σw·9) div 5; rank ascending by (n_tokens,
+    * source); a source is CAPPED while even distribution of the
+    * remaining budget over the remaining sources exceeds its 2× cap;
+    * the uncapped tail splits the residual evenly with the largest
+    * `rstar mod m` sources taking the +1. All operands are non-negative
+    * (rstar ≥ 0 because every capped prefix satisfied its budget
+    * condition), so Scala's `/`/`%` equal Spark's `div`/`%` exactly. */
+  private def unimaxRows(rows: Seq[(String, Long)]): Seq[UnimaxRow] = {
+    import java.lang.Math.{addExact, multiplyExact, subtractExact}
+    val sorted = rows.sortWith { (a, b) =>
+      if (a._2 != b._2) a._2 < b._2 else utf8Lt(a._1, b._1)
+    }
+    val k = sorted.length.toLong
+    val wTot = sorted.foldLeft(0L)((acc, r) => addExact(acc, r._2))
+    val budget = multiplyExact(wTot, 9L) / 5L
+    // first rank (ascending) whose 2× cap no longer fits the even split
+    var psum = 0L
+    var failRn = 0L // 0 = none
+    var i = 0
+    while (i < sorted.length) {
+      val rn = i + 1L
+      val n = sorted(i)._2
+      val lhs = multiplyExact(multiplyExact(n, 2L), k - rn + 1L)
+      val rhs = subtractExact(budget, multiplyExact(psum, 2L))
+      if (lhs > rhs && failRn == 0L) failRn = rn
+      psum = addExact(psum, n)
+      i += 1
+    }
+    val cappedCount = if (failRn == 0L) k else failRn - 1L
+    val cappedSum = sorted.take(cappedCount.toInt)
+      .foldLeft(0L)((acc, r) => addExact(acc, r._2))
+    val m = k - cappedCount
+    val rstar = subtractExact(budget, multiplyExact(cappedSum, 2L))
+    val mEff = math.max(m, 1L)
+    sorted.zipWithIndex.map { case ((src, n), idx) =>
+      val rn = idx + 1L
+      val capped = failRn == 0L || rn < failRn
+      val alloc =
+        if (capped) multiplyExact(n, 2L)
+        else rstar / mEff + (if (rn > k - rstar % mEff) 1L else 0L)
+      val epochsPpm =
+        if (n == 0L) None
+        else Some(addExact(multiplyExact(alloc / n, 1000000L),
+          multiplyExact(alloc % n, 1000000L) / n))
+      UnimaxRow(src, n, multiplyExact(n, 2L), budget,
+        if (capped) 1L else 0L, alloc, epochsPpm)
+    }
   }
 
   /** The (quality micro-score, label) frame shared by the x160 AUC and
