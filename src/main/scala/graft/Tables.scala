@@ -26,17 +26,23 @@ object Tables {
     * one cheap getFileStatus stat per load instead of a footer read).
     * At scale the analogous move is a catalog-supplied schema: the lake's
     * table metadata replaces per-query footer sniffing. */
+  // Keyed by PATH with the (length, mtime) variant in the VALUE (ADVICE
+  // r16): one entry per path, so repeated rewrites of the same file
+  // replace their entry instead of growing the map forever, and a stale
+  // schema can only be served within one (len, mtime) generation instead
+  // of resurrecting from any prior one.
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
   private def schemaOf(spark: SparkSession, path: String)
       : org.apache.spark.sql.types.StructType = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    val key = s"$path:${st.getLen}:${st.getModificationTime}"
-    schemaCache.computeIfAbsent(key,
-      _ => spark.read.parquet(path).schema)
+    val ver = s"${st.getLen}:${st.getModificationTime}"
+    schemaCache.compute(path, (_, cur) =>
+      if (cur != null && cur._1 == ver) cur
+      else (ver, spark.read.parquet(path).schema))._2
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -379,6 +379,10 @@ object Dedup {
                        shingleK: Int = 2, numHashes: Int = 12,
                        rowsPerBand: Int = 3, candTau: Double = 0.25,
                        jaccardTau: Double = 0.2): DataFrame = {
+    // validate BEFORE registering the shingle cache (ADVICE r16): invalid
+    // banding params must not leave a pin behind until the next drain
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val sh = InternalCaches.register(
       TextOps.shingleRows(docs, idCol, textCol, shingleK))
     val labels = lshDedupClustersFromShingles(sh, idCol, numHashes,
