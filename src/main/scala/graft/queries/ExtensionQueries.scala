@@ -815,9 +815,17 @@ object ExtensionQueries {
       val signed = Dedup.signatureOfShingles(sh, "doc_id", 12).cacheRegistered
       val cands = Dedup.lshPairsFromSignatures(signed, "doc_id", 12, 3, 0.25)
         .select(col("id_a"), col("id_b"))
+      // cached: the verified pair set has TWO consumers — CC's edge
+      // materialization and the leakage matrix below — and without the
+      // pin the second consumer re-runs the band join + three verify
+      // joins from the upstream caches (r17 census: 33 jobs / 72 stages
+      // for x116 vs 18 / 36 for x27, the duplicate-chain signature).
+      // The pair list is the tiny end of the pipeline (bounded by the
+      // near-dup rate), so the pin is cheap at any scale
       val pairs = Dedup.jaccardForShingles(sh, "doc_id", cands)
         .filter(col("jaccard") >= 0.2)
         .select(col("id_a"), col("id_b"))
+        .cacheRegistered
       val labels = Dedup.connectedComponents(pairs)
       val key = docs.select(col("doc_id"))
         .join(labels.select(col("id").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
