@@ -133,8 +133,31 @@ def scale10x():
     return {}
 
 
+def decode_kernel():
+    """Multimodal ingest floor (r16 verdict #6): graft.tools.DecodeBench
+    times the pure-JVM image codecs (JPEG Huffman+IDCT, PNG inflate+
+    unfilter) on the committed fixtures, single-threaded min-of-2 — the
+    kernel-level number the catalog's decode queries can't expose at
+    sf0.1 (their payloads are sub-KB text). Guarded like scale10x."""
+    try:
+        r = subprocess.run(
+            ["sbt", "-batch", "runMain graft.tools.DecodeBench"],
+            cwd=repo_root, capture_output=True, text=True, timeout=1800)
+    except (subprocess.TimeoutExpired, OSError):
+        return {}
+    for line in r.stdout.splitlines():
+        s = line.replace("[info]", "").strip()
+        if s.startswith("{") and "decode_kernel" in s:
+            try:
+                return json.loads(s)["decode_kernel"]
+            except (ValueError, KeyError):
+                pass
+    return {}
+
+
 spark_after = spark_anchor()
 scale = scale10x()
+decode = decode_kernel()
 spark_in_bench = {a: spark.get("queries", {}).get(a) for a in ANCHORS}
 spark_drift = None
 if (len(spark_after) == len(ANCHORS)
@@ -154,6 +177,7 @@ merged = {
     "skew": spark.get("skew"),
     "failed": spark.get("failed"),
     "scale10x": scale,
+    "decode_kernel": decode,
     "session_anchor": {
         "queries": ANCHORS,
         "duckdb_before_sec": anchor_before,
